@@ -1,0 +1,55 @@
+"""P1/P2 — entity serialization: transcripts → Ditto-style COL/VAL strings.
+
+Reference semantics: ``to_str`` renders each attribute as
+``'COL %s VAL %s ' % (attr, val)`` (/root/reference/matcher.py:52-58) and
+skips missing attributes (/root/reference/new_wdc/convert.py:13-14).
+
+Here the entity is a *conversation* and the attributes are its turns in
+stable (conv_id, turn_idx) order (BASELINE.json input_hint). Each turn
+renders as ``COL role VAL <role> COL text VAL <text> [COL tool VAL <tool>]``
+and turns are concatenated with single spaces.
+
+Spark-first design: ONE shuffle — groupBy(conv_id) + collect_list(struct)
++ array_sort + higher-order transform + concat_ws, all whole-stage-codegen
+JVM expressions (no Python). A Window.orderBy + collect_list would shuffle
+twice; this formulation shuffles once and the sort is per-group in memory.
+At 10^12 turns this groupBy is the first of exactly three shuffles in the
+whole pipeline (serialize, block-join, cluster), each keyed differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def render_turn_expr() -> F.Column:
+    """COL/VAL rendering of a single turn; tool skipped when null (P2)."""
+    base = F.concat(
+        F.lit("COL role VAL "), F.col("role"), F.lit(" COL text VAL "), F.col("text")
+    )
+    return F.when(
+        F.col("tool").isNotNull(),
+        F.concat(base, F.lit(" COL tool VAL "), F.col("tool")),
+    ).otherwise(base)
+
+
+def serialize_conversations(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts)
+    → serialized(conv_id, entity_text, n_turns).
+
+    Ordering is made stable by sorting the collected struct array on
+    turn_idx (array_sort on struct sorts by fields in order) — the
+    per-turn-text-equality invariant the tests assert.
+    """
+    rendered = transcripts.select(
+        "conv_id",
+        F.struct(F.col("turn_idx"), render_turn_expr().alias("turn_text")).alias("t"),
+    )
+    return rendered.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list("t")), lambda s: s["turn_text"]),
+        ).alias("entity_text"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )

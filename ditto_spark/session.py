@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local sandbox runs on local[N]; on a real cluster the same builder flags apply
+via spark-submit --conf. AQE + skew-join splitting are on because LSH blocking
+produces skewed band buckets by construction (hot templates → hot bands), and
+the adaptive planner re-splits those at runtime (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ditto_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the linkage pipeline.
+
+    cores: local parallelism (default: $SPARK_GRAFT_CPUS or all cores).
+    shuffle_partitions: default 2x cores locally; a real 1000-executor run
+    would set this to ~2-3x total cores (AQE coalesces the excess).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    # Make the package importable in executor Python workers regardless of the
+    # driver's cwd. Local mode: workers inherit the JVM env, so prepend to
+    # PYTHONPATH before the session starts. On a real cluster the same is done
+    # with `spark-submit --py-files ditto_spark.zip` (north_rule).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size bounds pair-scorer UDF memory (reference batches
+        # 1024 pairs/batch, matcher.py:120); 2048 keeps batches model-sized.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("DITTO_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,69 @@
+"""Serialization invariants (SURVEY.md §5): per-turn text equality under
+stable (conv_id, turn_idx) ordering; null-attr skip; shuffle independence."""
+
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.serialize import serialize_conversations
+
+
+def test_exact_format_and_ordering(spark):
+    rows = [
+        ("c1", 1, "assistant", "hi there", "bash", None),
+        ("c1", 0, "user", "hello", None, None),
+        ("c1", 2, "user", "run it", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = serialize_conversations(df).collect()
+    assert len(out) == 1
+    assert out[0]["entity_text"] == (
+        "COL role VAL user COL text VAL hello "
+        "COL role VAL assistant COL text VAL hi there COL tool VAL bash "
+        "COL role VAL user COL text VAL run it"
+    )
+    assert out[0]["n_turns"] == 3
+
+
+def test_shuffle_invariance(spark, tiny_transcripts):
+    a = serialize_conversations(tiny_transcripts)
+    b = serialize_conversations(tiny_transcripts.repartition(13).sortWithinPartitions(F.desc("turn_idx")))
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert diff == 0
+
+
+def test_per_turn_equality(spark, tiny_transcripts):
+    """Every original turn text must appear verbatim in its entity string,
+    and the serialized turn order must equal turn_idx order."""
+    ser = serialize_conversations(tiny_transcripts)
+    joined = tiny_transcripts.join(ser, "conv_id")
+    bad = joined.where(
+        ~F.col("entity_text").contains(
+            F.concat(F.lit("COL text VAL "), F.col("text"))
+        )
+    ).count()
+    assert bad == 0
+    # order: position of each turn's marker is monotone in turn_idx
+    pos = joined.select(
+        "conv_id",
+        "turn_idx",
+        F.expr("locate(concat('COL text VAL ', text), entity_text)").alias("pos"),
+    )
+    w_bad = (
+        pos.alias("a")
+        .join(pos.alias("b"), "conv_id")
+        .where(
+            (F.col("a.turn_idx") < F.col("b.turn_idx")) & (F.col("a.pos") >= F.col("b.pos"))
+        )
+        .count()
+    )
+    assert w_bad == 0
+
+
+def test_generator_determinism(spark):
+    from ditto_spark.synth import generate_transcripts
+
+    a = generate_transcripts(spark, n_base=30, seed=7, partitions=2)
+    b = generate_transcripts(spark, n_base=30, seed=7, partitions=11)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
