@@ -1,0 +1,245 @@
+"""B1-B4 — candidate generation: MinHash-LSH over token shingles.
+
+The reference blocks with dense SBERT embeddings + blocked matmul
+(/root/reference/blocking/blocker.py:43-80, threshold branch 74-79, top-k
+branch 67-72). Per BASELINE.json north_star we instead block with
+MinHash-LSH over token shingles, realized as an equi-join on LSH band keys —
+O(n·bands) shuffle instead of O(n²/tiles) matmul, which is what survives at
+10^12 turns.
+
+Design (all JVM expressions, whole-stage codegen; zero Python):
+  tokens   = lowercased alnum runs of entity_text
+  shingles = distinct n-gram shingles of the token stream
+  minhash  = per conversation, sig[i] = min over shingles of xxhash64(shingle, seed_i)
+             (one groupBy with num_perm min() aggregates — single shuffle,
+             map-side partial aggregation)
+  bands    = band_j = xxhash64(sig[j*r .. j*r+r-1]) → rows (conv_id, band_idx, band_key)
+  pairs    = self-equi-join on (band_idx, band_key), left_id < right_id, distinct
+
+Skew handling (north_rule "salted keys for skewed blocks"): hot band buckets
+(near-identical template conversations all landing in one bucket) are split
+into `ceil(size/max_bucket)` salt cells by xxhash64(conv_id); pairs are
+generated within a salt cell only. Cross-cell pairs of a hot bucket are
+recovered probabilistically by the OTHER b-1 bands (each band salts
+independently), and deterministically by transitive clustering downstream —
+a giant near-duplicate bucket is exactly the case where connected components
+closes the gap. AQE skew-join splitting stays on as the second line of
+defense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokenize(df: DataFrame, text_col: str = "entity_text") -> DataFrame:
+    """Add a `tokens` array column: lowercase alnum token stream."""
+    return df.withColumn(
+        "tokens",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda t: t != ""
+        ),
+    )
+
+
+def shingle(df: DataFrame, n: int = 3, tokens_col: str = "tokens") -> DataFrame:
+    """Add a distinct n-gram `shingles` array (token-level shingling).
+
+    Documents shorter than n tokens get their whole token stream as one
+    shingle so nothing is silently dropped.
+    """
+    toks = F.col(tokens_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.withColumn("shingles", F.array_distinct(grams))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    shingles_col: str = "shingles",
+    num_perm: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, shingles[]) → (id, sig: array<bigint> of length num_perm).
+
+    sig[i] = min_{s in shingles} xxhash64(s, seed_i). One explode + one
+    groupBy with num_perm min() aggregates (map-side combined), so the
+    shuffle carries num_perm longs per id — independent of document length.
+    """
+    exploded = df.select(id_col, F.explode(shingles_col).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed * 1_000_003 + i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "conv_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Signature → (id, band_idx, band_key) rows; band_key hashes r
+    consecutive signature components. num_bands*rows_per_band must not
+    exceed the signature length."""
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                    )
+                ).alias("band_key"),
+            ),
+        )
+    ).alias("band")
+    return sig_df.select(id_col, bands).select(
+        id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def candidates_from_bands(
+    bands_df: DataFrame,
+    id_col: str = "conv_id",
+    max_bucket: int = 200,
+    salt_seed: int = 7,
+) -> DataFrame:
+    """Self-equi-join on (band_idx, band_key) → distinct (left_id, right_id).
+
+    Buckets larger than max_bucket are salted: each is split into
+    ceil(size/max_bucket) cells by xxhash64(id); the join key becomes
+    (band_idx, band_key, salt). Bounds the worst bucket's pair count at
+    ~max_bucket²/2 per cell instead of size²/2.
+    """
+    sizes = bands_df.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    salted = (
+        bands_df.join(F.broadcast(sizes.where(F.col("bucket_n") > 1)), ["band_idx", "band_key"])
+        .withColumn(
+            "n_salts",
+            F.ceil(F.col("bucket_n") / F.lit(max_bucket)).cast("int"),
+        )
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")),
+        )
+    )
+    left = salted.select(
+        "band_idx", "band_key", "salt", F.col(id_col).alias("left_id")
+    )
+    right = salted.select(
+        "band_idx", "band_key", "salt", F.col(id_col).alias("right_id")
+    )
+    return (
+        left.join(right, ["band_idx", "band_key", "salt"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def estimated_jaccard(
+    pairs: DataFrame, sig_df: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Attach the MinHash Jaccard estimate: fraction of agreeing signature
+    components. Two broadcast-or-shuffle hash joins, then a zip_with mean —
+    still zero Python."""
+    ls = sig_df.select(F.col(id_col).alias("left_id"), F.col("sig").alias("lsig"))
+    rs = sig_df.select(F.col(id_col).alias("right_id"), F.col("sig").alias("rsig"))
+    joined = pairs.join(ls, "left_id").join(rs, "right_id")
+    agree = F.aggregate(
+        F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return joined.withColumn(
+        "est_jaccard", agree / F.size("lsig")
+    ).drop("lsig", "rsig")
+
+
+def block_minhash_lsh(
+    serialized: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "entity_text",
+    shingle_n: int = 2,
+    num_perm: int = 64,
+    num_bands: int = 21,
+    rows_per_band: int = 3,
+    max_bucket: int = 200,
+    threshold: float | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """End-to-end blocking: serialized entities → candidate pairs with
+    est_jaccard, optionally filtered by threshold (B2 analogue,
+    blocker.py:74-79) and/or top-k per right id (B3, blocker.py:67-72)."""
+    from pyspark.sql import Window
+
+    assert num_bands * rows_per_band <= num_perm
+    sig = minhash_signatures(
+        shingle(tokenize(serialized, text_col), shingle_n), id_col, num_perm=num_perm
+    )
+    bands = lsh_bands(sig, id_col, num_bands, rows_per_band)
+    pairs = candidates_from_bands(bands, id_col, max_bucket=max_bucket)
+    pairs = estimated_jaccard(pairs, sig, id_col)
+    if threshold is not None:
+        pairs = pairs.where(F.col("est_jaccard") >= threshold)
+    if top_k is not None:
+        w = Window.partitionBy("right_id").orderBy(
+            F.desc("est_jaccard"), F.asc("left_id")
+        )
+        pairs = (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= top_k)
+            .drop("rk")
+        )
+    return pairs
+
+
+def block_exact_shingles(
+    serialized: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "entity_text",
+    shingle_n: int = 3,
+    min_common: int = 1,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Oracle-friendly exact variant: candidates = pairs sharing ≥ min_common
+    shingles, ignoring shingles whose document frequency exceeds
+    max_shingle_df (stop-shingle pruning — the classic prefix-filter trick
+    that keeps the self-join from exploding on common n-grams).
+
+    SQL-expressible (DuckDB oracle in __spark_entry__.py), unlike the LSH
+    path which is checked rows-only."""
+    sh = shingle(tokenize(serialized, text_col), shingle_n).select(
+        id_col, F.explode("shingles").alias("s")
+    )
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_cnt")).where(
+        F.col("df_cnt") <= max_shingle_df
+    )
+    sh = sh.join(rare.select("s"), "s")
+    l = sh.select(F.col("s"), F.col(id_col).alias("left_id"))
+    r = sh.select(F.col("s"), F.col(id_col).alias("right_id"))
+    return (
+        l.join(r, "s")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+        .where(F.col("common_shingles") >= min_common)
+    )

@@ -1,0 +1,213 @@
+"""M1-M4 — pairwise match scoring.
+
+The reference scores candidate pairs with a fine-tuned LM cross-encoder:
+tokenize pair → DistilBERT forward → softmax[:,1] → strict `p > τ`
+(/root/reference/ditto_light/ditto.py:22-64 forward, /root/reference/
+matcher.py:73-116 classify, threshold at matcher.py:112-115). Batching is
+1024 pairs/batch (matcher.py:120,179).
+
+Spark-first: the whole predict loop (matcher.py:118-189 — read, buffer,
+classify, write) collapses to `pairs.mapInPandas(scorer)`; Spark does the
+streaming/batching via Arrow (`spark.sql.execution.arrow.maxRecordsPerBatch`)
+and the iterator form keeps the model resident across batches within a
+partition — the "batched pre-trained-LM cross-encoder inside pandas/Arrow
+iterator UDFs with no per-row Python" contract from BASELINE.json.
+
+Two scorers plug into the same slot:
+  * token-cosine surrogate (default, deterministic, no downloads): hashed
+    token-count cosine computed with pandas str ops + numpy factorize —
+    batch-vectorized, no per-row Python functions. Used by tests/CI where
+    LM weights are unavailable (SURVEY.md §7 risks).
+  * HF cross-encoder (ditto semantics) behind an import-try: loads
+    transformers+torch once per partition iterator, tokenizes each Arrow
+    batch with padding/truncation (dataset.py:73-76, dataset.py:91-117
+    semantics) and applies softmax over the 2-class head.
+
+There is also a pure-JVM fast path (`score_pairs_builtin`) — token Jaccard
+via array_intersect/array_union — used as the benchmark baseline and the
+DuckDB-oracle-checkable scorer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.blocking import TOKEN_PATTERN
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+SCORE_SCHEMA = "left_id string, right_id string, prob double"
+
+
+def _token_lists(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.findall(_TOKEN_RE)
+
+
+def _cosine_batch(left: pd.Series, right: pd.Series) -> np.ndarray:
+    """Vectorized token-count cosine for one Arrow batch.
+
+    Factorizes all tokens in the batch to int codes (C-level), builds
+    (row, code, count) triples with numpy, and computes the sparse dot
+    product per pair via a sorted merge — no per-row Python functions.
+    """
+    n = len(left)
+    if n == 0:
+        return np.zeros(0)
+    lt = _token_lists(left)
+    rt = _token_lists(right)
+    l_lens = np.fromiter(map(len, lt), dtype=np.int64, count=n)
+    r_lens = np.fromiter(map(len, rt), dtype=np.int64, count=n)
+    flat = np.concatenate([x for x in lt] + [x for x in rt]) if (l_lens.sum() + r_lens.sum()) else np.array([], dtype=object)
+    codes, _ = pd.factorize(flat)
+    row_ids = np.repeat(
+        np.concatenate([np.arange(n), np.arange(n)]),
+        np.concatenate([l_lens, r_lens]),
+    )
+    side = np.repeat(
+        np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+        np.concatenate([l_lens, r_lens]),
+    )
+    # counts per (row, side, code)
+    order = np.lexsort((codes, side, row_ids))
+    r_, s_, c_ = row_ids[order], side[order], codes[order]
+    new_group = np.ones(len(r_), bool)
+    new_group[1:] = (r_[1:] != r_[:-1]) | (s_[1:] != s_[:-1]) | (c_[1:] != c_[:-1])
+    starts = np.flatnonzero(new_group)
+    counts = np.diff(np.append(starts, len(r_)))
+    gr, gs, gc = r_[starts], s_[starts], c_[starts]
+    # norms per (row, side)
+    sq = counts.astype(np.float64) ** 2
+    l_norm = np.zeros(n)
+    r_norm = np.zeros(n)
+    np.add.at(l_norm, gr[gs == 0], sq[gs == 0])
+    np.add.at(r_norm, gr[gs == 1], sq[gs == 1])
+    # dot product: group keys sorted by (row, side, code); within a row,
+    # match codes across sides via a second lexsort on (row, code)
+    o2 = np.lexsort((gs, gc, gr))
+    r2, s2, c2, cnt2 = gr[o2], gs[o2], gc[o2], counts[o2]
+    same = (r2[1:] == r2[:-1]) & (c2[1:] == c2[:-1]) & (s2[1:] != s2[:-1])
+    dots = np.zeros(n)
+    np.add.at(dots, r2[1:][same], (cnt2[1:][same] * cnt2[:-1][same]).astype(np.float64))
+    denom = np.sqrt(l_norm) * np.sqrt(r_norm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom > 0, dots / denom, 0.0)
+    return cos
+
+
+def surrogate_scorer_factory() -> Callable[[pd.Series, pd.Series], np.ndarray]:
+    """Deterministic scorer: token-count cosine in [0,1]."""
+    return _cosine_batch
+
+
+def cross_encoder_scorer_factory(
+    model_name: str = "distilbert-base-uncased",
+    checkpoint_path: str | None = None,
+    max_len: int = 256,
+):
+    """Ditto's cross-encoder (ditto.py:22-64): CLS vector → Linear(hidden, 2)
+    → softmax[:,1]. Loaded once per partition iterator; raises ImportError
+    where torch/transformers are absent (sandbox) — callers fall back to the
+    surrogate. Kept import-gated so the UDF slot and plumbing are testable
+    without weights."""
+    import torch  # noqa: F401  (import-try gate)
+    from transformers import AutoModel, AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    encoder = AutoModel.from_pretrained(model_name)
+    hidden = encoder.config.hidden_size
+    fc = torch.nn.Linear(hidden, 2)
+    if checkpoint_path:
+        state = torch.load(checkpoint_path, map_location="cpu")
+        encoder.load_state_dict(state["encoder"])
+        fc.load_state_dict(state["fc"])
+    encoder.eval()
+
+    def score(left: pd.Series, right: pd.Series) -> np.ndarray:
+        with torch.no_grad():
+            enc = tokenizer(
+                list(left), list(right),
+                padding=True, truncation=True, max_length=max_len,
+                return_tensors="pt",
+            )
+            out = encoder(**enc)
+            cls = out.last_hidden_state[:, 0, :]
+            logits = fc(cls)
+            return torch.softmax(logits, dim=1)[:, 1].numpy()
+
+    return score
+
+
+def score_pairs(
+    pairs_with_text: DataFrame,
+    scorer_factory: Callable[[], Callable[[pd.Series, pd.Series], np.ndarray]] | None = None,
+) -> DataFrame:
+    """(left_id, right_id, left_txt, right_txt, ...) → (left_id, right_id, prob).
+
+    mapInPandas iterator UDF: the scorer is constructed ONCE per partition
+    (model load), then applied per Arrow batch — the reference's resident
+    model + 1024-pair batching (matcher.py:94-98) in Spark form.
+    """
+    factory = scorer_factory or surrogate_scorer_factory
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = factory()  # once per partition: model load lives here
+        for pdf in batches:
+            probs = scorer(pdf["left_txt"], pdf["right_txt"])
+            yield pd.DataFrame(
+                {
+                    "left_id": pdf["left_id"],
+                    "right_id": pdf["right_id"],
+                    "prob": np.asarray(probs, dtype=np.float64),
+                }
+            )
+
+    cols = pairs_with_text.select("left_id", "right_id", "left_txt", "right_txt")
+    return cols.mapInPandas(run, schema=SCORE_SCHEMA)
+
+
+def attach_pair_text(
+    pairs: DataFrame, serialized: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Join serialized entity text onto candidate pairs (two hash joins;
+    broadcast if the entity table is small — Catalyst/AQE decides)."""
+    ser = serialized.select(F.col(id_col), F.col("entity_text"))
+    return (
+        pairs.join(ser.withColumnsRenamed({id_col: "left_id", "entity_text": "left_txt"}), "left_id")
+        .join(ser.withColumnsRenamed({id_col: "right_id", "entity_text": "right_txt"}), "right_id")
+    )
+
+
+def score_pairs_builtin(pairs_with_text: DataFrame) -> DataFrame:
+    """Pure-JVM surrogate: token-set Jaccard via array_intersect/union.
+
+    Zero Python — the throughput baseline the UDF path is benchmarked
+    against, and the scorer used by the DuckDB oracle queries."""
+    tok = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda t: t != "")
+    )
+    lt, rt = tok(F.col("left_txt")), tok(F.col("right_txt"))
+    return pairs_with_text.select(
+        "left_id",
+        "right_id",
+        (
+            F.size(F.array_intersect(lt, rt)).cast("double")
+            / F.greatest(F.size(F.array_union(lt, rt)), F.lit(1)).cast("double")
+        ).alias("prob"),
+    )
+
+
+def apply_threshold(scored: DataFrame, tau: float) -> DataFrame:
+    """Strict `prob > τ` (matcher.py:115, ditto.py:92 — ties excluded);
+    adds match + match_confidence per the output contract
+    (matcher.py:156-159: confidence = prob of the PREDICTED class)."""
+    return scored.withColumn(
+        "match", (F.col("prob") > F.lit(tau)).cast("int")
+    ).withColumn(
+        "match_confidence",
+        F.when(F.col("prob") > F.lit(tau), F.col("prob")).otherwise(1.0 - F.col("prob")),
+    )

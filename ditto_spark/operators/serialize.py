@@ -44,12 +44,22 @@ def serialize_conversations(transcripts: DataFrame) -> DataFrame:
     """
     rendered = transcripts.select(
         "conv_id",
-        F.struct(F.col("turn_idx"), render_turn_expr().alias("turn_text")).alias("t"),
+        F.struct(
+            F.col("turn_idx"),
+            render_turn_expr().alias("turn_text"),
+            F.col("text").alias("raw_text"),
+        ).alias("t"),
     )
+    ordered = F.array_sort(F.collect_list("t"))
     return rendered.groupBy("conv_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(F.array_sort(F.collect_list("t")), lambda s: s["turn_text"]),
-        ).alias("entity_text"),
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["turn_text"])).alias(
+            "entity_text"
+        ),
+        # content-only view for blocking: COL/VAL sentinels appear in every
+        # turn of every conversation and would dilute shingle similarity
+        # (all-pairs baseline Jaccard rises → LSH false candidates at scale)
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["raw_text"])).alias(
+            "block_text"
+        ),
         F.count(F.lit(1)).cast("int").alias("n_turns"),
     )

@@ -1,0 +1,81 @@
+"""End-to-end record-linkage pipeline (SURVEY.md §3.1 Spark rebuild):
+
+transcripts → serialize → MinHash-LSH blocking → pairwise scorer (Arrow UDF
+or JVM surrogate) → strict p > τ → large-star/small-star connected
+components → clusters.
+
+Exactly three keyed shuffles at scale: groupBy(conv_id) for serialization,
+the band equi-join for blocking, and the CC iterations (bounded O(log n)
+rounds). The scorer stage is shuffle-free (mapInPandas over the already
+partitioned pair table); `repartition_pairs` controls its parallelism so no
+partition exceeds model memory (SURVEY.md §7 risk: skew).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.serialize import serialize_conversations
+from ditto_spark.operators.blocking import block_minhash_lsh
+from ditto_spark.operators.scoring import (
+    attach_pair_text,
+    score_pairs,
+    score_pairs_builtin,
+    apply_threshold,
+)
+from ditto_spark.operators.cluster import assign_clusters
+
+
+@dataclass
+class PipelineConfig:
+    # b=21 bands × r=3 rows: candidate prob 1-(1-s³)²¹ ≈ 0.98 at Jaccard 0.55
+    # (noisy duplicate variants) while staying ~0 below 0.15 — recall-oriented,
+    # precision restored by the scorer + threshold downstream.
+    shingle_n: int = 2
+    num_perm: int = 64
+    num_bands: int = 21
+    rows_per_band: int = 3
+    max_bucket: int = 200
+    lsh_prefilter: float | None = 0.15  # est_jaccard floor before scoring
+    tau: float = 0.5
+    use_arrow_udf_scorer: bool = True
+    repartition_pairs: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class PipelineResult:
+    serialized: DataFrame
+    candidates: DataFrame
+    scored: DataFrame
+    matches: DataFrame
+    clusters: DataFrame
+
+
+def dedup_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    serialized = serialize_conversations(transcripts)
+    candidates = block_minhash_lsh(
+        serialized,
+        text_col="block_text",
+        shingle_n=cfg.shingle_n,
+        num_perm=cfg.num_perm,
+        num_bands=cfg.num_bands,
+        rows_per_band=cfg.rows_per_band,
+        max_bucket=cfg.max_bucket,
+        threshold=cfg.lsh_prefilter,
+    )
+    with_text = attach_pair_text(candidates, serialized)
+    if cfg.repartition_pairs:
+        with_text = with_text.repartition(cfg.repartition_pairs)
+    if cfg.use_arrow_udf_scorer:
+        scored = score_pairs(with_text)
+    else:
+        scored = score_pairs_builtin(with_text)
+    decided = apply_threshold(scored, cfg.tau)
+    matches = decided.where(F.col("match") == 1)
+    clusters = assign_clusters(serialized, matches.select("left_id", "right_id"))
+    return PipelineResult(serialized, candidates, scored, matches, clusters)

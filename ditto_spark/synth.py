@@ -29,7 +29,7 @@ TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
-_VOCAB = [
+_COMMON = [
     "deploy", "cluster", "error", "retry", "timeout", "schema", "parquet",
     "shuffle", "partition", "broadcast", "join", "filter", "window", "stream",
     "batch", "token", "model", "index", "cache", "query", "table", "column",
@@ -38,6 +38,10 @@ _VOCAB = [
     "upsert", "compact", "vacuum", "scan", "predicate", "pushdown", "prune",
     "codegen", "arrow", "pandas", "vector", "hash", "sort", "spill",
 ]
+# Realistic corpora have thousands of distinct tokens; a 50-word vocabulary
+# makes every random pair look similar (token-distribution collision), so the
+# bulk of the vocabulary is synthetic rare-ish words.
+_VOCAB = _COMMON + [f"w{i:04d}" for i in range(1500)]
 _TOOLS = ["search", "bash", "python", "browser", "sql"]
 _ROLES = ["user", "assistant"]
 _EPOCH = datetime(2025, 1, 1)
@@ -116,8 +120,12 @@ def generate_transcripts(
                 n_dup = 0
                 if rng.rand() < dup_prob:
                     n_dup = int(rng.randint(1, max_dups + 1))
+                # hot-template conversations are textually near-identical by
+                # construction, so they ARE one entity: mark with 'h' so the
+                # truth derivation puts the whole hot group in one cluster
+                prefix = "h" if base >= hot_start else "c"
                 for v in range(n_dup + 1):
-                    conv_id = f"c{base:08d}_{v}"
+                    conv_id = f"{prefix}{base:08d}_{v}"
                     t0 = _EPOCH + timedelta(minutes=base * 17 + v)
                     for ti, (role, text, tool) in enumerate(turns):
                         txt = text if v == 0 else _perturb(text, rng, noise)
@@ -136,15 +144,18 @@ def generate_transcripts(
 def golden_clusters(transcripts: DataFrame) -> DataFrame:
     """Planted truth: cluster_id = canonical (min) conv_id of the dup group.
 
-    Derivable because conv_id encodes the base: c<base>_<variant>.
+    conv_id encodes the group: c<base>_<variant> groups by base;
+    h<base>_<variant> (hot template) is ONE group regardless of base.
     """
-    return (
-        transcripts.select("conv_id")
-        .distinct()
-        .withColumn("base", F.split("conv_id", "_").getItem(0))
-        .withColumn("cluster_id", F.concat(F.col("base"), F.lit("_0")))
-        .drop("base")
+    ids = transcripts.select("conv_id").distinct()
+    keyed = ids.withColumn(
+        "grp",
+        F.when(F.col("conv_id").startswith("h"), F.lit("hot")).otherwise(
+            F.split("conv_id", "_").getItem(0)
+        ),
     )
+    canon = keyed.groupBy("grp").agg(F.min("conv_id").alias("cluster_id"))
+    return keyed.join(F.broadcast(canon), "grp").select("conv_id", "cluster_id")
 
 
 def golden_pairs(transcripts: DataFrame, neg_per_pos: int = 3, seed: int = 42) -> DataFrame:

@@ -1,0 +1,83 @@
+"""Blocking: shingling, minhash determinism, LSH recall on planted dupes,
+salted hot buckets, top-k window, exact-shingle oracle variant."""
+
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.serialize import serialize_conversations
+from ditto_spark.operators import blocking as B
+from ditto_spark.synth import golden_clusters
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a", "The quick brown fox jumps")], "id string, entity_text string")
+    out = B.shingle(B.tokenize(df), n=3).collect()[0]
+    assert out["tokens"] == ["the", "quick", "brown", "fox", "jumps"]
+    assert out["shingles"] == ["the quick brown", "quick brown fox", "brown fox jumps"]
+
+
+def test_short_doc_shingle(spark):
+    df = spark.createDataFrame([("a", "hi there")], "id string, entity_text string")
+    out = B.shingle(B.tokenize(df), n=3).collect()[0]
+    assert out["shingles"] == ["hi there"]
+
+
+def test_minhash_identical_texts_same_sig(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta"), ("b", "alpha beta gamma delta epsilon zeta")],
+        "conv_id string, entity_text string",
+    )
+    sig = B.minhash_signatures(B.shingle(B.tokenize(df)), "conv_id", num_perm=16)
+    rows = {r["conv_id"]: r["sig"] for r in sig.collect()}
+    assert rows["a"] == rows["b"]
+    assert len(rows["a"]) == 16
+
+
+def test_lsh_recall_on_planted_dupes(spark, small_transcripts):
+    ser = serialize_conversations(small_transcripts)
+    pairs = B.block_minhash_lsh(ser, text_col="block_text").cache()
+    truth = golden_clusters(small_transcripts)
+    pos = (
+        truth.alias("a")
+        .join(truth.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("left_id"), F.col("b.conv_id").alias("right_id")
+        )
+    )
+    n_pos = pos.count()
+    found = pos.join(pairs, ["left_id", "right_id"], "left_semi").count()
+    recall = found / max(n_pos, 1)
+    assert recall >= 0.95, f"LSH recall {recall} ({found}/{n_pos})"
+
+
+def test_salting_bounds_bucket_pairs(spark):
+    # 500 ids in ONE band bucket; max_bucket=50 → per-pair count far below 500²/2
+    rows = [(f"id{i:04d}", 0, 123456789) for i in range(500)]
+    bands = spark.createDataFrame(rows, "conv_id string, band_idx int, band_key long")
+    pairs = B.candidates_from_bands(bands, max_bucket=50)
+    n = pairs.count()
+    full = 500 * 499 // 2
+    assert 0 < n < full * 0.2, f"salting produced {n} vs full {full}"
+    # all pairs ordered and distinct
+    assert pairs.where(F.col("left_id") >= F.col("right_id")).count() == 0
+
+
+def test_topk_variant(spark, tiny_transcripts):
+    ser = serialize_conversations(tiny_transcripts)
+    pairs = B.block_minhash_lsh(ser, text_col="block_text", top_k=2)
+    over = pairs.groupBy("right_id").count().where(F.col("count") > 2).count()
+    assert over == 0
+
+
+def test_exact_shingle_blocking(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta"),
+            ("b", "alpha beta gamma zeta"),
+            ("c", "totally different words here"),
+        ],
+        "conv_id string, entity_text string",
+    )
+    out = B.block_exact_shingles(df, shingle_n=3)
+    got = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert got == {("a", "b")}

@@ -1,0 +1,57 @@
+"""End-to-end gates (BASELINE.md targets):
+pairwise F1 >= 0.99 vs planted golden pairs at identical blocking keys;
+cluster pairwise F1 vs planted clusters; determinism across runs."""
+
+import pyspark.sql.functions as F
+
+from ditto_spark.pipeline import PipelineConfig, dedup_transcripts
+from ditto_spark.operators.evaluate import confusion_f1, cluster_pairwise_f1
+from ditto_spark.synth import golden_clusters, golden_pairs
+
+
+def test_pairwise_f1_gate(spark, small_transcripts):
+    """North-rule gate: pairwise F1 >= 0.99 on labeled pairs, where the
+    prediction for a pair is cluster co-membership (the pipeline's entity
+    clusters — transitivity heals individual blocking misses, exactly why
+    the north_rule adds clustering on top of ditto's pairwise output)."""
+    res = dedup_transcripts(small_transcripts, PipelineConfig(tau=0.5))
+    golden = golden_pairs(small_transcripts)
+    cl = res.clusters
+    pred = (
+        golden.join(
+            cl.withColumnsRenamed({"conv_id": "left_id", "cluster_id": "lc"}), "left_id"
+        )
+        .join(cl.withColumnsRenamed({"conv_id": "right_id", "cluster_id": "rc"}), "right_id")
+        .withColumn("match", (F.col("lc") == F.col("rc")).cast("int"))
+    )
+    m = confusion_f1(pred).collect()[0]
+    assert m["f1"] >= 0.99, f"pairwise F1 {m['f1']} (tp={m['tp']} fp={m['fp']} fn={m['fn']})"
+
+
+def test_cluster_f1_gate(spark, small_transcripts):
+    res = dedup_transcripts(small_transcripts, PipelineConfig(tau=0.5))
+    truth = golden_clusters(small_transcripts)
+    m = cluster_pairwise_f1(res.clusters, truth).collect()[0]
+    assert m["f1"] >= 0.98, f"cluster F1 {m['f1']}"
+
+
+def test_every_conv_assigned_exactly_once(spark, tiny_transcripts):
+    res = dedup_transcripts(tiny_transcripts)
+    n_conv = tiny_transcripts.select("conv_id").distinct().count()
+    assert res.clusters.count() == n_conv
+    assert res.clusters.select("conv_id").distinct().count() == n_conv
+
+
+def test_determinism_two_runs(spark, tiny_transcripts):
+    a = dedup_transcripts(tiny_transcripts).clusters
+    b = dedup_transcripts(tiny_transcripts).clusters
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_builtin_scorer_path(spark, tiny_transcripts):
+    res = dedup_transcripts(
+        tiny_transcripts, PipelineConfig(use_arrow_udf_scorer=False, tau=0.5)
+    )
+    truth = golden_clusters(tiny_transcripts)
+    m = cluster_pairwise_f1(res.clusters, truth).collect()[0]
+    assert m["f1"] >= 0.95

@@ -1,0 +1,81 @@
+"""Scoring: surrogate cosine batch math, UDF vs builtin agreement,
+threshold semantics (strict >), confusion F1 and sweep vs hand counts."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.scoring import (
+    _cosine_batch,
+    score_pairs,
+    score_pairs_builtin,
+    apply_threshold,
+)
+from ditto_spark.operators.evaluate import confusion_f1, threshold_grid_f1, tune_threshold
+
+
+def test_cosine_batch_math():
+    left = pd.Series(["a b c", "a a b", "x y", ""])
+    right = pd.Series(["a b c", "b a a", "p q", "words"])
+    cos = _cosine_batch(left, right)
+    assert np.allclose(cos[0], 1.0)
+    assert np.allclose(cos[1], 1.0)  # same multiset, different order
+    assert cos[2] == 0.0
+    assert cos[3] == 0.0
+
+
+def test_cosine_partial_overlap():
+    cos = _cosine_batch(pd.Series(["a b"]), pd.Series(["a c"]))
+    assert np.allclose(cos[0], 0.5)  # (1)/(sqrt2*sqrt2)
+
+
+def test_udf_scorer_end_to_end(spark):
+    df = spark.createDataFrame(
+        [
+            ("l1", "r1", "alpha beta gamma", "alpha beta gamma"),
+            ("l2", "r2", "alpha beta", "delta epsilon"),
+        ],
+        "left_id string, right_id string, left_txt string, right_txt string",
+    )
+    got = {r["left_id"]: r["prob"] for r in score_pairs(df).collect()}
+    assert abs(got["l1"] - 1.0) < 1e-9
+    assert got["l2"] == 0.0
+
+
+def test_builtin_jaccard(spark):
+    df = spark.createDataFrame(
+        [("l", "r", "a b c d", "a b c z")],
+        "left_id string, right_id string, left_txt string, right_txt string",
+    )
+    got = score_pairs_builtin(df).collect()[0]
+    assert abs(got["prob"] - 3 / 5) < 1e-9
+
+
+def test_threshold_strict(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 0.5), ("c", "d", 0.51)], "left_id string, right_id string, prob double"
+    )
+    got = {r["left_id"]: (r["match"], r["match_confidence"]) for r in apply_threshold(df, 0.5).collect()}
+    assert got["a"] == (0, 0.5)  # p == tau excluded (strict >)
+    assert got["c"][0] == 1 and abs(got["c"][1] - 0.51) < 1e-9
+
+
+def test_confusion_f1(spark):
+    rows = [(1, 1)] * 6 + [(1, 0)] * 2 + [(0, 1)] * 1 + [(0, 0)] * 5
+    df = spark.createDataFrame(rows, "match int, label int")
+    m = confusion_f1(df).collect()[0]
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (6, 2, 1, 5)
+    assert abs(m["f1"] - 2 * 6 / (12 + 2 + 1)) < 1e-9
+
+
+def test_threshold_sweep(spark):
+    # probs separable at 0.6: labels 1 have p >= .7, labels 0 have p <= .4
+    rows = [(0.7, 1), (0.9, 1), (0.8, 1), (0.4, 0), (0.2, 0), (0.3, 0)]
+    df = spark.createDataFrame(rows, "prob double, label int")
+    grid = threshold_grid_f1(df)
+    assert grid.count() == 20
+    tau = tune_threshold(df)
+    # any tau in [0.40, 0.65] gives F1=1.0; ties resolve to lowest
+    best = grid.orderBy(F.desc("f1"), F.asc("tau")).limit(1).collect()[0]
+    assert abs(best["f1"] - 1.0) < 1e-9
+    assert abs(tau - 0.40) < 1e-9
