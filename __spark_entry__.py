@@ -56,7 +56,8 @@ def _rare_shingle_pairs(docs: DataFrame, max_df: int = 50) -> DataFrame:
     rare = (
         sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfc")).where(F.col("dfc") <= max_df)
     )
-    f = sh.join(rare.select("s"), "s")
+    # rare-filtered shingles feed the size agg AND both join sides — persist
+    f = sh.join(rare.select("s"), "s").persist()
     sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     l = f.select(F.col("s"), F.col("doc_id").alias("left_id"))
     r = f.select(F.col("s"), F.col("doc_id").alias("right_id"))

@@ -68,19 +68,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles[]) → (id, sig: array<bigint> of length num_perm).
 
-    sig[i] = min_{s in shingles} xxhash64(s, seed_i). One explode + one
-    groupBy with num_perm min() aggregates (map-side combined), so the
-    shuffle carries num_perm longs per id — independent of document length.
+    sig[i] = min_{s in shingles} xxhash64(s, seed_i), computed as a pure
+    narrow projection (array_min over a per-seed hash transform) — ZERO
+    shuffle. An explode + groupBy(num_perm mins) computes the same values
+    but pays a 6.5M-row shuffle at sf0.1 (measured 20s vs 2s on local[32]);
+    at 10^12 turns the projection form keeps blocking's only shuffle the
+    band equi-join itself.
     """
-    exploded = df.select(id_col, F.explode(shingles_col).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed * 1_000_003 + i))).alias(f"h{i}")
+    def _perm_hash(i: int):
+        # NB: must be a ONE-arg lambda — a second parameter (even defaulted)
+        # makes pyspark treat it as the (element, index) binary form
+        seed_i = F.lit(seed * 1_000_003 + i)
+        return lambda s: F.xxhash64(s, seed_i)
+
+    mins = [
+        F.array_min(F.transform(F.col(shingles_col), _perm_hash(i)))
         for i in range(num_perm)
     ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
-    )
+    return df.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
 def lsh_bands(
@@ -185,16 +190,25 @@ def block_minhash_lsh(
     max_bucket: int = 200,
     threshold: float | None = None,
     top_k: int | None = None,
+    persist_sig: bool = True,
 ) -> DataFrame:
     """End-to-end blocking: serialized entities → candidate pairs with
     est_jaccard, optionally filtered by threshold (B2 analogue,
-    blocker.py:74-79) and/or top-k per right id (B3, blocker.py:67-72)."""
+    blocker.py:74-79) and/or top-k per right id (B3, blocker.py:67-72).
+
+    The signature stage is persisted by default: it feeds the band join,
+    the bucket-size histogram, AND both sides of the jaccard-estimate join —
+    without materialization the tokenize+shingle+hash projection re-executes
+    4× (measured 80s → 29s at sf0.1). At cluster scale this persist is the
+    `signatures` checkpoint table (north_rule lineage/resume)."""
     from pyspark.sql import Window
 
     assert num_bands * rows_per_band <= num_perm
     sig = minhash_signatures(
         shingle(tokenize(serialized, text_col), shingle_n), id_col, num_perm=num_perm
     )
+    if persist_sig:
+        sig = sig.persist()
     bands = lsh_bands(sig, id_col, num_bands, rows_per_band)
     pairs = candidates_from_bands(bands, id_col, max_bucket=max_bucket)
     pairs = estimated_jaccard(pairs, sig, id_col)

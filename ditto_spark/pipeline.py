@@ -57,7 +57,9 @@ class PipelineResult:
 
 def dedup_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     cfg = cfg or PipelineConfig()
-    serialized = serialize_conversations(transcripts)
+    # serialized feeds blocking, both sides of attach_pair_text, and the
+    # final cluster assignment — materialize once (checkpoint table at scale)
+    serialized = serialize_conversations(transcripts).persist()
     candidates = block_minhash_lsh(
         serialized,
         text_col="block_text",
