@@ -32,6 +32,11 @@ from ditto_spark.operators.evaluate import confusion_f1  # noqa: E402
 
 _STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "on", "for"]
 
+from ditto_spark.operators.textprep import (  # noqa: E402
+    SUMMARIZE_STOPWORDS,
+    LANG_STOPWORDS as LANG_STOPWORDS_SQL,
+)
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -291,7 +296,141 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TF-IDF summarization (summarize.py:63-114 semantics, relational
+    form): keep each doc's 16 rarest distinct tokens, original order."""
+    from ditto_spark.operators.textprep import (
+        token_document_frequency, tfidf_summarize,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = token_document_frequency(docs)
+    return tfidf_summarize(docs, idx, max_tokens=16)
+
+
+def _with_numeric_text(docs: DataFrame) -> DataFrame:
+    """documents text is plain words; append deterministic numeric tokens so
+    normalization has work to do (same construction in the SQL oracle)."""
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.col("n_chars").cast("string"),
+            F.format_string("%.4f", F.col("n_chars") / 7.0),
+            F.concat(F.lit("item"), (F.col("doc_id") * 1234567).cast("string")),
+        ).alias("text"),
+    )
+
+
+def q_normalize_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 number normalization (knowledge.py:91-105): %d / %.2f / ID-prefix."""
+    from ditto_spark.operators.textprep import normalize_numbers
+
+    docs = _with_numeric_text(_load(spark, sf_dir, "documents"))
+    return normalize_numbers(docs).select("doc_id", "normalized")
+
+
+def q_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ditto_spark.operators.textprep import detect_language
+
+    docs = _load(spark, sf_dir, "documents")
+    return detect_language(docs).select(
+        "doc_id", "detected_lang", F.col("lang_hits").cast("long").alias("lang_hits")
+    )
+
+
+def _event_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 500).alias("task"),
+        (F.col("user_id") % 7).alias("worker"),
+        (F.col("value") > 100.0).cast("int").alias("label"),
+    )
+
+
+def q_crowd_wawa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 Wawa crowd aggregation: workers weighted by agreement with the
+    majority, weighted re-vote."""
+    from ditto_spark.operators.crowd import wawa
+
+    return wawa(_event_votes(spark, sf_dir))
+
+
+def q_worker_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 worker pivot (crowd_independence.py:27-28): long → wide
+    (task × worker) vote matrix; max-agg for tie determinism."""
+    votes = _event_votes(spark, sf_dir)
+    wide = votes.groupBy("task").pivot("worker", list(range(7))).agg(F.max("label"))
+    return wide.select(
+        "task", *[F.col(str(w)).alias(f"w{w}") for w in range(7)]
+    )
+
+
 # ------------------------------------------- non-SQL (rows-only checked)
+
+
+def q_crowd_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 Dawid-Skene EM per dataset group (applyInPandas); iterative EM →
+    rows-only check (deterministic: fixed init + iteration count)."""
+    from ditto_spark.operators.crowd import dawid_skene
+
+    votes = _event_votes(spark, sf_dir).withColumn(
+        "dataset", (F.col("task") % 4).cast("string")
+    )
+    return dawid_skene(votes).select(
+        "dataset", "task", "crowd_label", F.round("p1", 6).alias("p1")
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup pairs (hamming ≤ 3, 4-band pigeonhole join);
+    xxhash64-based → rows-only check."""
+    from ditto_spark.operators.simhash import simhash_signatures, simhash_near_dup_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    return simhash_near_dup_pairs(sig, max_hamming=3, bands=4)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k cosine neighbors (scale path of
+    embedding_cosine_topk, which is the oracle-checked exact baseline)."""
+    from ditto_spark.operators.ann import cosine_topk_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return cosine_topk_lsh(
+        emb, dim=dim, k=5, n_planes=16, bands=8,
+        query_filter=F.col("query_id") % 25 == 0,
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+             F.col("rk").cast("long").alias("rk"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed. Threshold 0.45:
+    the synthetic embeddings are near-orthogonal random vectors (max pairwise
+    cos ≈ 0.51), so a production-style 0.9 would select nothing."""
+    from ditto_spark.operators.ann import embedding_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.45, bands=8).select(
+        "left_id", "right_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth binary payloads → mapInPandas feature
+    extraction (decode stubbed deterministically — no media libs here)."""
+    from ditto_spark.operators.multimodal import synthesize_media, extract_media_features
+
+    docs = _load(spark, sf_dir, "documents")
+    feats = extract_media_features(synthesize_media(docs))
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash-LSH candidate generation (xxhash64 banding)."""
@@ -360,6 +499,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
+        "tfidf_summarize": q_tfidf_summarize,
+        "normalize_numbers": q_normalize_numbers,
+        "detect_language": q_detect_language,
+        "crowd_wawa": q_crowd_wawa,
+        "worker_pivot": q_worker_pivot,
+        "crowd_dawid_skene": q_crowd_dawid_skene,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
     }
 
 
@@ -471,6 +620,111 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS crowd_label,
                    count(*) AS n_votes
             FROM events GROUP BY event_id % 500
+        """,
+        "tfidf_summarize": f"""
+            WITH tok AS (
+              SELECT doc_id, l[i] AS token, i AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                   unnest(generate_series(1, len(l))) u(i)
+              WHERE l[i] <> '' AND NOT list_contains({SUMMARIZE_STOPWORDS!r}, l[i])
+            ), dfreq AS (
+              SELECT token, count(DISTINCT doc_id) AS df_cnt FROM tok GROUP BY token
+            ), dtok AS (
+              SELECT DISTINCT t.doc_id, t.token, d.df_cnt
+              FROM tok t JOIN dfreq d USING (token)
+            ), kept AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id, token,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY df_cnt ASC, token ASC) AS rk
+                FROM dtok)
+              WHERE rk <= 16
+            )
+            SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS summary
+            FROM tok t JOIN kept k ON t.doc_id = k.doc_id AND t.token = k.token
+            GROUP BY t.doc_id
+        """,
+        "normalize_numbers": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' ' || CAST(n_chars AS VARCHAR) || ' '
+                          || printf('%.4f', n_chars / 7.0)
+                          || ' item' || CAST(doc_id * 1234567 AS VARCHAR) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                     list_filter(string_split(text, ' '), x -> x <> ''),
+                     x -> CASE
+                       WHEN regexp_matches(x, '^[0-9]+$')
+                         THEN CAST(CAST(x AS BIGINT) AS VARCHAR)
+                       WHEN regexp_matches(x, '^[0-9]+\\.[0-9]+$')
+                         THEN printf('%.2f', CAST(x AS DOUBLE))
+                       WHEN length(x) >= 7 AND regexp_matches(x, '[0-9]')
+                         THEN 'ID' || x
+                       ELSE x END), ' ') AS normalized
+            FROM t
+        """,
+        "detect_language": f"""
+            WITH c AS (
+              SELECT doc_id,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains({LANG_STOPWORDS_SQL['de']!r}, x))) AS hde,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains({LANG_STOPWORDS_SQL['en']!r}, x))) AS hen,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains({LANG_STOPWORDS_SQL['es']!r}, x))) AS hes,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains({LANG_STOPWORDS_SQL['fr']!r}, x))) AS hfr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN hde > 0 AND hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+                        WHEN hen > 0 AND hen >= hes AND hen >= hfr THEN 'en'
+                        WHEN hes > 0 AND hes >= hfr THEN 'es'
+                        WHEN hfr > 0 THEN 'fr'
+                        ELSE 'und' END AS detected_lang,
+                   greatest(hde, hen, hes, hfr, 0)::BIGINT AS lang_hits
+            FROM c
+        """,
+        "crowd_wawa": """
+            WITH votes AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            ), mv AS (
+              SELECT task, CASE WHEN avg(label) > 0.5 THEN 1 ELSE 0 END AS mlabel
+              FROM votes GROUP BY task
+            ), j AS (
+              SELECT v.task, v.worker, v.label, m.mlabel
+              FROM votes v JOIN mv m USING (task)
+            ), w AS (
+              SELECT worker,
+                     avg(CASE WHEN label = mlabel THEN 1.0 ELSE 0.0 END) AS wt
+              FROM j GROUP BY worker
+            )
+            SELECT j.task,
+                   CASE WHEN sum(w.wt * j.label) > 0.5 * sum(w.wt)
+                        THEN 1 ELSE 0 END AS crowd_label,
+                   count(*) AS n_votes
+            FROM j JOIN w USING (worker)
+            GROUP BY j.task
+        """,
+        "worker_pivot": """
+            WITH votes AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            )
+            SELECT task,
+                   max(CASE WHEN worker = 0 THEN label END) AS w0,
+                   max(CASE WHEN worker = 1 THEN label END) AS w1,
+                   max(CASE WHEN worker = 2 THEN label END) AS w2,
+                   max(CASE WHEN worker = 3 THEN label END) AS w3,
+                   max(CASE WHEN worker = 4 THEN label END) AS w4,
+                   max(CASE WHEN worker = 5 THEN label END) AS w5,
+                   max(CASE WHEN worker = 6 THEN label END) AS w6
+            FROM votes GROUP BY task
         """,
         "embedding_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -61,7 +61,9 @@ def main() -> None:
     # scorer → threshold → connected components) on the deterministic
     # synthetic corpus, sized by sf (sf0.1 → 20k base conversations,
     # ~57k entities after planted duplicates, ~500k turns).
-    n_base = max(int(200_000 * sf), 200)
+    n_base = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "0")) or max(
+        int(200_000 * sf), 200
+    )
     transcripts = generate_transcripts(
         spark, n_base=n_base, seed=42, hot_template_frac=0.02
     ).cache()

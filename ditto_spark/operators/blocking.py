@@ -131,12 +131,18 @@ def candidates_from_bands(
     ceil(size/max_bucket) cells by xxhash64(id); the join key becomes
     (band_idx, band_key, salt). Bounds the worst bucket's pair count at
     ~max_bucket²/2 per cell instead of size²/2.
+
+    Bucket sizes come from a count window over (band_idx, band_key) — ONE
+    shuffle, computed where the data lives. (A groupBy+broadcast-join of the
+    size table pulls ~|buckets| rows through the driver; measured to
+    serialize blocking at higher core counts.)
     """
-    sizes = bands_df.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_key")
     salted = (
-        bands_df.join(F.broadcast(sizes.where(F.col("bucket_n") > 1)), ["band_idx", "band_key"])
+        bands_df.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_n") > 1)
         .withColumn(
             "n_salts",
             F.ceil(F.col("bucket_n") / F.lit(max_bucket)).cast("int"),

@@ -4,17 +4,21 @@ Absent from the reference (its pipeline stops at pairwise decisions,
 /root/reference/matcher.py:156-160); required by BASELINE.json north_rule.
 Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
 (SoCC'14) — alternate large-star and small-star rounds until the edge set is
-stable; converges in O(log² n) rounds (O(log n) in practice), each round two
-shuffles (groupBy min + distinct). DataFrame-only; per-round
-localCheckpoint() cuts lineage so plans don't grow across iterations —
-at cluster scale this would be a persisted table per round (resume point).
+stable; converges in O(log² n) rounds (O(log n) in practice).
 
-  large-star(u): m = min({u} ∪ Γ(u)); emit (v, m) for v ∈ Γ(u), v > u
-  small-star(u): N = {v ∈ Γ(u) : v < u}; m = min(N ∪ {u});
-                 emit (v, m) for v ∈ N ∪ {u}, v ≠ m
+Implementation invariant: edges are kept oriented big→small (u > v).
+* The symmetric view needed by large-star is a plain union with the swapped
+  orientation — duplicate-free by construction, so NO distinct there.
+* Large-star emits (w, m) with w > m — which is exactly small-star's input
+  orientation, so the two stars chain with no re-symmetrize between them.
+Per round: 2 groupBys + 2 joins + 2 distincts, then an eager
+localCheckpoint to cut lineage (a persisted round table on a real cluster —
+the resume point) and one tiny (count, xor-hash) job for the convergence
+test. All driver work is O(1) per round.
 
-On convergence every edge points node → component-min; singletons are added
-back with cluster_id = self.
+  large-star(x): m = min(Γ(x) ∪ x); emit (w, m) for w ∈ Γ(x), w > x
+  small-star(x): N = {w ∈ Γ(x): w < x}; m = min(N); emit
+                 (w, m) for w ∈ N ∪ {x}, w ≠ m
 """
 
 from __future__ import annotations
@@ -24,10 +28,13 @@ import pyspark.sql.functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """edges must be the symmetric neighbor list (u, v), u != v."""
-    mins = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    """edges oriented (u, v), u > v. Returns (u, v) with u > v."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
-        edges.join(mins, "u")
+        sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -36,12 +43,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """edges oriented (u, v) with v < u (from large-star output)."""
-    nbrs = edges.where(F.col("v") < F.col("u"))
-    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
-    emit_n = (
-        nbrs.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    """edges oriented (u, v) with v < u (large-star output). Returns the
+    same orientation."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    emit_n = edges.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
     )
     emit_self = mins.select(F.col("u"), F.col("m").alias("v"))
     return (
@@ -61,35 +67,36 @@ def connected_components(
     cluster_id = min node id of the component. Nodes appearing only as
     singletons must be unioned in by the caller (see assign_clusters)."""
     e = pairs.select(
-        F.col(left_col).alias("u"), F.col(right_col).alias("v")
-    ).where(F.col("u") != F.col("v"))
-    # symmetric closure for the first large-star
-    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+        F.col(left_col).alias("a"), F.col(right_col).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    edges = (
+        e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     prev_sig = None
     for _ in range(max_iter):
-        ls = _large_star(edges)
-        # large-star emits (bigger → min); symmetrize for neighbor-list view
-        sym = ls.unionByName(
-            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        ss = _small_star(sym)
-        edges = ss.unionByName(
-            ss.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        edges = edges.localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sig_row = edges.select(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # overflow-free under ANSI
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
             break
         prev_sig = sig
-    # stable state: every node's min neighbor is its component representative
-    comp = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
-    return comp.select(F.col("u").alias("conv_id"), "cluster_id")
+    # stable state: stars rooted at the component minimum. Roots appear only
+    # on the v side (u > v invariant) — union their self-mapping back in.
+    comp = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("conv_id"), "cluster_id"
+    )
+    roots = edges.select(
+        F.col("v").alias("conv_id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return comp.unionByName(roots).dropDuplicates(["conv_id"])
 
 
 def assign_clusters(all_ids: DataFrame, pairs: DataFrame, id_col: str = "conv_id") -> DataFrame:

@@ -1,0 +1,130 @@
+"""A3/A4 — crowd label aggregation over (task, worker, label) votes.
+
+Reference: the fork aggregates ChatGPT-worker votes with MajorityVote /
+Wawa / Dawid-Skene / GLAD / EBCC / BWA via crowd-kit and custom solvers
+(/root/reference/analyze_gpt.py:153-187, /root/reference/ebcc.py:6-66,
+/root/reference/bwa.py:19-36); per-worker majority over repetitions at
+/root/reference/analyze_gpt.py:68-83.
+
+Spark-first tiers:
+* majority_vote — one groupBy (analyze_gpt.py:68-83 semantics: mean > 0.5).
+* wawa — Worker-Agreement-with-Aggregate: majority first, then workers
+  weighted by their agreement rate with the majority, then a weighted
+  re-vote. Two groupBys + one join — fully relational, DuckDB-oracle-able.
+* dawid_skene — per-worker confusion-matrix EM. The per-dataset vote matrix
+  is small (the reference collects it to numpy; analyze_gpt.py:155-166);
+  we run the EM *distributed per dataset group* with applyInPandas so a
+  thousand datasets EM in parallel, matching the reference's math:
+  fixed iteration count, majority-vote initialization, binary labels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def majority_vote(
+    votes: DataFrame,
+    task_col: str = "task",
+    label_col: str = "label",
+) -> DataFrame:
+    """(task, worker, label 0/1) → (task, crowd_label, n_votes); mean > 0.5
+    (analyze_gpt.py:68-83: strict >, ties → 0)."""
+    return votes.groupBy(task_col).agg(
+        (F.avg(label_col) > 0.5).cast("int").alias("crowd_label"),
+        F.count(F.lit(1)).alias("n_votes"),
+    )
+
+
+def wawa(
+    votes: DataFrame,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+) -> DataFrame:
+    """Worker-Agreement-with-Aggregate: weight each worker by agreement with
+    the plain majority, then weighted-majority re-vote (> 0.5 of weight)."""
+    mv = majority_vote(votes, task_col, label_col).select(task_col, "crowd_label")
+    joined = votes.join(mv, task_col)
+    weights = joined.groupBy(worker_col).agg(
+        F.avg((F.col(label_col) == F.col("crowd_label")).cast("double")).alias("w")
+    )
+    weighted = joined.join(weights, worker_col)
+    return weighted.groupBy(task_col).agg(
+        (
+            F.sum(F.col("w") * F.col(label_col)) > 0.5 * F.sum("w")
+        ).cast("int").alias("crowd_label"),
+        F.count(F.lit(1)).alias("n_votes"),
+    )
+
+
+DS_SCHEMA = "dataset string, task string, crowd_label int, p1 double"
+
+
+def dawid_skene(
+    votes: DataFrame,
+    dataset_col: str = "dataset",
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    n_iter: int = 20,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Binary Dawid-Skene EM, one independent EM per dataset group
+    (applyInPandas — groups run in parallel across executors; within a
+    group the matrix is small, as in the reference's driver-side solve)."""
+
+    def em(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf[dataset_col].iloc[0]
+        tasks, t_idx = np.unique(pdf[task_col].to_numpy(), return_inverse=True)
+        workers, w_idx = np.unique(pdf[worker_col].to_numpy(), return_inverse=True)
+        labels = pdf[label_col].to_numpy().astype(np.int64)
+        nt, nw = len(tasks), len(workers)
+        # init: per-task P(y=1) from vote mean
+        p1 = np.zeros(nt)
+        np.add.at(p1, t_idx, labels)
+        cnt = np.zeros(nt)
+        np.add.at(cnt, t_idx, 1)
+        p1 = p1 / np.maximum(cnt, 1)
+        for _ in range(n_iter):
+            # M: worker confusion rates. pi[w, y, l] = P(worker says l | y)
+            pi = np.full((nw, 2, 2), eps)
+            wgt1 = p1[t_idx]
+            wgt0 = 1.0 - wgt1
+            np.add.at(pi, (w_idx, 1, labels), wgt1)
+            np.add.at(pi, (w_idx, 0, labels), wgt0)
+            pi /= pi.sum(axis=2, keepdims=True)
+            prior1 = min(max(p1.mean(), eps), 1 - eps)
+            # E: per-task log-likelihoods
+            ll1 = np.full(nt, np.log(prior1))
+            ll0 = np.full(nt, np.log(1.0 - prior1))
+            np.add.at(ll1, t_idx, np.log(pi[w_idx, 1, labels]))
+            np.add.at(ll0, t_idx, np.log(pi[w_idx, 0, labels]))
+            m = np.maximum(ll1, ll0)
+            e1 = np.exp(ll1 - m)
+            e0 = np.exp(ll0 - m)
+            p1 = e1 / (e1 + e0)
+        return pd.DataFrame(
+            {
+                "dataset": np.full(nt, ds, dtype=object),
+                "task": tasks.astype(str),
+                "crowd_label": (p1 > 0.5).astype(np.int32),
+                "p1": p1,
+            }
+        )
+
+    return (
+        votes.select(
+            F.col(dataset_col).cast("string").alias(dataset_col),
+            F.col(task_col).cast("string").alias(task_col),
+            F.col(worker_col).cast("string").alias(worker_col),
+            F.col(label_col).cast("int").alias(label_col),
+        )
+        .groupBy(dataset_col)
+        .applyInPandas(em, schema=DS_SCHEMA)
+    )

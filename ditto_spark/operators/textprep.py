@@ -1,0 +1,161 @@
+"""P3/P4 + text-analysis operators: TF-IDF summarization, domain-knowledge
+number normalization, language identification.
+
+Reference semantics being re-expressed (adapted, Spark-first):
+
+* TF-IDF summarization — /root/reference/ditto_light/summarize.py:63-114:
+  keep only the highest-IDF tokens of each entry until a token budget,
+  preserving original token order; stopwords excluded (summarize.py:12);
+  IDF index built over the whole corpus (summarize.py:33-52). The reference
+  trims to LM-subword budget with a cached tokenizer (summarize.py:54-61) —
+  no HF tokenizer exists in this sandbox, so the budget is whitespace-token
+  count. Rarity rank is document frequency ascending with lexicographic
+  tie-break, making the operator purely relational (posexplode + DF join +
+  ranking window + re-concat) — whole-stage codegen, no Python, and exactly
+  expressible in ANSI SQL for the DuckDB oracle.
+
+* Number normalization — /root/reference/ditto_light/knowledge.py:91-105:
+  integer-looking tokens rendered '%d' (leading zeros dropped), decimal
+  tokens rendered '%.2f', and ≥7-char digit-bearing tokens prefixed 'ID'.
+  Regex-defined here (the reference uses float() parsing); pure
+  `transform()` over the token array — no shuffle at all.
+
+* Language ID — not in the reference (training-data-pipeline extension):
+  stopword-hit voting over small per-language function-word lists, argmax
+  with (hits desc, lang asc) tie-break, 'und' when nothing hits. Pure
+  higher-order-function projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+# reference stopword list (summarize.py:12) is nltk English; a fixed small
+# list keeps the oracle portable
+SUMMARIZE_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "on", "for",
+    "with", "as", "at", "by", "an", "be", "this", "that", "are", "or",
+]
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sie", "ich"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "pour", "que"],
+    "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+}
+
+
+def token_document_frequency(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus DF index (summarize.py:33-52 analogue): (token, df_cnt) with
+    df_cnt = number of documents containing the token. One explode + one
+    agg; count_distinct avoided by pre-distincting per doc (cheaper map-side
+    combine)."""
+    per_doc = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
+    ).where(F.col("token") != "")
+    return per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+
+
+def tfidf_summarize(
+    df: DataFrame,
+    df_index: DataFrame,
+    max_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "summary",
+) -> DataFrame:
+    """Keep each document's `max_tokens` rarest distinct tokens (df_cnt asc,
+    token asc), all occurrences, in original order; stopwords dropped.
+
+    Plan: posexplode → join DF index (broadcast when small — Catalyst
+    decides) → per-doc ranking window over the distinct token set →
+    semi-join positions back → ordered re-concat. Two shuffles, both keyed
+    by doc — at 100 TB the DF index join is the only wide join and the
+    index is orders of magnitude smaller than the corpus."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).where((F.col("token") != "") & ~F.col("token").isin(SUMMARIZE_STOPWORDS))
+    with_df = toks.join(df_index, "token", "left").withColumn(
+        "df_cnt", F.coalesce("df_cnt", F.lit(0))
+    )
+    distinct_tokens = with_df.groupBy(id_col, "token").agg(F.min("df_cnt").alias("df_cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_cnt"), F.asc("token"))
+    kept = (
+        distinct_tokens.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_tokens)
+        .select(id_col, "token")
+    )
+    kept_pos = with_df.join(kept, [id_col, "token"], "left_semi")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "token")))
+    return kept_pos.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["token"])).alias(out_col)
+    )
+
+
+def normalize_numbers(
+    df: DataFrame, text_col: str = "text", out_col: str = "normalized"
+) -> DataFrame:
+    """knowledge.py:91-105 semantics, regex-defined, zero-shuffle:
+    '^\\d+$' → canonical integer; '^\\d+\\.\\d+$' → %.2f; else if len≥7 and
+    contains a digit → 'ID'+token; else unchanged."""
+    def norm(t):
+        return (
+            F.when(t.rlike("^[0-9]+$"), t.cast("bigint").cast("string"))
+            .when(
+                t.rlike("^[0-9]+\\.[0-9]+$"),
+                F.format_string("%.2f", t.cast("double")),
+            )
+            .when(
+                (F.length(t) >= 7) & t.rlike("[0-9]"), F.concat(F.lit("ID"), t)
+            )
+            .otherwise(t)
+        )
+
+    return df.withColumn(
+        out_col,
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != ""), norm
+            ),
+        ),
+    )
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", out_col: str = "detected_lang"
+) -> DataFrame:
+    """Stopword-voting language ID: hits per language over the lowercased
+    token array; argmax (hits desc, lang asc); 'und' if all zero."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def _hits(ws: list[str]):
+        # one-arg closure — a defaulted second lambda param would make
+        # pyspark treat it as the (element, index) binary form
+        return lambda t: t.isin(*ws)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, _hits(ws))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    ]
+    # array_max on struct compares fields in order → (hits, lang); to get
+    # lang ASC on hit ties we order by (hits, reversed-lang) … simpler: sort
+    # descending by hits then pick first with min lang among ties via
+    # aggregate over the sorted array.
+    arr = F.array(*scores)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_hits", F.greatest(best["hits"], F.lit(0)))

@@ -71,8 +71,17 @@ def dedup_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None)
         threshold=cfg.lsh_prefilter,
     )
     with_text = attach_pair_text(candidates, serialized)
-    if cfg.repartition_pairs:
-        with_text = with_text.repartition(cfg.repartition_pairs)
+    # Repartition before the Python scorer: AQE coalesces the pair table to
+    # ~64MB partitions, which strands the Arrow UDF on a handful of Python
+    # workers (measured: local[32] SLOWER than local[8] at sf0.1). The UDF
+    # stage is CPU-bound per pair, not bytes-bound — spread it over the
+    # cluster's cores. On a real cluster this is also where pair-count-based
+    # sizing caps model memory per partition (SURVEY.md §7).
+    n_parts = cfg.repartition_pairs or 2 * int(
+        transcripts.sparkSession.sparkContext.defaultParallelism
+    )
+    if cfg.use_arrow_udf_scorer:
+        with_text = with_text.repartition(n_parts)
     if cfg.use_arrow_udf_scorer:
         scored = score_pairs(with_text)
     else:

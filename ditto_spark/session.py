@@ -52,10 +52,24 @@ def get_spark(
         # Arrow batch size bounds pair-scorer UDF memory (reference batches
         # 1024 pairs/batch, matcher.py:120); 2048 keeps batches model-sized.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("DITTO_SPARK_DRIVER_MEM", "16g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode runs everything in the driver JVM; a 16g heap left 32
+        # concurrent tasks GC-bound (blocking stage 2x slower). The sandbox
+        # has 128 GiB; on a real cluster this maps to executor memory.
+        .config("spark.driver.memory", os.environ.get("DITTO_SPARK_DRIVER_MEM", "64g"))
+        # Spark's default 10MB: a larger threshold made the planner broadcast
+        # the ~1M-row LSH band table in the self-join, serializing blocking
+        # through the driver (measured: local[32] slower than local[8]).
+        # Small dims that SHOULD broadcast carry explicit broadcast() hints.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # shuffle/spill files on tmpfs when available: the sandbox's /tmp is
+        # disk-backed and shuffle-file IO showed up as ~90% system time,
+        # flattening core-count scaling. A real cluster would use local NVMe.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

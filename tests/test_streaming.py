@@ -1,0 +1,89 @@
+"""Structured Streaming tests: file source → availableNow trigger → memory
+sink, asserting streaming results equal the batch operator on the same data."""
+
+import pyspark.sql.functions as F
+
+from ditto_spark.streaming.incremental import (
+    streaming_exact_dedup,
+    build_band_index,
+    streaming_lsh_candidates,
+    fingerprint_expr,
+)
+
+SCHEMA = "conv_id string, entity_text string, ts timestamp"
+
+
+def _write_batches(spark, path):
+    rows1 = [
+        ("a1", "alpha beta gamma delta", "2025-01-01 10:00:00"),
+        ("a2", "Alpha  beta gamma delta", "2025-01-01 10:01:00"),  # dup of a1 (normalized)
+        ("b1", "completely different text here", "2025-01-01 10:02:00"),
+    ]
+    rows2 = [
+        ("c1", "alpha beta gamma delta", "2025-01-01 10:03:00"),  # dup again
+        ("d1", "yet another fresh document body", "2025-01-01 10:04:00"),
+    ]
+    df1 = spark.createDataFrame(rows1, SCHEMA.replace("timestamp", "string")).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df2 = spark.createDataFrame(rows2, SCHEMA.replace("timestamp", "string")).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df1.write.mode("append").parquet(path)
+    df2.write.mode("append").parquet(path)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_sink").collect()
+    fps = [r["fingerprint"] for r in got]
+    assert len(fps) == len(set(fps))
+    # 3 distinct fingerprints among 5 rows
+    assert len(got) == 3
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [
+            ("k1", "the quick brown fox jumps over the lazy dog again and again"),
+            ("k2", "spark shuffle partitions broadcast join adaptive execution engine"),
+        ],
+        "conv_id string, entity_text string",
+    )
+    index = build_band_index(corpus).cache()
+    index.count()
+
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [
+            ("s1", "the quick brown fox jumps over the lazy dog again and again",
+             "2025-01-01 10:00:00"),
+            ("s2", "totally unrelated payload with nothing in common whatsoever",
+             "2025-01-01 10:01:00"),
+        ],
+        SCHEMA.replace("timestamp", "string"),
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    cands = streaming_lsh_candidates(stream, index, threshold=0.5)
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("cand_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["stream_id"], r["corpus_id"]) for r in spark.sql("select * from cand_sink").collect()}
+    assert got == {("s1", "k1")}

@@ -1,0 +1,89 @@
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.textprep import (
+    token_document_frequency,
+    tfidf_summarize,
+    normalize_numbers,
+    detect_language,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_document_frequency(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "b c"), (3, "c c d")])
+    got = {r["token"]: r["df_cnt"] for r in token_document_frequency(df).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_tfidf_summarize_keeps_rarest_in_order(spark):
+    # 'common' appears in all docs (df=3), rare tokens df=1
+    df = _docs(
+        spark,
+        [
+            (1, "common rare1 common rare2 rare3"),
+            (2, "common x1 x2"),
+            (3, "common y1"),
+        ],
+    )
+    idx = token_document_frequency(df)
+    out = {
+        r["doc_id"]: r["summary"]
+        for r in tfidf_summarize(df, idx, max_tokens=2).collect()
+    }
+    # doc1: rarest two by (df asc, token asc) = rare1, rare2; original order kept
+    assert out[1] == "rare1 rare2"
+    assert out[2] == "x1 x2"
+    assert out[3] == "common y1"  # only 2 distinct tokens → both kept
+
+
+def test_tfidf_summarize_drops_stopwords(spark):
+    df = _docs(spark, [(1, "the quick fox the lazy dog")])
+    idx = token_document_frequency(df)
+    out = tfidf_summarize(df, idx, max_tokens=10).collect()[0]["summary"]
+    assert "the" not in out.split()
+    assert out == "quick fox lazy dog"
+
+
+def test_tfidf_summarize_keeps_all_occurrences(spark):
+    df = _docs(spark, [(1, "z aa z b z"), (2, "b q")])
+    idx = token_document_frequency(df)
+    out = {
+        r["doc_id"]: r["summary"]
+        for r in tfidf_summarize(df, idx, max_tokens=1).collect()
+    }
+    # doc1 rarest token by (df, token): 'aa' (df=1) — kept; all 'z' dropped
+    assert out[1] == "aa"
+
+    df2 = _docs(spark, [(1, "z q z b z"), (2, "b y")])
+    idx2 = token_document_frequency(df2)
+    out2 = {
+        r["doc_id"]: r["summary"]
+        for r in tfidf_summarize(df2, idx2, max_tokens=1).collect()
+    }
+    # doc1 rarest = 'q'... tie df=1 among q,z → 'q' wins (token asc); but if
+    # the kept token is 'z' every occurrence must survive in order
+    assert out2[1] == "q"
+
+
+def test_normalize_numbers(spark):
+    df = _docs(spark, [(1, "price 007 is 3.14159 for sku12345 and x1")])
+    out = normalize_numbers(df).collect()[0]["normalized"]
+    # 007→7, 3.14159→3.14, sku12345 (len≥7, has digit)→ID-prefixed, x1 short → kept
+    assert out == "price 7 is 3.14 for IDsku12345 and x1"
+
+
+def test_detect_language(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht mit der katze"),
+            (3, "le chat est pour la maison et les oiseaux"),
+            (4, "zz qq ww"),
+        ],
+    )
+    out = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
