@@ -74,10 +74,11 @@ def run_bench(cores: int, sf_dir: str, n_base: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_base = int(os.environ.get("SPARK_GRAFT_SCALE_NBASE", "60000"))
-    lo, hi = 4, 16
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
     repeats = 2
 
-    cal = calibrate()
+    cal = calibrate(ns=(1, lo, hi, 32))
 
     def best(cores: int) -> dict:
         runs = [run_bench(cores, sf_dir, n_base) for _ in range(repeats)]
@@ -89,7 +90,14 @@ def main() -> None:
     t_lo = r_lo["queries"]["transcript_full_dedup"]
     t_hi = r_hi["queries"]["transcript_full_dedup"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # hardware-normalized: divide by the speedup the box itself can deliver
+    # between the two concurrency levels (pure-CPU calibration), isolating
+    # the JOB's scaling from SMT/steal ceilings of the VM
+    hw_ratio = cal[hi] / cal[lo] if cal.get(lo) and cal.get(hi) else float(hi) / lo
+    eff_norm = (t_lo / t_hi) / hw_ratio
     summary = {
+        "hw_speedup_available": round(hw_ratio, 2),
+        "eff_hw_normalized": round(eff_norm, 3),
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
         "unit": "fraction",
@@ -135,6 +143,10 @@ executor criterion.
 | {hi} | {t_hi} | {r_hi['candidate_pairs_per_sec']} |
 
 **Scaling efficiency (T_{lo}/T_{hi})/{hi//lo} = {eff:.3f}** (target ≥ 0.8 per BASELINE.json).
+**Hardware-normalized efficiency = {eff_norm:.3f}** — the pure-CPU calibration
+shows the box itself delivers only {hw_ratio:.2f}x between {lo} and {hi}
+concurrent processes, so {eff_norm:.3f} is the job's own scaling with the VM's
+SMT/steal ceiling factored out.
 
 ## Per-query wall seconds
 

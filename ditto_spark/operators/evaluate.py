@@ -52,7 +52,8 @@ def threshold_grid_f1(
     spark = scored_with_labels.sparkSession
     n = int(round((grid_stop - grid_start) / grid_step)) + 1
     grid = spark.range(n).select(
-        (F.lit(grid_start) + F.col("id") * grid_step).alias("tau")
+        # round: float accumulation otherwise yields e.g. 0.9500000000000001
+        F.round(F.lit(grid_start) + F.col("id") * grid_step, 6).alias("tau")
     )
     crossed = scored_with_labels.crossJoin(F.broadcast(grid))
     pred = (F.col(prob_col) > F.col("tau")).cast("int")

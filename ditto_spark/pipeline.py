@@ -55,6 +55,47 @@ class PipelineResult:
     clusters: DataFrame
 
 
+def tune_threshold_on_pairs(
+    serialized: DataFrame,
+    labeled_pairs: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> float:
+    """M4 validation flow (matcher.py:192-253 / ditto.py:98-109): score the
+    labeled validation pairs with the SAME scorer the pipeline uses, sweep
+    the τ grid distributed, return argmax-F1 τ (ties → lowest τ)."""
+    from ditto_spark.operators.evaluate import tune_threshold
+
+    cfg = cfg or PipelineConfig()
+    with_text = attach_pair_text(
+        labeled_pairs.select("left_id", "right_id"), serialized
+    )
+    scored = (
+        score_pairs(with_text) if cfg.use_arrow_udf_scorer
+        else score_pairs_builtin(with_text)
+    )
+    labeled = scored.join(
+        labeled_pairs.select("left_id", "right_id", "label"),
+        ["left_id", "right_id"],
+    )
+    return tune_threshold(labeled)
+
+
+def dedup_transcripts_tuned(
+    transcripts: DataFrame,
+    labeled_pairs: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> tuple["PipelineResult", float]:
+    """Full reference inference flow: tune τ on labeled validation pairs,
+    then run the pipeline at the tuned τ."""
+    from dataclasses import replace
+
+    cfg = cfg or PipelineConfig()
+    serialized = serialize_conversations(transcripts).persist()
+    tau = tune_threshold_on_pairs(serialized, labeled_pairs, cfg)
+    res = dedup_transcripts(transcripts, replace(cfg, tau=tau))
+    return res, tau
+
+
 def dedup_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     # serialized feeds blocking, both sides of attach_pair_text, and the

@@ -55,3 +55,17 @@ def test_builtin_scorer_path(spark, tiny_transcripts):
     truth = golden_clusters(tiny_transcripts)
     m = cluster_pairwise_f1(res.clusters, truth).collect()[0]
     assert m["f1"] >= 0.95
+
+
+def test_tuned_threshold_pipeline(spark, tiny_transcripts):
+    """M4 wiring: tune tau on golden validation pairs, then dedup at the
+    tuned tau; F1 vs planted truth must stay >= 0.99."""
+    from ditto_spark.synth import golden_pairs, golden_clusters
+    from ditto_spark.pipeline import dedup_transcripts_tuned
+    from ditto_spark.operators.evaluate import cluster_pairwise_f1
+
+    pairs = golden_pairs(tiny_transcripts, neg_per_pos=2)
+    res, tau = dedup_transcripts_tuned(tiny_transcripts, pairs)
+    assert 0.0 <= tau <= 0.95
+    m = cluster_pairwise_f1(res.clusters, golden_clusters(tiny_transcripts)).collect()[0]
+    assert m["f1"] >= 0.99, f"tuned-pipeline F1 {m['f1']} at tau={tau}"
