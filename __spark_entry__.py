@@ -1,11 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)    — flagship near-duplicate clustering on sf0.001 documents.
-queries()       — one entry per implemented operator (SURVEY.md §2 + the
-                  training-data-pipeline extensions).
-oracle_sql()    — DuckDB-equivalent ANSI SQL per query (omitted for
-                  genuinely non-SQL ops: MinHash-LSH banding, the Arrow-UDF
-                  scorer, iterative connected components → rows-only checks).
+queries()       — 26 entries, one per implemented operator (SURVEY.md §2 +
+                  the training-data-pipeline extensions; see COVERAGE.md).
+oracle_sql()    — DuckDB-equivalent ANSI SQL for 18 of them (omitted for
+                  genuinely non-SQL ops: xxhash-based MinHash/SimHash
+                  banding, the Arrow-UDF scorer, hyperplane LSH, iterative
+                  Dawid-Skene EM and connected components → rows-only).
 
 Column names/types are aligned between each Spark query and its oracle
 (driver hashes values after sorting columns by name).

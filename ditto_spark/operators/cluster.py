@@ -79,7 +79,9 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature collect below materializes it, so
+        # each round costs ONE driver-synchronized job instead of two
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig_row = edges.select(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
