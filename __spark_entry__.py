@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)    — flagship near-duplicate clustering on sf0.001 documents.
-queries()       — 26 entries, one per implemented operator (SURVEY.md §2 +
+queries()       — 27 entries, one per implemented operator (SURVEY.md §2 +
                   the training-data-pipeline extensions; see COVERAGE.md).
 oracle_sql()    — DuckDB-equivalent ANSI SQL for 18 of them (omitted for
                   genuinely non-SQL ops: xxhash-based MinHash/SimHash
@@ -384,6 +384,20 @@ def q_crowd_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crowd_bwa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 Bayesian Weighted Average (bwa.py:4-36 semantics) per dataset
+    group; iterative solve → rows-only check (deterministic)."""
+    from ditto_spark.operators.crowd import bwa
+
+    votes = _event_votes(spark, sf_dir).withColumn(
+        "dataset", (F.col("task") % 4).cast("string")
+    )
+    return bwa(votes).select(
+        "dataset", "task", "crowd_label",
+        F.round("z0", 6).alias("z0"), F.round("z1", 6).alias("z1"),
+    )
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit near-dup pairs (hamming ≤ 3, 4-band pigeonhole join);
     xxhash64-based → rows-only check."""
@@ -506,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_wawa": q_crowd_wawa,
         "worker_pivot": q_worker_pivot,
         "crowd_dawid_skene": q_crowd_dawid_skene,
+        "crowd_bwa": q_crowd_bwa,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,

@@ -128,3 +128,78 @@ def dawid_skene(
         .groupBy(dataset_col)
         .applyInPandas(em, schema=DS_SCHEMA)
     )
+
+
+BWA_SCHEMA = "dataset string, task string, crowd_label int, z0 double, z1 double"
+
+
+def bwa(
+    votes: DataFrame,
+    dataset_col: str = "dataset",
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    a_v: float = 15.0,
+    lambda_: float = 1.0,
+    prior_correction: bool = True,
+    max_iter: int = 500,
+) -> DataFrame:
+    """Bayesian Weighted Average crowd aggregation (reference semantics at
+    /root/reference/bwa.py:4-36, re-derived on dense numpy): per-class
+    one-vs-rest soft labels z_i refined against inverse-variance worker
+    weights v_j; crowd_label = argmax over the two class scores. One
+    independent solve per dataset group via applyInPandas (the reference is
+    a single-process scipy.sparse solve; groups parallelize across
+    executors here, each group's matrix stays worker-local)."""
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf[dataset_col].iloc[0]
+        tasks, t_idx = np.unique(pdf[task_col].to_numpy(), return_inverse=True)
+        workers, w_idx = np.unique(pdf[worker_col].to_numpy(), return_inverse=True)
+        labels = pdf[label_col].to_numpy().astype(np.int64)
+        ni, nw = len(tasks), len(workers)
+        exists = np.zeros((ni, nw))
+        exists[t_idx, w_idx] = 1.0
+        W_i = np.bincount(t_idx, minlength=ni).astype(np.float64)
+        n_labels = len(labels)
+        adj_coef = 4 * (1 - 1 / 2) if prior_correction else 1.0
+
+        def solve_class(k: int) -> np.ndarray:
+            y1 = np.zeros((ni, nw))
+            sel = labels == k
+            y1[t_idx[sel], w_idx[sel]] = 1.0
+            N_j = exists.sum(axis=0)
+            z = y1.sum(axis=1) / exists.sum(axis=1)
+            b_v = a_v * W_i.dot(z * (1 - z)) / n_labels * adj_coef
+            for _ in range(max_iter):
+                last = z.copy()
+                mu = z.mean()
+                resid = (exists * z[:, None] - y1) ** 2
+                v = (a_v + N_j) / (b_v + resid.sum(axis=0))
+                z = (lambda_ * mu + y1.dot(v)) / (lambda_ + exists.dot(v))
+                if np.allclose(last, z, rtol=1e-3):
+                    break
+            return z
+
+        z0 = solve_class(0)
+        z1 = solve_class(1)
+        return pd.DataFrame(
+            {
+                "dataset": np.full(ni, ds, dtype=object),
+                "task": tasks.astype(str),
+                "crowd_label": (z1 > z0).astype(np.int32),
+                "z0": z0,
+                "z1": z1,
+            }
+        )
+
+    return (
+        votes.select(
+            F.col(dataset_col).cast("string").alias(dataset_col),
+            F.col(task_col).cast("string").alias(task_col),
+            F.col(worker_col).cast("string").alias(worker_col),
+            F.col(label_col).cast("int").alias(label_col),
+        )
+        .groupBy(dataset_col)
+        .applyInPandas(solve, schema=BWA_SCHEMA)
+    )

@@ -58,3 +58,14 @@ def test_dawid_skene_multiple_datasets_parallel(spark):
     assert len(out) == 8
     ds = {r["dataset"] for r in out}
     assert ds == {"d1", "d2"}
+
+
+def test_bwa_recovers_truth(spark):
+    from ditto_spark.operators.crowd import bwa
+
+    votes, truth = _votes(spark)
+    out = bwa(votes).collect()
+    got = {r["task"]: r["crowd_label"] for r in out}
+    assert got == truth
+    for r in out:
+        assert 0.0 <= r["z1"] <= 1.0 + 1e-9
