@@ -94,7 +94,29 @@ def streaming_lsh_candidates(
     sig = minhash_signatures(
         shingle(tokenize(stream, text_col), shingle_n), id_col, num_perm=num_perm
     )
-    bands = lsh_bands(sig, id_col, num_bands, rows_per_band).join(sig, id_col)
+    # carry sig through banding inline: a lsh_bands(sig).join(sig) self-join
+    # trips "conflicting attributes" when a stateful operator sits upstream
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                    )
+                ).alias("band_key"),
+            ),
+        )
+    )
+    bands = sig.select(id_col, "sig", band.alias("b")).select(
+        id_col, "sig",
+        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
+    )
     joined = bands.join(band_index, ["band_idx", "band_key"]).where(
         F.col(id_col) != F.col("corpus_id")
     )
@@ -111,3 +133,93 @@ def streaming_lsh_candidates(
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization: raw turn stream → serialized conversations
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = "conv_id string, entity_text string, n_turns int"
+SESSION_STATE_SCHEMA = (
+    "turn_idx array<int>, role array<string>, text array<string>, "
+    "tool array<string>, max_ts_ms long"
+)
+
+
+def render_turns_pd(rows) -> str:
+    """COL/VAL rendering identical to operators.serialize.render_turn_expr
+    (matcher.py:52-58 semantics), applied to (turn_idx, role, text, tool)
+    tuples sorted by turn_idx — keeps streaming output byte-identical to the
+    batch serializer."""
+    parts = []
+    for _, role, text, tool in sorted(rows, key=lambda r: r[0]):
+        s = f"COL role VAL {role} COL text VAL {text}"
+        if tool is not None:
+            s += f" COL tool VAL {tool}"
+        parts.append(s)
+    return " ".join(parts)
+
+
+def streaming_sessionize_serialize(
+    turns_stream,
+    watermark: str = "10 minutes",
+    gap_ms: int = 60_000,
+):
+    """Custom stateful operator (applyInPandasWithState): turns arrive
+    incrementally keyed by conv_id; state buffers the turns; when the event-
+    time watermark passes the conversation's last-seen ts + gap_ms, the
+    conversation is complete → emit its serialized COL/VAL entity string and
+    drop the state.
+
+    This is the streaming form of operators.serialize (the reference has no
+    streaming at all — transcripts as they are produced are the natural
+    input shape at 10^12-turn scale). Downstream, emitted entities feed
+    streaming_lsh_candidates against the corpus band index.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assemble(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            turn_idx, role, text, tool, _ = state.get
+            rows = list(zip(turn_idx, role, text, tool))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "entity_text": [render_turns_pd(rows)],
+                    "n_turns": [len(rows)],
+                }
+            )
+            return
+        ti, ro, te, to = [], [], [], []
+        max_ts_ms = 0
+        if state.exists:
+            ti, ro, te, to, max_ts_ms = state.get
+            ti, ro, te, to = list(ti), list(ro), list(te), list(to)
+        for pdf in pdfs:
+            ti.extend(int(x) for x in pdf["turn_idx"])
+            ro.extend(pdf["role"])
+            te.extend(pdf["text"])
+            to.extend(None if pd.isna(x) else x for x in pdf["tool"])
+            max_ts_ms = max(
+                max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
+            )
+        state.update((ti, ro, te, to, max_ts_ms))
+        state.setTimeoutTimestamp(max_ts_ms + gap_ms)
+        yield pd.DataFrame(
+            {"conv_id": [], "entity_text": [], "n_turns": []}
+        )
+
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

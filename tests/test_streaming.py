@@ -87,3 +87,41 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["stream_id"], r["corpus_id"]) for r in spark.sql("select * from cand_sink").collect()}
     assert got == {("s1", "k1")}
+
+
+def test_stateful_sessionize_matches_batch_serializer(spark, tmp_path):
+    """applyInPandasWithState sessionizer: conv A's turns arrive in batch 1;
+    batch 2 carries much-later events that push the watermark past A's
+    session gap → A emits, byte-identical to the batch serializer."""
+    from ditto_spark.operators.serialize import serialize_conversations
+    from ditto_spark.streaming.incremental import streaming_sessionize_serialize
+
+    schema_str = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    a_turns = [
+        ("A", 1, "assistant", "beta reply", "bash", "2025-01-01 10:00:30"),
+        ("A", 0, "user", "alpha question", None, "2025-01-01 10:00:00"),
+        ("A", 2, "user", "gamma follow-up", None, "2025-01-01 10:01:00"),
+    ]
+    late = [("Z", 0, "user", "much later turn", None, "2025-01-01 12:00:00")]
+
+    src = str(tmp_path / "turns")
+    mk = lambda rows: (  # noqa: E731
+        spark.createDataFrame(rows, schema_str).withColumn("ts", F.to_timestamp("ts"))
+    )
+    mk(a_turns).write.mode("append").parquet(src)
+    mk(late).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_sessionize_serialize(stream, watermark="1 minutes", gap_ms=60_000)
+    q = (
+        out.writeStream.format("memory").queryName("sess_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r["conv_id"]: r for r in spark.sql("select * from sess_sink").collect()}
+    assert "A" in got, f"conversation A not emitted: {got}"
+    batch = serialize_conversations(mk(a_turns)).collect()[0]
+    assert got["A"]["entity_text"] == batch["entity_text"]
+    assert got["A"]["n_turns"] == 3
