@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Run the reference's OWN evaluation protocol on its OWN labeled datasets.
+
+Consumes the ER-Magellan pair TSVs shipped inside the reference repo
+(pre-serialized COL/VAL entries, `left\\tright\\tlabel` — the exact files
+Ditto's matcher trains/evaluates on, /root/reference/data/er_magellan/...),
+through our pipeline's components:
+
+  read_pairs_tsv (S1) → pairwise scorer (Arrow-UDF cosine surrogate or
+  pure-JVM Jaccard) → τ tuned on valid via the distributed grid sweep
+  (M4, strict p > τ, argmax F1, ties → lowest τ) → confusion F1 on test
+  (A1, f1.py:9-19 semantics).
+
+The sandbox has no torch/transformers, so the scorer is the deterministic
+lexical surrogate — the point is protocol parity (same files, same
+tune-then-test flow, same metric), not matching the fine-tuned LM's F1;
+`cross_encoder_scorer_factory` drops into the same slot when weights exist.
+Prints one JSON line per dataset plus a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/data/er_magellan"
+
+# reference's 5-run-mean fine-tuned-LM F1s (old_misc/
+# ditto_results_summary_cleaned.csv) for context in the output table
+REFERENCE_LM_F1 = {
+    "Structured/Beer": 0.7928,
+    "Structured/Fodors-Zagats": 0.9867,
+    "Structured/iTunes-Amazon": 0.9495,
+    "Structured/DBLP-ACM": 0.9861,
+    "Structured/DBLP-GoogleScholar": 0.9533,
+    "Structured/Amazon-Google": 0.7466,
+    "Structured/Walmart-Amazon": 0.8244,
+}
+
+
+def evaluate_dataset(spark, name: str, use_arrow_udf: bool = True) -> dict:
+    import pyspark.sql.functions as F
+    from ditto_spark.sources import read_pairs_tsv
+    from ditto_spark.operators.scoring import score_pairs, score_pairs_builtin, apply_threshold
+    from ditto_spark.operators.evaluate import tune_threshold, confusion_f1
+
+    def load(split: str):
+        df = read_pairs_tsv(spark, f"{REF}/{name}/{split}.txt")
+        # scorer contract wants ids; the TSVs are positional
+        return df.withColumn("left_id", F.monotonically_increasing_id().cast("string")) \
+                 .withColumn("right_id", F.concat(F.lit("r"), F.monotonically_increasing_id().cast("string")))
+
+    def score(df):
+        if use_arrow_udf:
+            scored = score_pairs(df)
+        else:
+            scored = score_pairs_builtin(df)
+        return scored.join(
+            df.select("left_id", "right_id", "label"), ["left_id", "right_id"]
+        )
+
+    valid = score(load("valid")).persist()
+    tau = tune_threshold(valid)
+    test = score(load("test"))
+    decided = apply_threshold(test, tau)
+    m = confusion_f1(decided).collect()[0]
+    valid.unpersist()
+    return {
+        "dataset": name,
+        "tau": tau,
+        "f1": round(m["f1"], 4),
+        "precision": round(m["precision"], 4),
+        "recall": round(m["recall"], 4),
+        "tp": m["tp"], "fp": m["fp"], "fn": m["fn"], "tn": m["tn"],
+        "reference_lm_f1": REFERENCE_LM_F1.get(name),
+    }
+
+
+def main() -> None:
+    from ditto_spark.session import get_spark
+
+    spark = get_spark("reference_eval")
+    datasets = [
+        d for d in sorted(REFERENCE_LM_F1)
+        if os.path.exists(f"{REF}/{d}/valid.txt")
+    ]
+    results = []
+    for name in datasets:
+        r = evaluate_dataset(spark, name)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    print("\n| dataset | surrogate F1 | tuned tau | reference LM F1 |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(f"| {r['dataset']} | {r['f1']} | {r['tau']:.2f} | {r['reference_lm_f1']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

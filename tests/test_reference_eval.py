@@ -1,0 +1,33 @@
+"""Protocol parity on the reference's OWN labeled datasets: read its
+ER-Magellan pair TSVs, tune τ on its valid split, score its test split,
+confusion F1 — the tune-then-test flow of matcher.py:192-253. Floors are
+set under measured surrogate values (the LM scorer slot needs torch,
+absent here); skipped if the reference data dir is absent."""
+
+import os
+
+import pytest
+
+REF = "/root/reference/data/er_magellan"
+
+CASES = [
+    # (dataset, measured surrogate F1, floor with safety margin)
+    ("Structured/DBLP-ACM", 0.8875, 0.82),
+    ("Structured/Beer", 0.65, 0.55),
+    ("Structured/Fodors-Zagats", 0.8571, 0.78),
+]
+
+
+@pytest.mark.parametrize("name,measured,floor", CASES)
+def test_reference_dataset_f1_floor(spark, name, measured, floor):
+    if not os.path.exists(f"{REF}/{name}/valid.txt"):
+        pytest.skip("reference data not available")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.run_reference_eval import evaluate_dataset
+
+    r = evaluate_dataset(spark, name, use_arrow_udf=False)
+    assert r["f1"] >= floor, r
+    # strict-> threshold semantics sanity: tau from the ditto grid
+    assert 0.0 <= r["tau"] <= 0.95
