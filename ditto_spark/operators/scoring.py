@@ -51,12 +51,19 @@ def _token_lists(s: pd.Series) -> pd.Series:
     return s.str.lower().str.split()
 
 
-def _cosine_batch(left: pd.Series, right: pd.Series) -> np.ndarray:
+def _cosine_batch(
+    left: pd.Series,
+    right: pd.Series,
+    idf: dict[str, float] | None = None,
+    default_idf: float = 1.0,
+) -> np.ndarray:
     """Vectorized token-count cosine for one Arrow batch.
 
     Factorizes all tokens in the batch to int codes (C-level), builds
     (row, code, count) triples with numpy, and computes the sparse dot
     product per pair via a sorted merge — no per-row Python functions.
+    With `idf`, token counts are scaled by the given per-token weight
+    (TF-IDF cosine); weights must be corpus-derived for determinism.
     """
     n = len(left)
     if n == 0:
@@ -66,7 +73,14 @@ def _cosine_batch(left: pd.Series, right: pd.Series) -> np.ndarray:
     l_lens = np.fromiter(map(len, lt), dtype=np.int64, count=n)
     r_lens = np.fromiter(map(len, rt), dtype=np.int64, count=n)
     flat = np.concatenate([x for x in lt] + [x for x in rt]) if (l_lens.sum() + r_lens.sum()) else np.array([], dtype=object)
-    codes, _ = pd.factorize(flat)
+    codes, uniques = pd.factorize(flat)
+    if idf is not None:
+        wvec = np.fromiter(
+            (idf.get(t, default_idf) for t in uniques), dtype=np.float64,
+            count=len(uniques),
+        )
+    else:
+        wvec = None
     row_ids = np.repeat(
         np.concatenate([np.arange(n), np.arange(n)]),
         np.concatenate([l_lens, r_lens]),
@@ -83,8 +97,11 @@ def _cosine_batch(left: pd.Series, right: pd.Series) -> np.ndarray:
     starts = np.flatnonzero(new_group)
     counts = np.diff(np.append(starts, len(r_)))
     gr, gs, gc = r_[starts], s_[starts], c_[starts]
+    wcounts = counts.astype(np.float64)
+    if wvec is not None:
+        wcounts = wcounts * wvec[gc]
     # norms per (row, side)
-    sq = counts.astype(np.float64) ** 2
+    sq = wcounts ** 2
     l_norm = np.zeros(n)
     r_norm = np.zeros(n)
     np.add.at(l_norm, gr[gs == 0], sq[gs == 0])
@@ -92,10 +109,10 @@ def _cosine_batch(left: pd.Series, right: pd.Series) -> np.ndarray:
     # dot product: group keys sorted by (row, side, code); within a row,
     # match codes across sides via a second lexsort on (row, code)
     o2 = np.lexsort((gs, gc, gr))
-    r2, s2, c2, cnt2 = gr[o2], gs[o2], gc[o2], counts[o2]
+    r2, s2, c2, cnt2 = gr[o2], gs[o2], gc[o2], wcounts[o2]
     same = (r2[1:] == r2[:-1]) & (c2[1:] == c2[:-1]) & (s2[1:] != s2[:-1])
     dots = np.zeros(n)
-    np.add.at(dots, r2[1:][same], (cnt2[1:][same] * cnt2[:-1][same]).astype(np.float64))
+    np.add.at(dots, r2[1:][same], cnt2[1:][same] * cnt2[:-1][same])
     denom = np.sqrt(l_norm) * np.sqrt(r_norm)
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.where(denom > 0, dots / denom, 0.0)
@@ -105,6 +122,45 @@ def _cosine_batch(left: pd.Series, right: pd.Series) -> np.ndarray:
 def surrogate_scorer_factory() -> Callable[[pd.Series, pd.Series], np.ndarray]:
     """Deterministic scorer: token-count cosine in [0,1]."""
     return _cosine_batch
+
+
+def idf_weighted_scorer_factory(
+    idf: dict[str, float], default_idf: float = 1.0
+) -> Callable[[], Callable[[pd.Series, pd.Series], np.ndarray]]:
+    """TF-IDF cosine surrogate: token weights derived from a CORPUS-level
+    document-frequency table (deterministic under any partitioning — a
+    batch-local IDF would vary with Arrow batch boundaries). The dict is
+    closure-captured and shipped once per task like the reference's
+    summarizer IDF index (summarize.py:33-52)."""
+
+    def factory() -> Callable[[pd.Series, pd.Series], np.ndarray]:
+        return lambda l, r: _cosine_batch(l, r, idf=idf, default_idf=default_idf)
+
+    return factory
+
+
+def build_idf_dict(
+    texts, text_col: str = "txt", doc_count: int | None = None
+) -> dict[str, float]:
+    """(doc-distinct) texts DataFrame → {token: log(1 + N/df)} on the
+    driver. Intended for modest vocabularies (labeled eval sets); at corpus
+    scale the TF-IDF summarizer's DataFrame-side index is the tool."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    toks = texts.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda t: t != "")
+            )
+        ).alias("token")
+    )
+    df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n = doc_count or texts.count()
+    return {
+        r["token"]: math.log(1.0 + n / r["df_cnt"]) for r in df_counts.collect()
+    }
 
 
 def cross_encoder_scorer_factory(

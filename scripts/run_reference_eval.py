@@ -41,30 +41,71 @@ REFERENCE_LM_F1 = {
 }
 
 
-def evaluate_dataset(spark, name: str, use_arrow_udf: bool = True) -> dict:
+REF_WDC = "/root/reference/data/wdc"
+
+# reference F1 for wdc xlarge configs (ditto_results_summary_cleaned.csv);
+# we evaluate with the small valid split + the shared test split
+REFERENCE_LM_F1_WDC = {
+    "cameras": 0.9424,
+    "computers": 0.9524,
+    "shoes": 0.9041,
+    "watches": 0.9489,
+}
+
+
+def evaluate_dataset(
+    spark, name: str, use_arrow_udf: bool = True, use_idf: bool = True
+) -> dict:
     import pyspark.sql.functions as F
     from ditto_spark.sources import read_pairs_tsv
-    from ditto_spark.operators.scoring import score_pairs, score_pairs_builtin, apply_threshold
+    from ditto_spark.operators.scoring import (
+        score_pairs, score_pairs_builtin, apply_threshold,
+        build_idf_dict, idf_weighted_scorer_factory,
+    )
     from ditto_spark.operators.evaluate import tune_threshold, confusion_f1
 
     def load(split: str):
-        df = read_pairs_tsv(spark, f"{REF}/{name}/{split}.txt")
+        if name.startswith("wdc/"):
+            cat = name.split("/", 1)[1]
+            path = (
+                f"{REF_WDC}/{cat}/test.txt" if split == "test"
+                else f"{REF_WDC}/{cat}/valid.txt.small"
+            )
+        else:
+            path = f"{REF}/{name}/{split}.txt"
+        df = read_pairs_tsv(spark, path)
         # scorer contract wants ids; the TSVs are positional
         return df.withColumn("left_id", F.monotonically_increasing_id().cast("string")) \
                  .withColumn("right_id", F.concat(F.lit("r"), F.monotonically_increasing_id().cast("string")))
 
+    valid_raw = load("valid").persist()
+    test_raw = load("test").persist()
+
+    factory = None
+    if use_arrow_udf and use_idf:
+        # corpus IDF over the distinct entity texts of both splits — the
+        # surrogate analogue of the reference's summarizer index
+        texts = (
+            valid_raw.select(F.col("left_txt").alias("txt"))
+            .unionByName(valid_raw.select(F.col("right_txt").alias("txt")))
+            .unionByName(test_raw.select(F.col("left_txt").alias("txt")))
+            .unionByName(test_raw.select(F.col("right_txt").alias("txt")))
+            .distinct()
+        )
+        factory = idf_weighted_scorer_factory(build_idf_dict(texts))
+
     def score(df):
         if use_arrow_udf:
-            scored = score_pairs(df)
+            scored = score_pairs(df, scorer_factory=factory)
         else:
             scored = score_pairs_builtin(df)
         return scored.join(
             df.select("left_id", "right_id", "label"), ["left_id", "right_id"]
         )
 
-    valid = score(load("valid")).persist()
+    valid = score(valid_raw).persist()
     tau = tune_threshold(valid)
-    test = score(load("test"))
+    test = score(test_raw)
     decided = apply_threshold(test, tau)
     m = confusion_f1(decided).collect()[0]
     valid.unpersist()
@@ -75,7 +116,8 @@ def evaluate_dataset(spark, name: str, use_arrow_udf: bool = True) -> dict:
         "precision": round(m["precision"], 4),
         "recall": round(m["recall"], 4),
         "tp": m["tp"], "fp": m["fp"], "fn": m["fn"], "tn": m["tn"],
-        "reference_lm_f1": REFERENCE_LM_F1.get(name),
+        "reference_lm_f1": REFERENCE_LM_F1.get(name)
+        or REFERENCE_LM_F1_WDC.get(name.split("/", 1)[-1]),
     }
 
 
@@ -86,6 +128,9 @@ def main() -> None:
     datasets = [
         d for d in sorted(REFERENCE_LM_F1)
         if os.path.exists(f"{REF}/{d}/valid.txt")
+    ] + [
+        f"wdc/{c}" for c in sorted(REFERENCE_LM_F1_WDC)
+        if os.path.exists(f"{REF_WDC}/{c}/test.txt")
     ]
     results = []
     for name in datasets:

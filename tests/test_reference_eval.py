@@ -31,3 +31,17 @@ def test_reference_dataset_f1_floor(spark, name, measured, floor):
     assert r["f1"] >= floor, r
     # strict-> threshold semantics sanity: tau from the ditto grid
     assert 0.0 <= r["tau"] <= 0.95
+
+
+def test_reference_beer_idf_surrogate_beats_plain(spark):
+    """IDF-weighted cosine (Arrow UDF path) on Beer: measured 0.8387 —
+    above the reference LM's 0.7928; floor leaves margin."""
+    if not os.path.exists(f"{REF}/Structured/Beer/valid.txt"):
+        pytest.skip("reference data not available")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.run_reference_eval import evaluate_dataset
+
+    r = evaluate_dataset(spark, "Structured/Beer", use_arrow_udf=True, use_idf=True)
+    assert r["f1"] >= 0.75, r
