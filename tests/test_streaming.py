@@ -45,7 +45,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     got = spark.sql("select * from dedup_sink").collect()
     fps = [r["fingerprint"] for r in got]
     assert len(fps) == len(set(fps))
@@ -84,7 +84,7 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     got = {(r["stream_id"], r["corpus_id"]) for r in spark.sql("select * from cand_sink").collect()}
     assert got == {("s1", "k1")}
 
@@ -119,7 +119,7 @@ def test_stateful_sessionize_matches_batch_serializer(spark, tmp_path):
         out.writeStream.format("memory").queryName("sess_sink")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(300)
     got = {r["conv_id"]: r for r in spark.sql("select * from sess_sink").collect()}
     assert "A" in got, f"conversation A not emitted: {got}"
     batch = serialize_conversations(mk(a_turns)).collect()[0]
