@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)    — flagship near-duplicate clustering on sf0.001 documents.
-queries()       — 27 entries, one per implemented operator (SURVEY.md §2 +
+queries()       — 28 entries, one per implemented operator (SURVEY.md §2 +
                   the training-data-pipeline extensions; see COVERAGE.md).
 oracle_sql()    — DuckDB-equivalent ANSI SQL for 18 of them (omitted for
                   genuinely non-SQL ops: xxhash-based MinHash/SimHash
@@ -398,6 +398,20 @@ def q_crowd_bwa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crowd_ebcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 EBCC variational Bayes (ebcc.py:6-66 semantics, numpy-only
+    digamma/gammaln) with max-ELBO restart selection; rows-only
+    (deterministic: seeded restarts)."""
+    from ditto_spark.operators.crowd import ebcc
+
+    votes = _event_votes(spark, sf_dir).withColumn(
+        "dataset", (F.col("task") % 4).cast("string")
+    )
+    return ebcc(votes, n_restarts=3).select(
+        "dataset", "task", "crowd_label", F.round("p1", 6).alias("p1")
+    )
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit near-dup pairs (hamming ≤ 3, 4-band pigeonhole join);
     xxhash64-based → rows-only check."""
@@ -521,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worker_pivot": q_worker_pivot,
         "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
+        "crowd_ebcc": q_crowd_ebcc,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,

@@ -203,3 +203,168 @@ def bwa(
         .groupBy(dataset_col)
         .applyInPandas(solve, schema=BWA_SCHEMA)
     )
+
+
+# --------------------------------------------------------------------------
+# EBCC — Enhanced Bayesian Classifier Combination (variational Bayes)
+# --------------------------------------------------------------------------
+
+def _gammaln(x: np.ndarray) -> np.ndarray:
+    """log Γ via Stirling series with recurrence for small arguments
+    (numpy-only; scipy is not installed in this container)."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    # push arguments above 8 with lnΓ(x) = lnΓ(x+n) − Σ ln(x+k)
+    shift = np.zeros_like(x)
+    xs = x.copy()
+    for _ in range(8):
+        small = xs < 8.0
+        if not small.any():
+            break
+        shift[small] += np.log(xs[small])
+        xs[small] += 1.0
+    inv = 1.0 / xs
+    inv2 = inv * inv
+    series = inv / 12.0 - inv * inv2 / 360.0 + inv * inv2 * inv2 / 1260.0
+    out = (xs - 0.5) * np.log(xs) - xs + 0.5 * np.log(2 * np.pi) + series
+    return out - shift
+
+
+def _digamma(x: np.ndarray) -> np.ndarray:
+    """ψ(x) via recurrence + asymptotic expansion (numpy-only)."""
+    x = np.asarray(x, dtype=np.float64)
+    shift = np.zeros_like(x)
+    xs = x.copy()
+    for _ in range(8):
+        small = xs < 6.0
+        if not small.any():
+            break
+        shift[small] += 1.0 / xs[small]
+        xs[small] += 1.0
+    inv = 1.0 / xs
+    inv2 = inv * inv
+    return (
+        np.log(xs) - 0.5 * inv - inv2 / 12.0 + inv2 * inv2 / 120.0
+        - inv2 * inv2 * inv2 / 252.0
+    ) - shift
+
+
+def _dirichlet_entropy(alpha: np.ndarray) -> float:
+    a0 = alpha.sum()
+    logB = _gammaln(alpha).sum() - _gammaln(np.array(a0))
+    k = len(alpha)
+    return float(
+        logB + (a0 - k) * _digamma(np.array(a0)) - ((alpha - 1) * _digamma(alpha)).sum()
+    )
+
+
+def _ebcc_vb_once(t_idx, w_idx, labels, ni, nw, nc, num_groups, a_pi, alpha,
+                  a_v, b_v, seed, max_iter):
+    """One VB run (reference math at /root/reference/ebcc.py:6-66,
+    re-derived dense): subtype-group mixture over worker confusion
+    Dirichlets; returns (z_ik, ELBO)."""
+    y1 = np.zeros((nc, ni, nw))
+    for k in range(nc):
+        sel = labels == k
+        y1[k, t_idx[sel], w_idx[sel]] = 1.0
+    beta_kl = np.eye(nc) * (a_v - b_v) + b_v
+
+    z_ik = y1.sum(axis=2).T  # (ni, nc)
+    z_ik = z_ik / z_ik.sum(axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    zg = rng.dirichlet(np.ones(num_groups), z_ik.shape) * z_ik[:, :, None]
+
+    eta_km = nu_k = mu = Eq_pi = Eq_tau = Eq_v = None
+    for _ in range(max_iter):
+        eta_km = a_pi / num_groups + zg.sum(axis=0)          # (nc, ng)
+        nu_k = alpha + z_ik.sum(axis=0)                       # (nc,)
+        mu = np.tile(beta_kl[None, :, None, :], (nw, 1, num_groups, 1)).astype(np.float64)
+        for l in range(nc):
+            for k in range(nc):
+                mu[:, k, :, l] += y1[l].T.dot(zg[:, k, :])
+        Eq_pi = _digamma(eta_km) - _digamma(eta_km.sum(axis=-1, keepdims=True))
+        Eq_tau = _digamma(nu_k) - _digamma(np.array(nu_k.sum()))
+        Eq_v = _digamma(mu) - _digamma(mu.sum(axis=-1, keepdims=True))
+
+        zg_new = Eq_pi[None, :, :] + Eq_tau[None, :, None]
+        zg_new = np.tile(zg_new, (ni, 1, 1)).astype(np.float64)
+        for l in range(nc):
+            for k in range(nc):
+                zg_new[:, k, :] += y1[l].dot(Eq_v[:, k, :, l])
+        zg_new -= zg_new.reshape(ni, -1).max(axis=1)[:, None, None]
+        zg = np.exp(zg_new)
+        zg /= zg.reshape(ni, -1).sum(axis=1)[:, None, None]
+
+        last = z_ik
+        z_ik = zg.sum(axis=-1)
+        if np.allclose(last, z_ik, atol=1e-3):
+            break
+
+    elbo = ((eta_km - 1) * Eq_pi).sum() + ((nu_k - 1) * Eq_tau).sum()
+    elbo += ((mu - 1) * Eq_v).sum()
+    elbo += _dirichlet_entropy(nu_k)
+    for k in range(nc):
+        elbo += _dirichlet_entropy(eta_km[k])
+    elbo += (_gammaln(mu) - (mu - 1) * _digamma(mu)).sum()
+    a0 = mu.sum(axis=-1)
+    elbo += ((a0 - nc) * _digamma(a0) - _gammaln(a0)).sum()
+    p = zg.reshape(ni, -1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        elbo += float(-(p * np.where(p > 0, np.log(p), 0.0)).sum())
+    return z_ik, float(elbo)
+
+
+EBCC_SCHEMA = "dataset string, task string, crowd_label int, p1 double"
+
+
+def ebcc(
+    votes: DataFrame,
+    dataset_col: str = "dataset",
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    num_groups: int = 10,
+    n_restarts: int = 5,
+    seed: int = 1234,
+    max_iter: int = 500,
+) -> DataFrame:
+    """EBCC crowd aggregation (analyze_gpt.py:158-163 protocol: multiple
+    seeded VB restarts, keep the max-ELBO run), one solve per dataset group
+    via applyInPandas. Deterministic: restart seeds are seed+i."""
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf[dataset_col].iloc[0]
+        tasks, t_idx = np.unique(pdf[task_col].to_numpy(), return_inverse=True)
+        workers, w_idx = np.unique(pdf[worker_col].to_numpy(), return_inverse=True)
+        labels = pdf[label_col].to_numpy().astype(np.int64)
+        ni, nw = len(tasks), len(workers)
+        best = None
+        for i in range(n_restarts):
+            z, elbo = _ebcc_vb_once(
+                t_idx, w_idx, labels, ni, nw, 2, num_groups,
+                a_pi=0.1, alpha=1.0, a_v=4.0, b_v=1.0,
+                seed=seed + i, max_iter=max_iter,
+            )
+            if best is None or elbo > best[1]:
+                best = (z, elbo)
+        z = best[0]
+        p1 = z[:, 1] / np.maximum(z.sum(axis=1), 1e-12)
+        return pd.DataFrame(
+            {
+                "dataset": np.full(ni, ds, dtype=object),
+                "task": tasks.astype(str),
+                "crowd_label": (p1 > 0.5).astype(np.int32),
+                "p1": p1,
+            }
+        )
+
+    return (
+        votes.select(
+            F.col(dataset_col).cast("string").alias(dataset_col),
+            F.col(task_col).cast("string").alias(task_col),
+            F.col(worker_col).cast("string").alias(worker_col),
+            F.col(label_col).cast("int").alias(label_col),
+        )
+        .groupBy(dataset_col)
+        .applyInPandas(solve, schema=EBCC_SCHEMA)
+    )

@@ -69,3 +69,17 @@ def test_bwa_recovers_truth(spark):
     assert got == truth
     for r in out:
         assert 0.0 <= r["z1"] <= 1.0 + 1e-9
+
+
+def test_ebcc_recovers_truth(spark):
+    from ditto_spark.operators.crowd import ebcc
+
+    votes, truth = _votes(spark)
+    out = ebcc(votes, n_restarts=3).collect()
+    got = {r["task"]: r["crowd_label"] for r in out}
+    assert got == truth
+    # deterministic across invocations (seeded restarts)
+    again = {r["task"]: r["p1"] for r in ebcc(votes, n_restarts=3).collect()}
+    first = {r["task"]: r["p1"] for r in out}
+    for t in first:
+        assert abs(first[t] - again[t]) < 1e-12
