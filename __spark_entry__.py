@@ -135,8 +135,13 @@ def q_serialize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup grouped by a 128-bit md5 fingerprint, NOT the raw text:
+    grouping by `text` ships full document bytes as the shuffle key — at
+    100 TB that doubles shuffle volume for nothing. The oracle groups by
+    text; outputs agree because md5 collisions are ~0 at any realistic
+    corpus size (2^-64 birthday bound at 10^10 docs)."""
     docs = _load(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count")
     ).select("canonical_id", "dup_count")
 
@@ -687,9 +692,9 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(
                      list_filter(string_split(text, ' '), x -> x <> ''),
                      x -> CASE
-                       WHEN regexp_matches(x, '^[0-9]+$')
+                       WHEN regexp_matches(x, '^[0-9]+$') AND length(x) <= 18
                          THEN CAST(CAST(x AS BIGINT) AS VARCHAR)
-                       WHEN regexp_matches(x, '^[0-9]+\\.[0-9]+$')
+                       WHEN regexp_matches(x, '^[0-9]+\\.[0-9]+$') AND length(x) <= 18
                          THEN printf('%.2f', CAST(x AS DOUBLE))
                        WHEN length(x) >= 7 AND regexp_matches(x, '[0-9]')
                          THEN 'ID' || x

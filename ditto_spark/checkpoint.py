@@ -44,7 +44,31 @@ class StageStore:
     spark: SparkSession
     root: str
     run_id: str = "run0"
+    config_hash: str | None = None
     records: list[dict] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        # Resume safety: a rerun of the same root/run_id with a DIFFERENT
+        # pipeline config (e.g. a new τ) must not silently reuse checkpoints
+        # computed under the old config. The first run records its config
+        # hash; a mismatching rerun is refused loudly.
+        if self.config_hash is None:
+            return
+        path = os.path.join(self.root, self.run_id, "_config_hash")
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = f.read().strip()
+            if stored != self.config_hash:
+                raise ValueError(
+                    f"StageStore {self.root}/{self.run_id} was written with "
+                    f"config hash {stored}, current config hashes to "
+                    f"{self.config_hash}: refusing to resume stale "
+                    "checkpoints. Use a new run_id (or delete the run dir)."
+                )
+        else:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(self.config_hash)
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, self.run_id, stage)
@@ -56,6 +80,8 @@ class StageStore:
         return os.path.exists(_success_marker(self._dir(stage)))
 
     def _log(self, rec: dict) -> None:
+        if self.config_hash is not None:
+            rec = {**rec, "config_hash": self.config_hash}
         self.records.append(rec)
         os.makedirs(os.path.dirname(self._lineage_path()), exist_ok=True)
         with open(self._lineage_path(), "a") as f:
@@ -132,6 +158,15 @@ def dedup_transcripts_checkpointed(
     from ditto_spark.operators.cluster import assign_clusters
 
     cfg = cfg or PipelineConfig()
+    if store.config_hash is None:
+        # bind the store to this config (refuses stale-resume on mismatch)
+        import hashlib
+        from dataclasses import asdict
+
+        store.config_hash = hashlib.md5(
+            json.dumps(asdict(cfg), sort_keys=True, default=str).encode()
+        ).hexdigest()
+        store.__post_init__()
     serialized = store.materialize(
         "serialized", lambda: serialize_conversations(transcripts), ["transcripts"]
     )

@@ -78,6 +78,7 @@ def connected_components(
     )
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # lazy checkpoint: the signature collect below materializes it, so
         # each round costs ONE driver-synchronized job instead of two
@@ -88,17 +89,31 @@ def connected_components(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # At a non-fixed-point a node can still carry different cluster ids
+        # on its u- and v-sides — fail loudly instead of emitting an
+        # arbitrary (nondeterministic) assignment.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (large-star/small-star needs O(log n) rounds)"
+        )
     # stable state: stars rooted at the component minimum. Roots appear only
     # on the v side (u > v invariant) — union their self-mapping back in.
+    # groupBy-min (not dropDuplicates) keeps the resolution deterministic.
     comp = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
         F.col("u").alias("conv_id"), "cluster_id"
     )
     roots = edges.select(
         F.col("v").alias("conv_id"), F.col("v").alias("cluster_id")
     ).distinct()
-    return comp.unionByName(roots).dropDuplicates(["conv_id"])
+    return (
+        comp.unionByName(roots)
+        .groupBy("conv_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def assign_clusters(all_ids: DataFrame, pairs: DataFrame, id_col: str = "conv_id") -> DataFrame:

@@ -85,25 +85,33 @@ def tune_threshold(scored_with_labels: DataFrame, **grid_kwargs) -> float:
 
 def cluster_pairwise_f1(predicted: DataFrame, truth: DataFrame) -> DataFrame:
     """Cluster-level metric: precision/recall/F1 over implied within-cluster
-    pairs. predicted/truth: (conv_id, cluster_id). Pairs are implied
-    (left < right within a cluster); computed with two self-joins + anti
-    joins, all DataFrame-side."""
-    def implied(df: DataFrame) -> DataFrame:
-        return (
-            df.alias("a")
-            .join(df.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
-            .where(F.col("a.conv_id") < F.col("b.conv_id"))
-            .select(
-                F.col("a.conv_id").alias("left_id"),
-                F.col("b.conv_id").alias("right_id"),
-            )
-        )
+    pairs. predicted/truth: (conv_id, cluster_id).
 
-    p = implied(predicted)
-    t = implied(truth)
-    tp = p.join(t, ["left_id", "right_id"], "left_semi").count()
-    fp = p.join(t, ["left_id", "right_id"], "left_anti").count()
-    fn = t.join(p, ["left_id", "right_id"], "left_anti").count()
+    Pairs are NEVER materialized — one giant predicted cluster (a hot
+    template) would imply O(|cluster|²) rows. Instead pair counts come from
+    the contingency table: with n_ij = |predicted cluster i ∩ truth cluster
+    j|, tp = Σ_ij C(n_ij,2); predicted pairs = Σ_i C(n_i·,2);
+    truth pairs = Σ_j C(n_·j,2). Three narrow aggs over the joined
+    assignment table — linear in rows regardless of cluster sizes."""
+
+    def pair_sum(df: DataFrame, *keys: str) -> int:
+        row = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+            .collect()[0]
+        )
+        return int(row["pairs"] or 0)
+
+    joined = (
+        predicted.select("conv_id", F.col("cluster_id").alias("pc"))
+        .join(truth.select("conv_id", F.col("cluster_id").alias("tc")), "conv_id")
+        .persist()
+    )
+    tp = pair_sum(joined, "pc", "tc")
+    fp = pair_sum(joined, "pc") - tp
+    fn = pair_sum(joined, "tc") - tp
+    joined.unpersist()
     spark = predicted.sparkSession
     f1 = 2.0 * tp / max(2 * tp + fp + fn, 1)
     prec = tp / max(tp + fp, 1)

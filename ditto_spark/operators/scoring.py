@@ -46,8 +46,8 @@ SCORE_SCHEMA = "left_id string, right_id string, prob double"
 
 def _token_lists(s: pd.Series) -> pd.Series:
     # whitespace split (vectorized) rather than a regex findall: 2-3x less
-    # Python time per batch; serialized entity text is space-delimited by
-    # construction so the token streams are identical for our inputs
+    # Python time per batch. The IDF builders (idf_tokens_expr) tokenize the
+    # SAME way so every token produced here has an IDF entry.
     return s.str.lower().str.split()
 
 
@@ -139,28 +139,100 @@ def idf_weighted_scorer_factory(
     return factory
 
 
+def idf_tokens_expr(text_col: str) -> F.Column:
+    """Distinct whitespace tokens of the lowercased text — the EXACT token
+    stream `_token_lists` produces (str.lower().str.split()), so IDF lookups
+    hit for every token the scorer emits, punctuation-adjacent ones
+    included. Keep the two tokenizers in lockstep."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    )
+
+
+def build_idf_df(texts, text_col: str = "txt", doc_count: int | None = None):
+    """(doc-distinct) texts DataFrame → (token, idf) DataFrame with
+    idf = log(1 + N/df). Stays on the cluster — this is the corpus-scale
+    form; broadcast-join it against exploded pair tokens
+    (`score_pairs_tfidf_relational`) instead of collecting a dict."""
+    toks = texts.select(F.explode(idf_tokens_expr(text_col)).alias("token"))
+    df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n = doc_count or texts.count()
+    return df_counts.select(
+        "token", F.log(F.lit(1.0) + F.lit(float(n)) / F.col("df_cnt")).alias("idf")
+    )
+
+
 def build_idf_dict(
     texts, text_col: str = "txt", doc_count: int | None = None
 ) -> dict[str, float]:
-    """(doc-distinct) texts DataFrame → {token: log(1 + N/df)} on the
-    driver. Intended for modest vocabularies (labeled eval sets); at corpus
-    scale the TF-IDF summarizer's DataFrame-side index is the tool."""
-    import math
-
-    import pyspark.sql.functions as F
-
-    toks = texts.select(
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda t: t != "")
-            )
-        ).alias("token")
-    )
-    df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
-    n = doc_count or texts.count()
+    """Driver-side {token: idf} — small-vocabulary fast path (labeled eval
+    sets). At corpus scale use `build_idf_df` + the relational scorer; this
+    collect would pull the whole vocabulary through the driver."""
     return {
-        r["token"]: math.log(1.0 + n / r["df_cnt"]) for r in df_counts.collect()
+        r["token"]: r["idf"]
+        for r in build_idf_df(texts, text_col, doc_count).collect()
     }
+
+
+def score_pairs_tfidf_relational(
+    pairs_with_text: DataFrame,
+    idf_df: DataFrame,
+    default_idf: float = 1.0,
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """TF-IDF cosine computed RELATIONALLY: explode pair tokens, join the
+    (token, idf) index, aggregate dot product and norms per pair. Produces
+    the exact scores of `idf_weighted_scorer_factory` (same whitespace
+    tokenizer, same default weight) without ever collecting the vocabulary
+    to the driver — the corpus-scale IDF path. The idf index is
+    broadcast-joined by default (vocabulary ≪ corpus); pass
+    broadcast_idf=False to let AQE pick a shuffle join for huge vocabs."""
+    idf = idf_df.select("token", "idf")
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+
+    def side(txt_col: str, prefix: str) -> DataFrame:
+        toks = pairs_with_text.select(
+            "left_id", "right_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col(txt_col)), "\\s+"), lambda t: t != "")
+            ).alias("token"),
+        )
+        counted = toks.groupBy("left_id", "right_id", "token").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return counted.join(idf, "token", "left").select(
+            "left_id", "right_id", "token",
+            (F.col("cnt") * F.coalesce("idf", F.lit(default_idf))).alias(f"{prefix}_w"),
+        )
+
+    l = side("left_txt", "l")
+    r = side("right_txt", "r")
+    l_norm = l.groupBy("left_id", "right_id").agg(
+        F.sum(F.col("l_w") * F.col("l_w")).alias("l_sq")
+    )
+    r_norm = r.groupBy("left_id", "right_id").agg(
+        F.sum(F.col("r_w") * F.col("r_w")).alias("r_sq")
+    )
+    dot = (
+        l.join(r, ["left_id", "right_id", "token"])
+        .groupBy("left_id", "right_id")
+        .agg(F.sum(F.col("l_w") * F.col("r_w")).alias("dot"))
+    )
+    return (
+        pairs_with_text.select("left_id", "right_id")
+        .join(l_norm, ["left_id", "right_id"], "left")
+        .join(r_norm, ["left_id", "right_id"], "left")
+        .join(dot, ["left_id", "right_id"], "left")
+        .select(
+            "left_id", "right_id",
+            F.when(
+                (F.col("l_sq") > 0) & (F.col("r_sq") > 0),
+                F.coalesce("dot", F.lit(0.0))
+                / (F.sqrt("l_sq") * F.sqrt("r_sq")),
+            ).otherwise(F.lit(0.0)).alias("prob"),
+        )
+    )
 
 
 def cross_encoder_scorer_factory(

@@ -101,12 +101,21 @@ def normalize_numbers(
 ) -> DataFrame:
     """knowledge.py:91-105 semantics, regex-defined, zero-shuffle:
     '^\\d+$' → canonical integer; '^\\d+\\.\\d+$' → %.2f; else if len≥7 and
-    contains a digit → 'ID'+token; else unchanged."""
+    contains a digit → 'ID'+token; else unchanged.
+
+    Numeric branches are capped at 18 chars: a >18-digit integer overflows
+    bigint (ANSI mode nulls/errors the cast and concat_ws would silently
+    drop the token). Such tokens are serial-number-like anyway, so they fall
+    through to the ID branch — documented deviation from the reference's
+    arbitrary-precision Python int()."""
     def norm(t):
         return (
-            F.when(t.rlike("^[0-9]+$"), t.cast("bigint").cast("string"))
+            F.when(
+                t.rlike("^[0-9]+$") & (F.length(t) <= 18),
+                t.cast("bigint").cast("string"),
+            )
             .when(
-                t.rlike("^[0-9]+\\.[0-9]+$"),
+                t.rlike("^[0-9]+\\.[0-9]+$") & (F.length(t) <= 18),
                 F.format_string("%.2f", t.cast("double")),
             )
             .when(

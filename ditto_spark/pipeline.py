@@ -92,15 +92,22 @@ def dedup_transcripts_tuned(
     cfg = cfg or PipelineConfig()
     serialized = serialize_conversations(transcripts).persist()
     tau = tune_threshold_on_pairs(serialized, labeled_pairs, cfg)
-    res = dedup_transcripts(transcripts, replace(cfg, tau=tau))
+    # thread the already-persisted serialization into the pipeline run — a
+    # second serialize pass (plus a second cached copy) is pure waste
+    res = dedup_transcripts(transcripts, replace(cfg, tau=tau), serialized=serialized)
     return res, tau
 
 
-def dedup_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+def dedup_transcripts(
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    serialized: DataFrame | None = None,
+) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     # serialized feeds blocking, both sides of attach_pair_text, and the
     # final cluster assignment — materialize once (checkpoint table at scale)
-    serialized = serialize_conversations(transcripts).persist()
+    if serialized is None:
+        serialized = serialize_conversations(transcripts).persist()
     candidates = block_minhash_lsh(
         serialized,
         text_col="block_text",

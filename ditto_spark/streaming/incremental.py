@@ -46,11 +46,20 @@ def streaming_exact_dedup(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """First-seen exact dedup on a stream: one surviving row per
-    fingerprint; state bounded by the watermark."""
+    fingerprint within the watermark horizon.
+
+    Uses dropDuplicatesWithinWatermark: plain dropDuplicates(["fingerprint"])
+    keyed WITHOUT the event-time column never builds a watermark eviction
+    predicate, so its state grows without bound on a long-running stream.
+    The WithinWatermark variant evicts each fingerprint's state once the
+    watermark passes its first-seen event time — bounded state, at the cost
+    that a duplicate arriving after the horizon is re-emitted (the right
+    trade for dedup at 10^12-turn scale; downstream exact dedup is
+    idempotent on the fingerprint key)."""
     return (
         stream.withColumn("fingerprint", fingerprint_expr(text_col))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 
 

@@ -54,13 +54,23 @@ REFERENCE_LM_F1_WDC = {
 
 
 def evaluate_dataset(
-    spark, name: str, use_arrow_udf: bool = True, use_idf: bool = True
+    spark,
+    name: str,
+    use_arrow_udf: bool = True,
+    use_idf: bool = True,
+    idf_mode: str = "relational",
 ) -> dict:
+    """idf_mode: 'relational' joins the (token, idf) index against exploded
+    pair tokens — the corpus-scale path (no driver-side vocabulary);
+    'dict' collects the vocabulary into the Arrow-UDF closure — the
+    small-vocab fast path. Both produce identical scores (same tokenizer,
+    same weights; asserted by tests)."""
     import pyspark.sql.functions as F
     from ditto_spark.sources import read_pairs_tsv
     from ditto_spark.operators.scoring import (
         score_pairs, score_pairs_builtin, apply_threshold,
-        build_idf_dict, idf_weighted_scorer_factory,
+        build_idf_df, build_idf_dict, idf_weighted_scorer_factory,
+        score_pairs_tfidf_relational,
     )
     from ditto_spark.operators.evaluate import tune_threshold, confusion_f1
 
@@ -74,14 +84,24 @@ def evaluate_dataset(
         else:
             path = f"{REF}/{name}/{split}.txt"
         df = read_pairs_tsv(spark, path)
-        # scorer contract wants ids; the TSVs are positional
-        return df.withColumn("left_id", F.monotonically_increasing_id().cast("string")) \
-                 .withColumn("right_id", F.concat(F.lit("r"), F.monotonically_increasing_id().cast("string")))
+        # scorer contract wants ids; the TSVs are positional. Ids must be
+        # DETERMINISTIC (monotonically_increasing_id changes with plan
+        # re-execution — one .unpersist() away from silent row misalignment
+        # in the score↔label rejoin): row_number over a stable sort of the
+        # full row. Single-partition window is fine at eval-set size.
+        from pyspark.sql import Window
+
+        w = Window.orderBy("left_txt", "right_txt", "label")
+        rn = F.row_number().over(w).cast("string")
+        return df.withColumn("left_id", rn).withColumn(
+            "right_id", F.concat(F.lit("r"), rn)
+        )
 
     valid_raw = load("valid").persist()
     test_raw = load("test").persist()
 
     factory = None
+    idf_df = None
     if use_arrow_udf and use_idf:
         # corpus IDF over the distinct entity texts of both splits — the
         # surrogate analogue of the reference's summarizer index
@@ -92,10 +112,15 @@ def evaluate_dataset(
             .unionByName(test_raw.select(F.col("right_txt").alias("txt")))
             .distinct()
         )
-        factory = idf_weighted_scorer_factory(build_idf_dict(texts))
+        if idf_mode == "relational":
+            idf_df = build_idf_df(texts).persist()
+        else:
+            factory = idf_weighted_scorer_factory(build_idf_dict(texts))
 
     def score(df):
-        if use_arrow_udf:
+        if idf_df is not None:
+            scored = score_pairs_tfidf_relational(df, idf_df)
+        elif use_arrow_udf:
             scored = score_pairs(df, scorer_factory=factory)
         else:
             scored = score_pairs_builtin(df)

@@ -55,6 +55,35 @@ def test_checkpoint_full_rerun_all_resumed(spark, tiny_transcripts, tmp_path):
     assert _cluster_sig(r2.clusters) == sig1
 
 
+def test_checkpoint_refuses_stale_config_resume(spark, tiny_transcripts, tmp_path):
+    """Rerunning the same root/run_id with a DIFFERENT PipelineConfig (e.g.
+    a new tau) must refuse to reuse checkpoints computed under the old
+    config instead of silently resuming them."""
+    import pytest
+
+    from ditto_spark.pipeline import PipelineConfig
+
+    root = str(tmp_path / "ckpt4")
+    s1 = StageStore(spark, root, "runD")
+    dedup_transcripts_checkpointed(spark, tiny_transcripts, s1, PipelineConfig(tau=0.5))
+    assert s1.config_hash is not None
+    assert all(rec.get("config_hash") == s1.config_hash for rec in s1.records)
+
+    s2 = StageStore(spark, root, "runD")
+    with pytest.raises(ValueError, match="config hash"):
+        dedup_transcripts_checkpointed(
+            spark, tiny_transcripts, s2, PipelineConfig(tau=0.9)
+        )
+
+    # same config → resume still works
+    s3 = StageStore(spark, root, "runD")
+    r3 = dedup_transcripts_checkpointed(
+        spark, tiny_transcripts, s3, PipelineConfig(tau=0.5)
+    )
+    assert all(rec["resumed"] for rec in s3.records)
+    assert r3.clusters.count() > 0
+
+
 def test_checkpoint_matches_unchechpointed_pipeline(spark, tiny_transcripts, tmp_path):
     from ditto_spark.pipeline import dedup_transcripts
 

@@ -68,6 +68,60 @@ def test_confusion_f1(spark):
     assert abs(m["f1"] - 2 * 6 / (12 + 2 + 1)) < 1e-9
 
 
+def test_relational_idf_matches_dict_path(spark):
+    """score_pairs_tfidf_relational (corpus-scale join path) must produce the
+    exact scores of the closure-dict Arrow-UDF path on the same IDF corpus —
+    punctuation-bearing tokens included (the two tokenizers are in
+    lockstep)."""
+    from ditto_spark.operators.scoring import (
+        build_idf_df, build_idf_dict, idf_weighted_scorer_factory,
+        score_pairs_tfidf_relational,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("1", "r1", "sony, tv 55in", "sony, tv 55in"),
+            ("2", "r2", "sony, tv 55in", "lg monitor 27in"),
+            ("3", "r3", "apple iphone 12", "apple iphone, 13"),
+            ("4", "r4", "", "anything here"),
+        ],
+        "left_id string, right_id string, left_txt string, right_txt string",
+    )
+    texts = (
+        pairs.select(F.col("left_txt").alias("txt"))
+        .unionByName(pairs.select(F.col("right_txt").alias("txt")))
+        .distinct()
+    )
+    idf_df = build_idf_df(texts)
+    rel = {
+        r["left_id"]: r["prob"]
+        for r in score_pairs_tfidf_relational(pairs, idf_df).collect()
+    }
+    dict_factory = idf_weighted_scorer_factory(build_idf_dict(texts))
+    dct = {
+        r["left_id"]: r["prob"]
+        for r in score_pairs(pairs, scorer_factory=dict_factory).collect()
+    }
+    assert set(rel) == set(dct) == {"1", "2", "3", "4"}
+    for k in rel:
+        assert abs(rel[k] - dct[k]) < 1e-9, (k, rel[k], dct[k])
+    assert abs(rel["1"] - 1.0) < 1e-9
+    assert rel["4"] == 0.0
+
+
+def test_idf_covers_punctuated_tokens(spark):
+    """Every token the pandas scorer emits must have an IDF entry (the old
+    alnum-regex IDF builder missed 'sony,' and fell back to default)."""
+    from ditto_spark.operators.scoring import build_idf_dict, _token_lists
+
+    texts = spark.createDataFrame(
+        [("sony, tv (55in) deal!",)], "txt string"
+    )
+    idf = build_idf_dict(texts)
+    toks = _token_lists(pd.Series(["sony, tv (55in) deal!"]))[0]
+    assert all(t in idf for t in toks), [t for t in toks if t not in idf]
+
+
 def test_threshold_sweep(spark):
     # probs separable at 0.6: labels 1 have p >= .7, labels 0 have p <= .4
     rows = [(0.7, 1), (0.9, 1), (0.8, 1), (0.4, 0), (0.2, 0), (0.3, 0)]

@@ -75,6 +75,16 @@ def test_normalize_numbers(spark):
     assert out == "price 7 is 3.14 for IDsku12345 and x1"
 
 
+def test_normalize_numbers_long_digits_not_dropped(spark):
+    """A >18-digit integer token must NOT be silently dropped (bigint cast
+    nulls/errors under ANSI): it falls through to the ID branch."""
+    big = "9" * 25
+    df = _docs(spark, [(1, f"serial {big} end"), (2, f"v {'1' * 18} w")])
+    out = {r["doc_id"]: r["normalized"] for r in normalize_numbers(df).collect()}
+    assert out[1] == f"serial ID{big} end"
+    assert out[2] == f"v {'1' * 18} w"  # 18 digits still int-normalized
+
+
 def test_detect_language(spark):
     df = _docs(
         spark,
