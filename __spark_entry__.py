@@ -1,12 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)    — flagship near-duplicate clustering on sf0.001 documents.
-queries()       — 28 entries, one per implemented operator (SURVEY.md §2 +
-                  the training-data-pipeline extensions; see COVERAGE.md).
-oracle_sql()    — DuckDB-equivalent ANSI SQL for 18 of them (omitted for
-                  genuinely non-SQL ops: xxhash-based MinHash/SimHash
-                  banding, the Arrow-UDF scorer, hyperplane LSH, iterative
-                  Dawid-Skene EM and connected components → rows-only).
+queries()       — one entry per implemented operator (SURVEY.md §2 + the
+                  training-data-pipeline extensions; see COVERAGE.md).
+oracle_sql()    — DuckDB-equivalent ANSI SQL for all but the genuinely
+                  non-SQL ops (iterative EM/VB crowd solvers and the
+                  Arrow-UDF-scored xxhash-LSH transcript pipeline →
+                  rows-only). LSH banding (MinHash, SimHash, hyperplane),
+                  connected components (WITH RECURSIVE), and the multimodal
+                  decode path are fully oracle-checked via md5/sha256-
+                  portable constructions.
 
 Column names/types are aligned between each Spark query and its oracle
 (driver hashes values after sorting columns by name).
@@ -109,6 +112,99 @@ WITH sh AS (
   JOIN sizes sb ON sb.doc_id = p.right_id
 )
 """
+
+
+def _minhash_lsh_oracle() -> str:
+    """16-perm md5 MinHash + 4-band LSH join + agreement estimate,
+    replicating q_minhash_lsh_candidates in portable SQL."""
+    r = _MH_PERMS // _MH_BANDS
+    mins = ",\n             ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(_MH_PERMS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(_MH_PERMS))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+      WHERE len(l) >= 3
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.left_id, c.right_id,
+           ({agree}) / {float(_MH_PERMS)} AS est_jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.left_id
+    JOIN sig b ON b.doc_id = c.right_id
+    WHERE ({agree}) / {float(_MH_PERMS)} >= 0.25
+    """
+
+
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, l[i] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l))) u(i)
+      WHERE l[i] <> ''
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, b.i AS bit,
+             sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, unnest(generate_series(0, 59)) b(i)
+      GROUP BY doc_id, b.i
+    ), cnt AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS nb
+      FROM votes GROUP BY doc_id
+    ), sigbits AS (
+      SELECT doc_id, bit FROM votes WHERE v > 0
+    ), common AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+      FROM sigbits a JOIN sigbits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ca.doc_id AS left_id, cb.doc_id AS right_id,
+           (ca.nb + cb.nb - 2 * coalesce(c.c, 0))::INT AS hamming
+    FROM cnt ca
+    JOIN cnt cb ON ca.doc_id < cb.doc_id
+    LEFT JOIN common c ON c.left_id = ca.doc_id AND c.right_id = cb.doc_id
+    WHERE ca.nb + cb.nb - 2 * coalesce(c.c, 0) <= 3
+"""
+
+
+# doc_dedup_clusters: same rare-shingle Jaccard pipeline as
+# shingle_blocking_pairs, thresholded at 0.5, then connected components via
+# recursive min-label propagation (symmetric edges; walk accumulates every
+# reachable seed id per node; min = cluster id). Singletons seed themselves.
+_DOC_DEDUP_ORACLE = (
+    _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.5
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+"""
+)
 
 
 def _ann_vecs_cte(with_aug: bool) -> str:
@@ -510,13 +606,19 @@ def q_crowd_ebcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit near-dup pairs (hamming ≤ 3, 4-band pigeonhole join);
-    xxhash64-based → rows-only check."""
-    from ditto_spark.operators.simhash import simhash_signatures, simhash_near_dup_pairs
+    """SimHash near-dup pairs (hamming ≤ 3, 4-band pigeonhole join) over the
+    60-bit md5-portable signature — the band join is an exact optimization
+    (pigeonhole guarantees every ≤3-flip pair shares a chunk), so the DuckDB
+    oracle verifies it with a direct all-pairs Hamming computation. The
+    xxhash64 64-bit variant stays the production default (faster JVM hash)
+    and is recall-tested in pytest."""
+    from ditto_spark.operators.simhash import (
+        simhash_signatures, simhash_near_dup_pairs, md5_token_hash,
+    )
 
     docs = _load(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs)
-    return simhash_near_dup_pairs(sig, max_hamming=3, bands=4)
+    sig = simhash_signatures(docs, bits=60, token_hash=md5_token_hash)
+    return simhash_near_dup_pairs(sig, max_hamming=3, bands=4, bits=60)
 
 
 _ANN_DIM = 64  # driver testdata embeddings are 64-dim (all sf)
@@ -575,7 +677,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth binary payloads → mapInPandas feature
-    extraction (decode stubbed deterministically — no media libs here)."""
+    extraction (decode stubbed deterministically — no media libs here).
+    The fake payload's header dims and body stats are md5/sha256-derived,
+    so the whole decode-and-extract path is oracle-checked column-for-column
+    (the real-codec swap point stays _decode_fake)."""
     from ditto_spark.operators.multimodal import synthesize_media, extract_media_features
 
     docs = _load(spark, sf_dir, "documents")
@@ -585,29 +690,84 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_byte", 6).alias("mean_byte"),
     )
 
+_MH_PERMS = 16
+_MH_BANDS = 4  # 4 rows per band
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash-LSH candidate generation (xxhash64 banding)."""
-    docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "conv_id")
-    out = B.block_minhash_lsh(
-        docs.select(F.col("conv_id").cast("string").alias("conv_id"), "text"),
-        text_col="text", shingle_n=3, threshold=0.3,
+    """MinHash-LSH candidate generation over an md5-portable 16-permutation
+    signature (perm i = lexicographic min of md5(i || shingle)); band key =
+    md5 of 4 consecutive components; self-equi-join on any band match;
+    est_jaccard = fraction of agreeing components, filtered ≥ 0.25.
+
+    Banding, join, and estimate are all replicated by the DuckDB oracle →
+    full hash-checked parity. The production pipeline path keeps the
+    xxhash64 64-perm signature (ditto_spark.operators.blocking — fastest
+    JVM hash, same construction) with salted hot buckets; that path is
+    exercised by the transcript queries, bench.py, and the pytest recall
+    gate."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(_MH_PERMS)
+        ]
     )
-    return out.select(
-        "left_id", "right_id", F.round("est_jaccard", 9).alias("est_jaccard")
+    r = _MH_PERMS // _MH_BANDS
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                    ).alias("band_key"),
+                )
+                for b in range(_MH_BANDS)
+            ]
+        )
+    )
+    banded = sig.select("doc_id", *[f"h{i}" for i in range(_MH_PERMS)], bands.alias("b")).select(
+        "doc_id", *[f"h{i}" for i in range(_MH_PERMS)],
+        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
+    )
+    l = banded.select(
+        "band_idx", "band_key", F.col("doc_id").alias("left_id"),
+        *[F.col(f"h{i}").alias(f"lh{i}") for i in range(_MH_PERMS)],
+    )
+    rr = banded.select(
+        "band_idx", "band_key", F.col("doc_id").alias("right_id"),
+        *[F.col(f"h{i}").alias(f"rh{i}") for i in range(_MH_PERMS)],
+    )
+    agree = sum(
+        (F.col(f"lh{i}") == F.col(f"rh{i}")).cast("int") for i in range(_MH_PERMS)
+    )
+    return (
+        l.join(rr, ["band_idx", "band_key"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+        .select(
+            "left_id", "right_id",
+            (agree / F.lit(float(_MH_PERMS))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.25)
     )
 
 
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup pipeline on documents: LSH → Arrow-UDF cosine scorer →
-    strict p > 0.8 → large-star/small-star CC → clusters."""
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.col("text").alias("entity_text"),
+    """Document near-dup clustering, fully oracle-checked end to end:
+    exact rare-shingle blocking → shingle-set Jaccard ≥ 0.5 → large-star/
+    small-star connected components, verified against a DuckDB
+    WITH RECURSIVE min-label-propagation CC. (The Arrow-UDF-scored LSH
+    variant of the same shape runs in q_transcript_dedup_clusters /
+    the flagship pipeline — its banding is xxhash-based → rows-only.)"""
+    docs = _load(spark, sf_dir, "documents")
+    matches = _rare_shingle_pairs(docs).where(F.col("jaccard") >= 0.5)
+    clusters = assign_clusters(
+        docs.select(F.col("doc_id").alias("conv_id")),
+        matches.select("left_id", "right_id"),
     )
-    cands = B.block_minhash_lsh(docs, shingle_n=3, threshold=0.2)
-    scored = score_pairs(attach_pair_text(cands, docs))
-    matches = scored.where(F.col("prob") > 0.8)
-    clusters = assign_clusters(docs, matches.select("left_id", "right_id"))
     return clusters.select(
         F.col("conv_id").alias("doc_id"), F.col("cluster_id")
     )
@@ -901,4 +1061,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ANN_LSH_TOPK_ORACLE,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
+        "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "simhash_near_dup": _SIMHASH_ORACLE,
+        "doc_dedup_clusters": _DOC_DEDUP_ORACLE,
+        "media_features": """
+            WITH dims AS (
+              SELECT doc_id, text,
+                     (('0x' || substr(md5('w|' || text), 1, 8))::BIGINT % 512 + 16)::INT AS width,
+                     (('0x' || substr(md5('h|' || text), 1, 8))::BIGINT % 512 + 16)::INT AS height
+              FROM documents
+            ), body AS (
+              SELECT doc_id,
+                     avg(('0x' || substr(sha256(text), j.i * 2 + 1, 2))::BIGINT) AS mean_byte
+              FROM documents, unnest(generate_series(0, 31)) j(i)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, 'image' AS media_type, 48::BIGINT AS n_bytes,
+                   d.width, d.height, round(b.mean_byte, 6) AS mean_byte
+            FROM dims d JOIN body b USING (doc_id)
+        """,
     }

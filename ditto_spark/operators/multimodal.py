@@ -32,12 +32,30 @@ FEATURE_SCHEMA = (
 _MAGIC = b"FAKEIMG1"
 
 
+def _md5_dim(prefix: str) -> F.Column:
+    """Deterministic fake dimension in [16, 527], md5-derived so the DuckDB
+    oracle regenerates it: ('0x'||substr(md5(prefix||text),1,8))::BIGINT
+    % 512 + 16."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), F.col("text"))), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(512),
+        )
+        + 16
+    ).cast("int")
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake media: payload = 8-byte magic + packed (w, h)
-    header + xxhash-seeded body derived from the text column. Pure JVM
-    expressions build the binary (concat of binary-cast pieces)."""
-    w = (F.pmod(F.xxhash64("text", F.lit(1)), F.lit(512)) + 16).cast("int")
-    h = (F.pmod(F.xxhash64("text", F.lit(2)), F.lit(512)) + 16).cast("int")
+    header + sha256 body derived from the text column. Pure JVM expressions
+    build the binary (concat of binary-cast pieces); every header/stat field
+    is engine-portable (md5/sha256) so feature extraction is fully
+    oracle-checkable."""
+    w = _md5_dim("w|")
+    h = _md5_dim("h|")
     # unhex builds raw bytes (ANSI mode forbids int→binary casts, and sha2
     # returns a hex STRING — casting that to binary would give 64 text bytes)
     body = F.unhex(F.sha2(F.col("text"), 256))

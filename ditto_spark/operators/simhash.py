@@ -25,17 +25,34 @@ from ditto_spark.operators.blocking import TOKEN_PATTERN
 SIG_BITS = 64
 
 
+def md5_token_hash(t: F.Column) -> F.Column:
+    """60-bit engine-portable token hash: first 15 hex chars of md5 parsed
+    base-16 (DuckDB: ('0x' || substr(md5(t), 1, 15))::BIGINT). 15 hex digits
+    keep the value positive in a signed long on both engines."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 11,
+    bits: int = SIG_BITS,
+    token_hash=None,
 ) -> DataFrame:
     """(id, text) → (id, simhash: bigint). sign-of-vote per bit over token
-    multiset; deterministic in the token multiset (order-independent)."""
+    multiset; deterministic in the token multiset (order-independent).
+
+    token_hash: xxhash64 by default (production: fastest JVM hash); pass
+    `md5_token_hash` with bits=60 for the engine-portable variant the DuckDB
+    oracle replicates bit-for-bit."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda t: t != "")
-    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
-    zero = F.array_repeat(F.lit(0).cast("long"), SIG_BITS)
+    if token_hash is None:
+        th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    else:
+        th = F.transform(toks, token_hash)
+    SIG = bits
+    zero = F.array_repeat(F.lit(0).cast("long"), SIG)
     # Shift amounts must be Python ints (shiftright takes no Column numBits),
     # so the per-bit array is a comprehension over range(SIG_BITS).
     # sig = Σ_{i: votes[i] > 0} 2^i, built in the aggregate's finish lambda so
@@ -46,7 +63,7 @@ def simhash_signatures(
 
     def _finish(votes: F.Column) -> F.Column:
         sig = F.lit(0).cast("long")
-        for i in range(SIG_BITS):
+        for i in range(SIG):
             sig = sig.bitwiseOR(
                 F.when(F.element_at(votes, i + 1) > 0, _bit_lit(i)).otherwise(
                     F.lit(0).cast("long")
@@ -62,7 +79,7 @@ def simhash_signatures(
             F.array(
                 *[
                     F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long"))
-                    for i in range(SIG_BITS)
+                    for i in range(SIG)
                 ]
             ),
             lambda a, bit: a + (bit * 2 - 1),
@@ -81,13 +98,14 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = SIG_BITS,
 ) -> DataFrame:
     """All pairs within `max_hamming` bit flips, provided
     max_hamming <= bands - 1 (pigeonhole guarantee — asserted). Equi-join on
-    16-bit signature chunks, then exact Hamming verification."""
+    bits/bands-wide signature chunks, then exact Hamming verification."""
     assert max_hamming <= bands - 1, "pigeonhole guarantee needs max_hamming <= bands-1"
-    assert SIG_BITS % bands == 0
-    width = SIG_BITS // bands
+    assert bits % bands == 0
+    width = bits // bands
     mask = (1 << width) - 1
     chunks = F.explode(
         F.array(
