@@ -605,6 +605,34 @@ def q_crowd_ebcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crowd_glad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 GLAD (Whitehill'09 sigmoid-EM, the crowd-kit aggregator at
+    analyze_gpt.py:187) per dataset group; iterative EM → rows-only check
+    (deterministic: fixed init + iteration counts)."""
+    from ditto_spark.operators.crowd import glad
+
+    votes = _event_votes(spark, sf_dir).withColumn(
+        "dataset", (F.col("task") % 4).cast("string")
+    )
+    return glad(votes).select(
+        "dataset", "task", "crowd_label", F.round("p1", 6).alias("p1")
+    )
+
+
+def q_crowd_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 GoldStandard (analyze_gpt.py:176-186): truth-calibrated lookup
+    keyed by the complete worker-vote pattern. Fully relational
+    (pivot + pattern-window avg) → DuckDB-oracle-checked."""
+    from ditto_spark.operators.crowd import gold_standard
+
+    votes = _event_votes(spark, sf_dir)
+    truth = votes.select("task").distinct().select(
+        "task", (F.col("task") % 3 == 0).cast("int").alias("truth")
+    )
+    out = gold_standard(votes, truth, workers=list(range(7)))
+    return out.select("task", "agg_label")
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, 4-band pigeonhole join) over the
     60-bit md5-portable signature — the band join is an exact optimization
@@ -817,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_language": q_detect_language,
         "crowd_wawa": q_crowd_wawa,
         "worker_pivot": q_worker_pivot,
+        "crowd_glad": q_crowd_glad,
+        "crowd_gold": q_crowd_gold,
         "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
         "crowd_ebcc": q_crowd_ebcc,
@@ -1061,6 +1091,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ANN_LSH_TOPK_ORACLE,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
+        "crowd_gold": """
+            WITH votes AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            ), mv AS (
+              SELECT task, worker, avg(label) AS mlabel
+              FROM votes GROUP BY task, worker
+            ), wide AS (
+              SELECT task,
+                     max(CASE WHEN worker = 0 THEN mlabel END) AS w0,
+                     max(CASE WHEN worker = 1 THEN mlabel END) AS w1,
+                     max(CASE WHEN worker = 2 THEN mlabel END) AS w2,
+                     max(CASE WHEN worker = 3 THEN mlabel END) AS w3,
+                     max(CASE WHEN worker = 4 THEN mlabel END) AS w4,
+                     max(CASE WHEN worker = 5 THEN mlabel END) AS w5,
+                     max(CASE WHEN worker = 6 THEN mlabel END) AS w6
+              FROM mv GROUP BY task
+            ), wt AS (
+              SELECT w.*, CASE WHEN task % 3 = 0 THEN 1 ELSE 0 END AS truth
+              FROM wide w
+            )
+            SELECT task,
+                   CASE WHEN avg(truth) OVER (
+                          PARTITION BY w0, w1, w2, w3, w4, w5, w6
+                        ) > 0.5 THEN 1 ELSE 0 END AS agg_label
+            FROM wt
+        """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
         "simhash_near_dup": _SIMHASH_ORACLE,
         "doc_dedup_clusters": _DOC_DEDUP_ORACLE,

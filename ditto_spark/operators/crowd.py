@@ -63,6 +63,128 @@ def wawa(
     )
 
 
+def gold_standard(
+    votes: DataFrame,
+    truth: DataFrame,
+    workers: list,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """GoldStandard aggregation (reference semantics at
+    /root/reference/analyze_gpt.py:176-186): mean label per (worker, task)
+    over repetitions → pivot to the task × workers vote-pattern matrix →
+    group tasks by their COMPLETE vote pattern → agg_label = 1 iff the mean
+    gold truth of that pattern > 0.5 — i.e. a truth-calibrated lookup table
+    keyed by vote pattern.
+
+    Fully relational: pivot + an avg window PARTITIONed BY the pattern
+    columns (window partitioning treats NULL patterns as equal, so a
+    pattern-join's null-key pitfall never arises). DuckDB-oracle-checked."""
+    from pyspark.sql import Window
+
+    mean_votes = votes.groupBy(task_col, worker_col).agg(
+        F.avg(label_col).alias("mlabel")
+    )
+    wide = mean_votes.groupBy(task_col).pivot(worker_col, workers).agg(
+        F.first("mlabel")
+    )
+    pattern_cols = [str(w) for w in workers]
+    joined = wide.join(truth.select(task_col, truth_col), task_col)
+    w = Window.partitionBy(*pattern_cols)
+    return joined.select(
+        task_col,
+        (F.avg(truth_col).over(w) > 0.5).cast("int").alias("agg_label"),
+    )
+
+
+GLAD_SCHEMA = "dataset string, task string, crowd_label int, p1 double"
+
+
+def glad(
+    votes: DataFrame,
+    dataset_col: str = "dataset",
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    n_iter: int = 30,
+    n_grad: int = 20,
+    lr: float = 0.05,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """GLAD (Whitehill et al., NIPS'09 — the algorithm behind crowd-kit's
+    GLAD used at /root/reference/analyze_gpt.py:187): per-worker ability
+    α_j, per-task inverse-difficulty β_i > 0, P(label correct) =
+    σ(α_j·β_i). EM with gradient M-step on (α, log β), Gaussian priors
+    (α ~ N(1,1), log β ~ N(0,1)). Deterministic: fixed init α=1, β=1,
+    fixed iteration counts. One independent solve per dataset group via
+    applyInPandas — the same distribution shape as Dawid-Skene."""
+
+    def em(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf[dataset_col].iloc[0]
+        tasks, t_idx = np.unique(pdf[task_col].to_numpy(), return_inverse=True)
+        workers, w_idx = np.unique(pdf[worker_col].to_numpy(), return_inverse=True)
+        labels = pdf[label_col].to_numpy().astype(np.float64)
+        nt, nw = len(tasks), len(workers)
+        alpha = np.ones(nw)
+        log_beta = np.zeros(nt)
+        # init posterior from vote mean
+        p1 = np.zeros(nt)
+        np.add.at(p1, t_idx, labels)
+        cnt = np.zeros(nt)
+        np.add.at(cnt, t_idx, 1)
+        p1 = p1 / np.maximum(cnt, 1)
+        prior1 = 0.5
+        for _ in range(n_iter):
+            # E-step: per-task log-odds of z=1 under current (alpha, beta)
+            x = alpha[w_idx] * np.exp(log_beta)[t_idx]
+            sig = 1.0 / (1.0 + np.exp(-x))
+            sig = np.clip(sig, eps, 1 - eps)
+            # log P(l_ij | z=1) - log P(l_ij | z=0):
+            # z=1: l=1 → log σ, l=0 → log(1-σ); z=0 mirrored
+            delta = np.where(labels == 1, 1.0, -1.0) * (np.log(sig) - np.log(1 - sig))
+            llr = np.full(nt, np.log(prior1 / (1 - prior1)))
+            np.add.at(llr, t_idx, delta)
+            p1 = 1.0 / (1.0 + np.exp(-np.clip(llr, -500, 500)))
+            # M-step: gradient ascent on Q(α, log β)
+            for _ in range(n_grad):
+                beta = np.exp(log_beta)
+                x = alpha[w_idx] * beta[t_idx]
+                sig = 1.0 / (1.0 + np.exp(-x))
+                # m_ij = P(label is what a correct worker says | posterior)
+                m = np.where(labels == 1, p1[t_idx], 1 - p1[t_idx])
+                resid = m - sig
+                g_alpha = np.zeros(nw)
+                np.add.at(g_alpha, w_idx, resid * beta[t_idx])
+                g_alpha -= alpha - 1.0  # N(1,1) prior
+                g_lbeta = np.zeros(nt)
+                np.add.at(g_lbeta, t_idx, resid * alpha[w_idx] * beta[t_idx])
+                g_lbeta -= log_beta  # N(0,1) prior on log β
+                alpha += lr * g_alpha
+                log_beta += lr * g_lbeta
+                log_beta = np.clip(log_beta, -5, 5)
+        return pd.DataFrame(
+            {
+                "dataset": np.full(nt, ds, dtype=object),
+                "task": tasks.astype(str),
+                "crowd_label": (p1 > 0.5).astype(np.int32),
+                "p1": p1,
+            }
+        )
+
+    return (
+        votes.select(
+            F.col(dataset_col).cast("string").alias(dataset_col),
+            F.col(task_col).cast("string").alias(task_col),
+            F.col(worker_col).cast("string").alias(worker_col),
+            F.col(label_col).cast("int").alias(label_col),
+        )
+        .groupBy(dataset_col)
+        .applyInPandas(em, schema=GLAD_SCHEMA)
+    )
+
+
 DS_SCHEMA = "dataset string, task string, crowd_label int, p1 double"
 
 
