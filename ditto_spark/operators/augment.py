@@ -105,6 +105,159 @@ def drop_len(df: DataFrame, text_col: str = "text", out_col: str = "augmented",
     )
 
 
+def _segments(text_col: F.Column) -> F.Column:
+    """Split COL/VAL-serialized text into per-attribute segments, each
+    starting with 'COL' (lookahead split; reference walks col_starts at
+    augment.py:117-143). Segments are trimmed."""
+    return F.filter(
+        F.transform(F.split(text_col, "(?=COL )"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def drop_col(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             out_col: str = "augmented", max_col_tokens: int = 8,
+             seed: int = 404) -> DataFrame:
+    """Remove one randomly-chosen SHORT attribute segment (≤ max_col_tokens
+    tokens, matching augment.py:175 'le <= 8'); unchanged when no segment
+    qualifies. Deterministic by xxhash64(id, seed)."""
+    segs = _segments(F.col(text_col))
+    is_cand = lambda s: s.startswith("COL ") & (  # noqa: E731
+        F.size(F.split(s, " ")) <= max_col_tokens
+    )
+    n_cand = F.size(F.filter(segs, is_cand))
+    pick = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), n_cand)
+    # index (0-based, among candidates) → drop that segment
+    idx = F.sequence(F.lit(0), F.size(segs) - 1)
+    cand_rank = F.transform(
+        idx,
+        lambda i: F.size(
+            F.filter(F.slice(segs, 1, i + 1), is_cand)
+        ) - 1,  # candidate rank of segment i if it IS a candidate
+    )
+    kept = F.filter(
+        idx,
+        lambda i: ~is_cand(F.element_at(segs, i + 1))
+        | (F.element_at(cand_rank, i + 1) != pick),
+    )
+    out = F.when(
+        n_cand > 0,
+        F.concat_ws(" ", F.transform(kept, lambda i: F.element_at(segs, i + 1))),
+    ).otherwise(F.col(text_col))
+    return df.withColumn(out_col, out)
+
+
+def append_col(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               out_col: str = "augmented", seed: int = 505) -> DataFrame:
+    """Move one attribute's VALUES onto another attribute: remove segment
+    idx1 and append its tokens-after-VAL to segment idx2 (augment.py:116-158
+    semantics). Unchanged when fewer than 2 segments. Deterministic by
+    xxhash64(id, seed): idx1 uniform, idx2 uniform over the rest."""
+    segs = _segments(F.col(text_col))
+    n = F.size(segs)
+    h1 = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(1)), n).cast("int")
+    h2r = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(2)), n - 1).cast("int")
+    idx2 = F.when(h2r >= h1, h2r + 1).otherwise(h2r)  # uniform over != idx1
+    val_part = F.regexp_replace(F.element_at(segs, h1 + 1), "^COL .*? VAL ", "")
+    idx = F.sequence(F.lit(0), n - 1)
+    rebuilt = F.transform(
+        idx,
+        lambda i: F.when(i == h1, F.lit(""))
+        .when(i == idx2, F.concat(F.element_at(segs, i + 1), F.lit(" "), val_part))
+        .otherwise(F.element_at(segs, i + 1)),
+    )
+    out = F.when(
+        n >= 2,
+        F.concat_ws(" ", F.filter(rebuilt, lambda s: s != "")),
+    ).otherwise(F.col(text_col))
+    return df.withColumn(out_col, out)
+
+
+INS_SYMBOLS = ["-", "*", ".", ",", "#", "&"]
+
+
+def token_ins(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              out_col: str = "augmented", seed: int = 606) -> DataFrame:
+    """Insert one random symbol from '-*.,#&' at a random token position
+    (augment.py:108-113 'ins'). Deterministic by xxhash64(id, seed)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    pos = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(1)), n + 1).cast("int")
+    sym = F.element_at(
+        F.array(*[F.lit(s) for s in INS_SYMBOLS]),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(2)), F.lit(len(INS_SYMBOLS))).cast("int") + 1,
+    )
+    out = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(toks, 1, pos),
+            F.array(sym),
+            F.slice(toks, pos + 1, n - pos),
+        ),
+    )
+    return df.withColumn(out_col, out)
+
+
+RANDAUGMENT_OPS = ["del", "swap", "drop_col", "append_col"]
+
+
+def augment_all(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                out_col: str = "augmented", n_steps: int = 3,
+                seed: int = 707) -> DataFrame:
+    """RandAugment (augment.py:222-227: N=3 ops drawn from
+    del/swap/drop_col/append_col, applied sequentially). The per-row op
+    choice is deterministic — xxhash64(id, seed, step) — and applied
+    RELATIONALLY: each step splits the frame into one partition per op,
+    applies that op's expression, and unions back (no 4^N expression
+    blow-up, no Python). del/swap use the deterministic per-token forms of
+    this module (documented adaptation of the reference's span ops)."""
+    out = df.withColumn(out_col, F.col(text_col))
+    for step in range(n_steps):
+        code = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(seed), F.lit(step)),
+            F.lit(len(RANDAUGMENT_OPS)),
+        )
+        parts = []
+        for k, op in enumerate(RANDAUGMENT_OPS):
+            sub = out.where(code == k)
+            step_seed = seed * 1000 + step
+            if op == "del":
+                sub = token_del(sub, id_col, out_col, "_nxt", p=0.1, seed=step_seed)
+            elif op == "swap":
+                sub = token_swap(sub, id_col, out_col, "_nxt", p=0.2, seed=step_seed)
+            elif op == "drop_col":
+                sub = drop_col(sub, id_col, out_col, "_nxt", seed=step_seed)
+            else:
+                sub = append_col(sub, id_col, out_col, "_nxt", seed=step_seed)
+            parts.append(sub.withColumn(out_col, F.col("_nxt")).drop("_nxt"))
+        first = parts[0]
+        for p in parts[1:]:
+            first = first.unionByName(p)
+        out = first
+    # the unions multiply partition count 4x per step (4^n_steps total);
+    # coalesce (no shuffle) back to the session's parallelism
+    return out.coalesce(
+        int(df.sparkSession.sparkContext.defaultParallelism)
+    )
+
+
+def flip_entries(pairs: DataFrame, left_col: str = "left_txt",
+                 right_col: str = "right_txt", id_cols: tuple[str, str] = ("left_id", "right_id"),
+                 seed: int = 808) -> DataFrame:
+    """50% left↔right entry flip (augment.py:203-206: the reference flips
+    the two serialized entries of a pair before augmentation half the
+    time). Deterministic by xxhash64(left_id, right_id, seed) — an
+    involution: applying it twice restores the original pairs."""
+    lid, rid = id_cols
+    flip = F.pmod(F.xxhash64(F.col(lid), F.col(rid), F.lit(seed)), F.lit(2)) == 0
+    keep = [c for c in pairs.columns if c not in (left_col, right_col)]
+    return pairs.select(
+        *keep,
+        F.when(flip, F.col(right_col)).otherwise(F.col(left_col)).alias(left_col),
+        F.when(flip, F.col(left_col)).otherwise(F.col(right_col)).alias(right_col),
+    )
+
+
 def augment_copies(df: DataFrame, n_copies: int = 2, id_col: str = "doc_id",
                    text_col: str = "text", p: float = 0.1,
                    seed: int = 303) -> DataFrame:

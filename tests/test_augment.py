@@ -64,3 +64,114 @@ def test_augment_copies(spark):
     again = augment_copies(df, n_copies=2, p=0.3).collect()
     key = lambda r: (r["doc_id"], r["copy_idx"])  # noqa: E731
     assert {key(r): r["augmented"] for r in rows} == {key(r): r["augmented"] for r in again}
+
+
+COLVAL = (
+    "COL name VAL ipad mini COL brand VAL apple "
+    "COL description VAL tablet with retina display and wifi plus cellular "
+    "COL price VAL 399.00"
+)
+
+
+def _colval_df(spark, n=6):
+    return spark.createDataFrame(
+        [(i, COLVAL) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_drop_col_removes_one_short_segment(spark):
+    from ditto_spark.operators.augment import drop_col
+
+    df = _colval_df(spark)
+    out = {r["doc_id"]: r["augmented"] for r in drop_col(df).collect()}
+    for i, v in out.items():
+        # exactly one COL segment removed; the long description (>8 tokens)
+        # is never a candidate
+        assert v.count("COL") == COLVAL.count("COL") - 1
+        assert "retina display" in v
+    # deterministic under repartition
+    again = {
+        r["doc_id"]: r["augmented"]
+        for r in drop_col(df.repartition(5)).collect()
+    }
+    assert out == again
+
+
+def test_drop_col_no_candidate_unchanged(spark):
+    from ditto_spark.operators.augment import drop_col
+
+    long_only = "COL d VAL " + " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame([(1, long_only)], "doc_id long, text string")
+    assert drop_col(df).collect()[0]["augmented"] == long_only
+    plain = spark.createDataFrame([(1, "no structure here")], "doc_id long, text string")
+    assert drop_col(plain).collect()[0]["augmented"] == "no structure here"
+
+
+def test_append_col_moves_values(spark):
+    from ditto_spark.operators.augment import append_col
+
+    df = _colval_df(spark)
+    orig_tokens = COLVAL.split()
+    for r in append_col(df).collect():
+        toks = r["augmented"].split()
+        # one COL+attr+VAL header removed, all value tokens preserved
+        assert toks.count("COL") == orig_tokens.count("COL") - 1
+        assert toks.count("VAL") == orig_tokens.count("VAL") - 1
+        for val_tok in ["ipad", "apple", "retina", "399.00"]:
+            assert val_tok in toks
+    # < 2 segments → unchanged
+    one = spark.createDataFrame(
+        [(1, "COL a VAL x y")], "doc_id long, text string"
+    )
+    assert append_col(one).collect()[0]["augmented"] == "COL a VAL x y"
+
+
+def test_token_ins_adds_one_symbol(spark):
+    from ditto_spark.operators.augment import token_ins, INS_SYMBOLS
+
+    df = _colval_df(spark)
+    for r in token_ins(df).collect():
+        toks = r["augmented"].split()
+        assert len(toks) == len(COLVAL.split()) + 1
+        added = [t for t in toks if t in INS_SYMBOLS]
+        assert len(added) >= 1
+
+
+def test_augment_all_randaugment(spark):
+    from ditto_spark.operators.augment import augment_all
+
+    df = _colval_df(spark, n=12)
+    out = {r["doc_id"]: r["augmented"] for r in augment_all(df).collect()}
+    assert len(out) == 12
+    # deterministic under repartition
+    again = {
+        r["doc_id"]: r["augmented"]
+        for r in augment_all(df.repartition(7)).collect()
+    }
+    assert out == again
+    # the op sequence varies by id → not all outputs identical
+    assert len(set(out.values())) > 1
+    for v in out.values():
+        assert len(v.split()) >= 1
+
+
+def test_flip_entries_half_and_involution(spark):
+    from ditto_spark.operators.augment import flip_entries
+
+    rows = [(f"l{i}", f"r{i}", f"Ltext{i}", f"Rtext{i}") for i in range(200)]
+    pairs = spark.createDataFrame(
+        rows, "left_id string, right_id string, left_txt string, right_txt string"
+    )
+    flipped = flip_entries(pairs)
+    frac = (
+        flipped.where(F.col("left_txt").startswith("R")).count() / 200
+    )
+    assert 0.35 < frac < 0.65  # ~50% flip rate
+    # involution: flipping twice restores the original pairs
+    twice = flip_entries(flipped)
+    diff = twice.join(
+        pairs,
+        ["left_id", "right_id", "left_txt", "right_txt"],
+        "left_anti",
+    ).count()
+    assert diff == 0
