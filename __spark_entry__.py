@@ -525,6 +525,23 @@ def q_normalize_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_numbers(docs).select("doc_id", "normalized")
 
 
+def q_dk_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 NER-marker DK injection (knowledge.py:110-160 general mode),
+    regex/gazetteer approximation (spaCy absent — documented in textprep):
+    marker token before each recognized entity + number normalization."""
+    from ditto_spark.operators.textprep import dk_inject
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"), F.lit("1999 12:30 99% $5.00 3kg acme")
+        ).alias("text"),
+    )
+    return dk_inject(docs, gazetteer={"ORG": ["acme"]}).select(
+        "doc_id", "injected"
+    )
+
+
 def q_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ditto_spark.operators.textprep import detect_language
 
@@ -842,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
         "tfidf_summarize": q_tfidf_summarize,
         "normalize_numbers": q_normalize_numbers,
+        "dk_inject": q_dk_inject,
         "detect_language": q_detect_language,
         "crowd_wawa": q_crowd_wawa,
         "worker_pivot": q_worker_pivot,
@@ -1008,6 +1026,32 @@ def oracle_sql() -> dict[str, str]:
                        WHEN length(x) >= 7 AND regexp_matches(x, '[0-9]')
                          THEN 'ID' || x
                        ELSE x END), ' ') AS normalized
+            FROM t
+        """,
+        "dk_inject": """
+            WITH t AS (
+              SELECT doc_id, text || ' 1999 12:30 99% $5.00 3kg acme' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                     list_filter(string_split(text, ' '), x -> x <> ''),
+                     x -> CASE
+                       WHEN list_contains(['acme'], lower(x)) THEN 'ORG '
+                       WHEN regexp_matches(lower(x), '^\\d{1,2}:\\d{2}(:\\d{2})?(am|pm)?$') THEN 'TIME '
+                       WHEN regexp_matches(lower(x), '^((19|20)\\d{2}|\\d{1,2}/\\d{1,2}/\\d{2,4}|january|february|march|april|may|june|july|august|september|october|november|december)$') THEN 'DATE '
+                       WHEN regexp_matches(lower(x), '^\\$\\d[\\d,]*(\\.\\d+)?$') THEN 'MONEY '
+                       WHEN regexp_matches(lower(x), '^\\d+(\\.\\d+)?%$') THEN 'PERCENT '
+                       WHEN regexp_matches(lower(x), '^\\d+(\\.\\d+)?(oz|kg|g|lb|lbs|ml|l|cm|mm|in|ft|gb|mb|tb|ghz|mhz)$') THEN 'QUANTITY '
+                       ELSE '' END ||
+                     CASE
+                       WHEN regexp_matches(x, '^[0-9]+$') AND length(x) <= 18
+                         THEN CAST(CAST(x AS BIGINT) AS VARCHAR)
+                       WHEN regexp_matches(x, '^[0-9]+\\.[0-9]+$') AND length(x) <= 18
+                         THEN printf('%.2f', CAST(x AS DOUBLE))
+                       WHEN length(x) >= 7 AND regexp_matches(x, '[0-9]')
+                         THEN 'ID ' || x
+                       ELSE x END), ' ') AS injected
             FROM t
         """,
         "detect_language": f"""

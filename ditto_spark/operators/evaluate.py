@@ -83,6 +83,35 @@ def tune_threshold(scored_with_labels: DataFrame, **grid_kwargs) -> float:
     return float(best["tau"])
 
 
+def tune_threshold_verified(
+    scored_with_labels: DataFrame,
+    rescore,
+    atol: float = 1e-9,
+    **grid_kwargs,
+) -> tuple[float, float, float]:
+    """M4's full tune-then-VERIFY flow (matcher.py:229-252): sweep τ on the
+    validation probs, then RE-RUN the predict path from scratch (`rescore`
+    is a zero-arg callable returning a fresh (prob, label) DataFrame — a
+    fresh plan through the scorer, not the cached probs) at the chosen τ
+    and compare the achieved F1 against the sweep's claimed best. A
+    mismatch beyond atol means the scorer is nondeterministic between runs
+    (exactly what the reference's real_f1-vs-load_f1 check guards) and
+    raises. Returns (tau, swept_f1, verified_f1)."""
+    grid = threshold_grid_f1(scored_with_labels, **grid_kwargs)
+    best = grid.orderBy(F.desc("f1"), F.asc("tau")).limit(1).collect()[0]
+    tau, swept_f1 = float(best["tau"]), float(best["f1"])
+    fresh = rescore()
+    decided = fresh.withColumn("match", (F.col("prob") > F.lit(tau)).cast("int"))
+    verified_f1 = float(confusion_f1(decided).collect()[0]["f1"])
+    if abs(verified_f1 - swept_f1) > atol:
+        raise RuntimeError(
+            f"threshold verification failed: sweep claimed F1={swept_f1} at "
+            f"tau={tau} but re-running predict measured F1={verified_f1} — "
+            "the scorer is not deterministic across runs"
+        )
+    return tau, swept_f1, verified_f1
+
+
 def cluster_pairwise_f1(predicted: DataFrame, truth: DataFrame) -> DataFrame:
     """Cluster-level metric: precision/recall/F1 over implied within-cluster
     pairs. predicted/truth: (conv_id, cluster_id).

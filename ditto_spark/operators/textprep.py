@@ -135,6 +135,93 @@ def normalize_numbers(
     )
 
 
+# --- P4 NER-marker DK injection (regex/gazetteer approximation) -----------
+#
+# The reference inserts a marker token before each spaCy-NER entity span
+# (knowledge.py:53-106 product mode → PRODUCT/NUM; knowledge.py:110-160
+# general mode → the entity label itself), then number-normalizes. spaCy is
+# not installed in this container, so entity recognition here is a
+# DOCUMENTED APPROXIMATION: deterministic regex classes for the
+# date/time/money/percent/quantity entity families (which regexes capture
+# well) plus a caller-supplied gazetteer for the name-like families
+# (PERSON/ORG/LOC/PRODUCT — which regexes cannot capture; production swaps
+# in a spaCy mapInPandas over the same marker contract). Zero-shuffle JVM
+# projection either way.
+
+DK_REGEX_LABELS: list[tuple[str, str]] = [
+    ("TIME", r"^\d{1,2}:\d{2}(:\d{2})?(am|pm)?$"),
+    ("DATE", r"^((19|20)\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|january|february|march|april|may|june|july|august|september|october|november|december)$"),
+    ("MONEY", r"^\$\d[\d,]*(\.\d+)?$"),
+    ("PERCENT", r"^\d+(\.\d+)?%$"),
+    ("QUANTITY", r"^\d+(\.\d+)?(oz|kg|g|lb|lbs|ml|l|cm|mm|in|ft|gb|mb|tb|ghz|mhz)$"),
+]
+
+# product mode folds labels to two markers (knowledge.py:78-84)
+_PRODUCT_FOLD = {
+    "TIME": "NUM", "DATE": "NUM", "MONEY": "NUM", "PERCENT": "NUM",
+    "QUANTITY": "NUM",
+    "PERSON": "PRODUCT", "ORG": "PRODUCT", "LOC": "PRODUCT",
+    "GPE": "PRODUCT", "NORP": "PRODUCT", "PRODUCT": "PRODUCT",
+}
+
+
+def dk_inject(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "injected",
+    mode: str = "general",
+    gazetteer: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Insert an entity-marker token before each recognized token, then
+    number-normalize, mirroring DKInjector.transform's walk
+    (knowledge.py:87-106): marker + (normalized) token.
+
+    mode='general' emits the entity label (GeneralDKInjector); 'product'
+    folds to PRODUCT/NUM (ProductDKInjector). gazetteer maps a label to
+    lowercase single-token entries, e.g. {"ORG": ["apple", "ibm"]}."""
+    gaz = gazetteer or {}
+
+    def label_of(t: F.Column) -> F.Column:
+        expr = F.lit(None).cast("string")
+        cases: list[tuple[F.Column, str]] = []
+        for label, toks in gaz.items():
+            cases.append((F.lower(t).isin(*toks), label))
+        for label, pat in DK_REGEX_LABELS:
+            cases.append((F.lower(t).rlike(pat), label))
+        for cond, label in reversed(cases):
+            out = label if mode == "general" else _PRODUCT_FOLD.get(label, label)
+            expr = F.when(cond, F.lit(out)).otherwise(expr)
+        return expr
+
+    def norm(t: F.Column) -> F.Column:
+        # knowledge.py:91-105 number normalization (shared semantics with
+        # normalize_numbers; 18-char cap per the ANSI-overflow guard)
+        return (
+            F.when(
+                t.rlike("^[0-9]+$") & (F.length(t) <= 18),
+                t.cast("bigint").cast("string"),
+            )
+            .when(
+                t.rlike("^[0-9]+\\.[0-9]+$") & (F.length(t) <= 18),
+                F.format_string("%.2f", t.cast("double")),
+            )
+            .when(
+                (F.length(t) >= 7) & t.rlike("[0-9]"),
+                F.concat(F.lit("ID "), t),
+            )
+            .otherwise(t)
+        )
+
+    def render(t: F.Column) -> F.Column:
+        lab = label_of(t)
+        return F.when(lab.isNotNull(), F.concat(lab, F.lit(" "), norm(t))).otherwise(
+            norm(t)
+        )
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    return df.withColumn(out_col, F.concat_ws(" ", F.transform(toks, render)))
+
+
 def detect_language(
     df: DataFrame, text_col: str = "text", out_col: str = "detected_lang"
 ) -> DataFrame:

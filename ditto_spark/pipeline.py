@@ -59,25 +59,37 @@ def tune_threshold_on_pairs(
     serialized: DataFrame,
     labeled_pairs: DataFrame,
     cfg: PipelineConfig | None = None,
+    verify: bool = True,
 ) -> float:
     """M4 validation flow (matcher.py:192-253 / ditto.py:98-109): score the
     labeled validation pairs with the SAME scorer the pipeline uses, sweep
-    the τ grid distributed, return argmax-F1 τ (ties → lowest τ)."""
-    from ditto_spark.operators.evaluate import tune_threshold
+    the τ grid distributed, return argmax-F1 τ (ties → lowest τ).
+
+    verify=True replicates the reference's predict-then-verify loop
+    (matcher.py:229-252): the scorer re-runs from scratch at the chosen τ
+    and the achieved F1 must reproduce the sweep's claim — guarding against
+    a nondeterministic scorer."""
+    from ditto_spark.operators.evaluate import tune_threshold, tune_threshold_verified
 
     cfg = cfg or PipelineConfig()
-    with_text = attach_pair_text(
-        labeled_pairs.select("left_id", "right_id"), serialized
-    )
-    scored = (
-        score_pairs(with_text) if cfg.use_arrow_udf_scorer
-        else score_pairs_builtin(with_text)
-    )
-    labeled = scored.join(
-        labeled_pairs.select("left_id", "right_id", "label"),
-        ["left_id", "right_id"],
-    )
-    return tune_threshold(labeled)
+
+    def score_fresh() -> DataFrame:
+        with_text = attach_pair_text(
+            labeled_pairs.select("left_id", "right_id"), serialized
+        )
+        scored = (
+            score_pairs(with_text) if cfg.use_arrow_udf_scorer
+            else score_pairs_builtin(with_text)
+        )
+        return scored.join(
+            labeled_pairs.select("left_id", "right_id", "label"),
+            ["left_id", "right_id"],
+        )
+
+    if verify:
+        tau, _, _ = tune_threshold_verified(score_fresh(), score_fresh)
+        return tau
+    return tune_threshold(score_fresh())
 
 
 def dedup_transcripts_tuned(

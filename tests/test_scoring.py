@@ -133,3 +133,23 @@ def test_threshold_sweep(spark):
     best = grid.orderBy(F.desc("f1"), F.asc("tau")).limit(1).collect()[0]
     assert abs(best["f1"] - 1.0) < 1e-9
     assert abs(tau - 0.40) < 1e-9
+
+
+def test_tune_threshold_verified_roundtrip(spark):
+    """The verify loop re-runs the scorer and must reproduce the sweep's F1
+    (matcher.py:229-252 semantics); a lying rescore must raise."""
+    import pytest
+
+    from ditto_spark.operators.evaluate import tune_threshold_verified
+
+    rows = [(0.7, 1), (0.9, 1), (0.8, 1), (0.4, 0), (0.2, 0), (0.3, 0)]
+    df = spark.createDataFrame(rows, "prob double, label int")
+    tau, swept, verified = tune_threshold_verified(df, lambda: df)
+    assert abs(swept - verified) < 1e-12
+    assert abs(tau - 0.40) < 1e-9
+
+    flipped = spark.createDataFrame(
+        [(1.0 - p, l) for p, l in rows], "prob double, label int"
+    )
+    with pytest.raises(RuntimeError, match="not deterministic"):
+        tune_threshold_verified(df, lambda: flipped)

@@ -97,3 +97,41 @@ def test_detect_language(spark):
     )
     out = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_dk_inject_general_markers(spark):
+    from ditto_spark.operators.textprep import dk_inject
+
+    df = _docs(spark, [(1, "meeting on 1999 at 12:30 cost $5.00 and 3kg of acme stuff")])
+    out = dk_inject(
+        df, out_col="injected", gazetteer={"ORG": ["acme"]}
+    ).collect()[0]["injected"]
+    assert "DATE 1999" in out
+    assert "TIME 12:30" in out
+    assert "MONEY $5.00" in out
+    assert "QUANTITY 3kg" in out
+    assert "ORG acme" in out
+    # unmarked tokens pass through
+    assert out.startswith("meeting on DATE 1999")
+
+
+def test_dk_inject_product_mode_folds_labels(spark):
+    from ditto_spark.operators.textprep import dk_inject
+
+    df = _docs(spark, [(1, "apple device 1999 99% off")])
+    out = dk_inject(
+        df, out_col="injected", mode="product", gazetteer={"ORG": ["apple"]}
+    ).collect()[0]["injected"]
+    assert "PRODUCT apple" in out
+    assert "NUM 1999" in out
+    assert "NUM 99%" in out
+
+
+def test_dk_inject_number_normalization_matches_reference_walk(spark):
+    from ditto_spark.operators.textprep import dk_inject
+
+    df = _docs(spark, [(1, "007 3.14159 sku12345 plain")])
+    out = dk_inject(df, out_col="injected").collect()[0]["injected"]
+    # ints canonicalized, floats %.2f, long digit-bearing tokens get a
+    # separate 'ID' marker token (knowledge.py:100-103 'ID ' + token)
+    assert out == "7 3.14 ID sku12345 plain"
