@@ -5,13 +5,23 @@ prints ONE JSON line:
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Extra keys (pairs/sec throughput, core count) ride along for the scaling
-analysis in BENCH/BASELINE.md: running this script at two parallelism levels
-(SPARK_GRAFT_CPUS=8 vs 32) on identical input evidences the north rule's
-N→4N scaling-efficiency criterion in a single-box sandbox.
+Robustness (round-2 fix — the round-1 driver run landed 4.2x above the
+committed number because this VM shows sporadic ~10x stalls): the flagship
+query runs $SPARK_GRAFT_BENCH_REPEAT (default 2) times in one JVM with the
+cache cleared between runs (cold data, warm JIT — steady-state cost); the
+MINIMUM is the headline and every run is reported in `flagship_runs`.
+Per-stage wall times for the flagship (serialize / blocking / score /
+connected components) ride along in `stages`, and the host's 1-minute load
+average is sampled before and after so a contended run is visible in the
+JSON itself.
 
-Each timed query is forced end-to-end with a noop-format write (materializes
-every column — unlike count(), nothing is pruned).
+Each timed query is forced end-to-end with a cache+count (materializes
+every column).
+
+Extra keys (pairs/sec throughput, core count) feed the scaling analysis in
+BENCH/BASELINE.md: running this script at two parallelism levels on
+identical input evidences the north rule's N→4N scaling-efficiency
+criterion in a single-box sandbox (see bench_scaling.py).
 """
 
 from __future__ import annotations
@@ -32,9 +42,17 @@ def _force(df) -> int:
     return n
 
 
+def _loadavg() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:
@@ -45,6 +63,7 @@ def main() -> None:
     from ditto_spark.pipeline import dedup_transcripts, PipelineConfig
     import __spark_entry__ as E
 
+    load_start = _loadavg()
     spark = get_spark("ditto_spark_bench", cores=cores)
     # Warm-up: a miniature end-to-end pipeline compiles the (large) codegen
     # for the 64-permutation MinHash projection, spawns the Python UDF
@@ -55,6 +74,7 @@ def main() -> None:
         generate_transcripts(spark, n_base=60, seed=7), PipelineConfig()
     )
     _warm.clusters.count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -67,7 +87,7 @@ def main() -> None:
     # --- flagship: full transcript linkage (serialize → LSH → Arrow-UDF
     # scorer → threshold → connected components) on the deterministic
     # synthetic corpus, sized by sf (sf0.1 → 20k base conversations,
-    # ~57k entities after planted duplicates, ~500k turns).
+    # ~57k entities after planted duplicates, ~330k turns).
     n_base = int(os.environ.get("SPARK_GRAFT_BENCH_NBASE", "0")) or max(
         int(200_000 * sf), 200
     )
@@ -76,34 +96,80 @@ def main() -> None:
     ).cache()
     n_turns = transcripts.count()  # materialize synth outside the timed region
 
-    # full pipeline timed FIRST (blocking timed after, on a fresh plan, so
-    # no lingering cache blocks can be attributed to the wrong query).
-    # dedup_transcripts is timed as a whole: the connected-components loop
-    # executes eagerly (per-round localCheckpoint) during construction.
-    t0 = time.monotonic()
-    res = dedup_transcripts(transcripts, PipelineConfig())
-    counts["transcript_full_dedup"] = _force(res.clusters)
-    timings["transcript_full_dedup"] = round(time.monotonic() - t0, 3)
+    # flagship timed as a whole (the connected-components loop executes
+    # eagerly during construction), `repeat` times, min kept. The cache is
+    # cleared between runs (the pipeline's internal persists would
+    # otherwise make run 2 a cache read); transcripts are re-cached
+    # OUTSIDE the timed region.
+    flagship_runs: list[float] = []
+    for _ in range(repeat):
+        spark.catalog.clearCache()
+        transcripts.cache()
+        transcripts.count()
+        t0 = time.monotonic()
+        res = dedup_transcripts(transcripts, PipelineConfig())
+        counts["transcript_full_dedup"] = _force(res.clusters)
+        flagship_runs.append(round(time.monotonic() - t0, 3))
+    timings["transcript_full_dedup"] = min(flagship_runs)
 
-    res2 = dedup_transcripts(transcripts, PipelineConfig())
+    # per-stage breakdown (one staged pass, cold data / warm JIT): stage
+    # boundaries materialized so each wall time is attributable. The staged
+    # total ≈ the flagship (same operators; extra persists at boundaries).
+    from ditto_spark.operators.serialize import serialize_conversations
+    from ditto_spark.operators.blocking import block_minhash_lsh
+    from ditto_spark.operators.scoring import attach_pair_text, score_pairs, apply_threshold
+    from ditto_spark.operators.cluster import assign_clusters
+    import pyspark.sql.functions as F
+
+    spark.catalog.clearCache()
+    transcripts.cache()
+    transcripts.count()
+    stages: dict[str, float] = {}
+    cfg = PipelineConfig()
+
     t0 = time.monotonic()
-    n_cand = _force(res2.candidates.select("left_id", "right_id", "est_jaccard"))
-    timings["transcript_blocking"] = round(time.monotonic() - t0, 3)
-    counts["transcript_blocking"] = n_cand
+    ser = serialize_conversations(transcripts).persist()
+    ser.count()
+    stages["serialize"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    cand = block_minhash_lsh(
+        ser, text_col="block_text", shingle_n=cfg.shingle_n,
+        num_perm=cfg.num_perm, num_bands=cfg.num_bands,
+        rows_per_band=cfg.rows_per_band, max_bucket=cfg.max_bucket,
+        threshold=cfg.lsh_prefilter,
+    ).persist()
+    n_cand_full = cand.count()
+    stages["blocking"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    wt = attach_pair_text(cand, ser).repartition(2 * cores)
+    scored = score_pairs(wt).persist()
+    scored.count()
+    stages["score"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    matches = apply_threshold(scored, cfg.tau).where(F.col("match") == 1)
+    clusters = assign_clusters(
+        ser, matches.select("left_id", "right_id"), assume_unique=True
+    )
+    clusters.count()
+    stages["threshold_cc"] = round(time.monotonic() - t0, 3)
+    counts["transcript_blocking"] = n_cand_full
+    timings["transcript_blocking"] = stages["blocking"]
 
     # --- document near-dup pipeline + LSH candidates on driver testdata
-    timed("doc_dedup_clusters", E.q_doc_dedup_clusters(spark, sf_dir))
-    timed("minhash_lsh_candidates", E.q_minhash_lsh_candidates(spark, sf_dir))
-    timed("serialize_events", E.q_serialize_events(spark, sf_dir))
-    timed("embedding_cosine_topk", E.q_embedding_cosine_topk(spark, sf_dir))
-    timed("ngram_jaccard_pairs", E.q_ngram_jaccard_pairs(spark, sf_dir))
+    # (skipped for scaling runs, which only need the flagship)
+    if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
+        timed("doc_dedup_clusters", E.q_doc_dedup_clusters(spark, sf_dir))
+        timed("minhash_lsh_candidates", E.q_minhash_lsh_candidates(spark, sf_dir))
+        timed("serialize_events", E.q_serialize_events(spark, sf_dir))
+        timed("embedding_cosine_topk", E.q_embedding_cosine_topk(spark, sf_dir))
+        timed("ngram_jaccard_pairs", E.q_ngram_jaccard_pairs(spark, sf_dir))
 
     transcripts.unpersist()
     total = round(sum(timings.values()), 3)
     # headline throughput: candidate pairs pushed through the full
     # serialize→block→score→cluster job
     full_t = timings["transcript_full_dedup"]
-    pairs_per_sec = round(n_cand / full_t, 1) if full_t > 0 else 0.0
+    pairs_per_sec = round(n_cand_full / full_t, 1) if full_t > 0 else 0.0
 
     print(
         json.dumps(
@@ -115,9 +181,13 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 "rows": counts,
+                "stages": stages,
+                "flagship_runs": flagship_runs,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
                 "n_turns": n_turns,
                 "n_base_conversations": n_base,
-                "candidate_pairs": n_cand,
+                "candidate_pairs": n_cand_full,
                 "candidate_pairs_per_sec": pairs_per_sec,
             }
         )

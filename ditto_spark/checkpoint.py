@@ -208,7 +208,9 @@ def dedup_transcripts_checkpointed(
     )
     clusters = store.materialize(
         "clusters",
-        lambda: assign_clusters(serialized, matches.select("left_id", "right_id")),
+        lambda: assign_clusters(
+            serialized, matches.select("left_id", "right_id"), assume_unique=True
+        ),
         ["matches", "serialized"],
     )
     return PipelineResult(serialized, candidates, scored, matches, clusters)

@@ -62,36 +62,68 @@ def connected_components(
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_iter: int = 50,
+    check_every: int = 2,
+    rows_per_partition: int = 200_000,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """(left_id, right_id) match edges → (conv_id, cluster_id) with
     cluster_id = min node id of the component. Nodes appearing only as
-    singletons must be unioned in by the caller (see assign_clusters)."""
+    singletons must be unioned in by the caller (see assign_clusters).
+
+    Serial-fraction controls (the loop is the pipeline's only
+    driver-synchronized iteration, so its fixed costs cap scaling
+    efficiency):
+    * convergence is tested every `check_every` rounds — the lazy
+      localCheckpoints of the rounds in between fold into one job, halving
+      driver barriers (two stable consecutive signatures are required
+      anyway since one round can be a fixed point of only one star);
+    * the loop's shuffles run at a partition count sized to the EDGE table
+      (edges ≪ corpus; the session's shuffle.partitions is sized for the
+      corpus): max(4, n_edges/rows_per_partition) capped at the session
+      setting. On a 1000-executor cluster the same knob keeps thousands of
+      near-empty reducers out of every round."""
+    spark = pairs.sparkSession
     e = pairs.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
     ).where(F.col("a") != F.col("b"))
-    edges = (
-        e.select(
-            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    oriented = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     )
+    if not assume_unique:
+        # candidate pipelines emit unique (left < right) pairs already —
+        # pass assume_unique=True there to skip this full-edge-set shuffle
+        oriented = oriented.distinct()
+    edges = oriented.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.select(
+            F.col("u").alias("conv_id"), F.col("v").alias("cluster_id")
+        )
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(4, min(session_parts, n_edges // rows_per_partition + 1))
 
     prev_sig = None
     converged = False
-    for _ in range(max_iter):
-        # lazy checkpoint: the signature collect below materializes it, so
-        # each round costs ONE driver-synchronized job instead of two
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        sig_row = edges.select(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for rnd in range(max_iter):
+            # lazy checkpoint: the signature collect below materializes it
+            # (with the intermediate rounds), so convergence costs ONE
+            # driver-synchronized job per check_every rounds
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            if (rnd + 1) % check_every != 0 and rnd + 1 < max_iter:
+                continue
+            sig_row = edges.select(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["h"])
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     if not converged:
         # At a non-fixed-point a node can still carry different cluster ids
         # on its u- and v-sides — fail loudly instead of emitting an
@@ -116,9 +148,14 @@ def connected_components(
     )
 
 
-def assign_clusters(all_ids: DataFrame, pairs: DataFrame, id_col: str = "conv_id") -> DataFrame:
+def assign_clusters(
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "conv_id",
+    assume_unique: bool = False,
+) -> DataFrame:
     """Full assignment: matched components + singletons as their own cluster."""
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, assume_unique=assume_unique)
     return (
         all_ids.select(F.col(id_col).alias("conv_id"))
         .distinct()

@@ -148,5 +148,9 @@ def dedup_transcripts(
         scored = score_pairs_builtin(with_text)
     decided = apply_threshold(scored, cfg.tau)
     matches = decided.where(F.col("match") == 1)
-    clusters = assign_clusters(serialized, matches.select("left_id", "right_id"))
+    # candidates are distinct (left < right) by construction → the CC init
+    # can skip its dedup shuffle over the full edge set
+    clusters = assign_clusters(
+        serialized, matches.select("left_id", "right_id"), assume_unique=True
+    )
     return PipelineResult(serialized, candidates, scored, matches, clusters)

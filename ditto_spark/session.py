@@ -13,6 +13,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir(min_free_bytes: int = 8 << 30) -> str:
+    """tmpfs scratch dir when it exists AND has headroom; /tmp otherwise."""
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= min_free_bytes:
+                return "/dev/shm/spark-local"
+        except OSError:
+            pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "ditto_spark",
     cores: int | None = None,
@@ -66,10 +78,9 @@ def get_spark(
         # shuffle/spill files on tmpfs when available: the sandbox's /tmp is
         # disk-backed and shuffle-file IO showed up as ~90% system time,
         # flattening core-count scaling. A real cluster would use local NVMe.
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-        )
+        # Falls back to /tmp when tmpfs has <8 GiB free — correctness must
+        # not depend on /dev/shm being free (shuffle spill would ENOSPC).
+        .config("spark.local.dir", _local_dir())
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -45,3 +45,21 @@ def test_reference_beer_idf_surrogate_beats_plain(spark):
 
     r = evaluate_dataset(spark, "Structured/Beer", use_arrow_udf=True, use_idf=True)
     assert r["f1"] >= 0.75, r
+
+
+def test_reference_beer_relational_idf_identical_to_dict(spark):
+    """The corpus-scale relational IDF path (token-index join, no driver
+    vocabulary collect) must reproduce the closure-dict path's F1/tau
+    exactly on a real reference dataset."""
+    if not os.path.exists(f"{REF}/Structured/Beer/valid.txt"):
+        pytest.skip("reference data not available")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.run_reference_eval import evaluate_dataset
+
+    rel = evaluate_dataset(spark, "Structured/Beer", idf_mode="relational")
+    dct = evaluate_dataset(spark, "Structured/Beer", idf_mode="dict")
+    assert rel["f1"] == dct["f1"], (rel, dct)
+    assert rel["tau"] == dct["tau"]
+    assert (rel["tp"], rel["fp"], rel["fn"]) == (dct["tp"], dct["fp"], dct["fn"])

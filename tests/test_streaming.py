@@ -108,8 +108,16 @@ def test_stateful_sessionize_matches_batch_serializer(spark, tmp_path):
     mk = lambda rows: (  # noqa: E731
         spark.createDataFrame(rows, schema_str).withColumn("ts", F.to_timestamp("ts"))
     )
-    mk(a_turns).write.mode("append").parquet(src)
-    mk(late).write.mode("append").parquet(src)
+    # one file per logical batch + distinct mtimes: multi-part writes with
+    # maxFilesPerTrigger=1 process in arbitrary order, and if the late
+    # (watermark-advancing) file lands before one of A's part files, A's
+    # remaining turns are dropped as late data — an ordering artifact of
+    # the test harness, not the operator
+    import time as _time
+
+    mk(a_turns).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    mk(late).coalesce(1).write.mode("append").parquet(src)
 
     stream = spark.readStream.schema(
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
