@@ -502,6 +502,20 @@ def q_tfidf_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_summarize(docs, idx, max_tokens=16)
 
 
+def q_tfidf_summarize_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 with the reference's LM-subword budget (summarize.py:54-114):
+    rarest distinct tokens admitted while cumulative estimated subword cost
+    (ceil(len/4), floor 1 — portable BPE-ish proxy) stays ≤ 24; original
+    order preserved. Running-sum window, no Python."""
+    from ditto_spark.operators.textprep import (
+        token_document_frequency, tfidf_summarize,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = token_document_frequency(docs)
+    return tfidf_summarize(docs, idx, max_subwords=24)
+
+
 def _with_numeric_text(docs: DataFrame) -> DataFrame:
     """documents text is plain words; append deterministic numeric tokens so
     normalization has work to do (same construction in the SQL oracle)."""
@@ -858,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
         "tfidf_summarize": q_tfidf_summarize,
+        "tfidf_summarize_budget": q_tfidf_summarize_budget,
         "normalize_numbers": q_normalize_numbers,
         "dk_inject": q_dk_inject,
         "detect_language": q_detect_language,
@@ -1002,6 +1017,31 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY df_cnt ASC, token ASC) AS rk
                 FROM dtok)
               WHERE rk <= 16
+            )
+            SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS summary
+            FROM tok t JOIN kept k ON t.doc_id = k.doc_id AND t.token = k.token
+            GROUP BY t.doc_id
+        """,
+        "tfidf_summarize_budget": f"""
+            WITH tok AS (
+              SELECT doc_id, l[i] AS token, i AS pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                   unnest(generate_series(1, len(l))) u(i)
+              WHERE l[i] <> '' AND NOT list_contains({SUMMARIZE_STOPWORDS!r}, l[i])
+            ), dfreq AS (
+              SELECT token, count(DISTINCT doc_id) AS df_cnt FROM tok GROUP BY token
+            ), dtok AS (
+              SELECT DISTINCT t.doc_id, t.token, d.df_cnt
+              FROM tok t JOIN dfreq d USING (token)
+            ), kept AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id, token,
+                       sum(greatest(1, ceil(length(token) / 4.0)))
+                         OVER (PARTITION BY doc_id
+                               ORDER BY df_cnt ASC, token ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM dtok)
+              WHERE cum <= 24
             )
             SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS summary
             FROM tok t JOIN kept k ON t.doc_id = k.doc_id AND t.token = k.token

@@ -158,8 +158,11 @@ def candidates_from_bands(
     right = salted.select(
         "band_idx", "band_key", "salt", F.col(id_col).alias("right_id")
     )
+    # shuffle_hash: both sides are the same banded table; hashing one side
+    # beats sort-merge's double sort (the build side per partition is
+    # |bands|·n/parts compact rows)
     return (
-        left.join(right, ["band_idx", "band_key", "salt"])
+        left.join(right.hint("shuffle_hash"), ["band_idx", "band_key", "salt"])
         .where(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
@@ -170,11 +173,18 @@ def estimated_jaccard(
     pairs: DataFrame, sig_df: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:
     """Attach the MinHash Jaccard estimate: fraction of agreeing signature
-    components. Two broadcast-or-shuffle hash joins, then a zip_with mean —
-    still zero Python."""
+    components, zero Python.
+
+    The signature side carries a 64-long array (~0.5 KB/row) — too wide to
+    broadcast at corpus scale, and a sort-merge join would SORT the pair
+    table twice with that payload attached (measured as the blocking
+    stage's scaling drag). The shuffle_hash hint builds the hash map on the
+    compact signature side and streams the pairs — no sort of either side."""
     ls = sig_df.select(F.col(id_col).alias("left_id"), F.col("sig").alias("lsig"))
     rs = sig_df.select(F.col(id_col).alias("right_id"), F.col("sig").alias("rsig"))
-    joined = pairs.join(ls, "left_id").join(rs, "right_id")
+    joined = pairs.join(ls.hint("shuffle_hash"), "left_id").join(
+        rs.hint("shuffle_hash"), "right_id"
+    )
     agree = F.aggregate(
         F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int")),
         F.lit(0),

@@ -28,13 +28,20 @@ import pyspark.sql.functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """edges oriented (u, v), u > v. Returns (u, v) with u > v."""
+    """edges oriented (u, v), u > v. Returns (u, v) with u > v.
+
+    m = min(Γ(u) ∪ u) via an unordered per-u window — ONE shuffle instead
+    of the groupBy+rejoin formulation's two (the rejoin also forced a sort
+    or hash build per round; rounds dominate the pipeline's serial
+    fraction, so per-round stages are what the scaling gate buys)."""
+    from pyspark.sql import Window
+
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -44,12 +51,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """edges oriented (u, v) with v < u (large-star output). Returns the
-    same orientation."""
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    emit_n = edges.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
+    same orientation. Same one-window-shuffle shape as _large_star; the
+    self-edge (u, m) is emitted by tagging each group's first row rather
+    than re-aggregating."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
+    wo = Window.partitionBy("u").orderBy("v")
+    withm = edges.withColumn("m", F.min("v").over(w)).withColumn(
+        "rn", F.row_number().over(wo)
     )
-    emit_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    emit_n = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    emit_self = withm.where(F.col("rn") == 1).select("u", F.col("m").alias("v"))
     return (
         emit_n.unionByName(emit_self)
         .where(F.col("u") != F.col("v"))

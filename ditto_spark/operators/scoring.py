@@ -317,9 +317,21 @@ def attach_pair_text(
     if max_chars is not None:
         txt = F.substring(txt, 1, max_chars)
     ser = serialized.select(F.col(id_col), txt.alias("entity_text"))
+    # shuffle_hash: build on the entity side (one row per conversation),
+    # stream the (much larger) pair side — a sort-merge join would sort the
+    # pair table twice with text payloads attached. Catalyst still upgrades
+    # to broadcast when the entity table fits the threshold.
     return (
-        pairs.join(ser.withColumnsRenamed({id_col: "left_id", "entity_text": "left_txt"}), "left_id")
-        .join(ser.withColumnsRenamed({id_col: "right_id", "entity_text": "right_txt"}), "right_id")
+        pairs.join(
+            ser.withColumnsRenamed({id_col: "left_id", "entity_text": "left_txt"})
+            .hint("shuffle_hash"),
+            "left_id",
+        )
+        .join(
+            ser.withColumnsRenamed({id_col: "right_id", "entity_text": "right_txt"})
+            .hint("shuffle_hash"),
+            "right_id",
+        )
     )
 
 

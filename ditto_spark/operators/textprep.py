@@ -59,6 +59,15 @@ def token_document_frequency(
     return per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
 
 
+def subword_cost_expr(token: F.Column) -> F.Column:
+    """Deterministic LM-subword-count ESTIMATE: ceil(len/4), floor 1 — a
+    BPE-ish proxy for the reference's cached tokenizer lengths
+    (summarize.py:54-61; no HF tokenizer in this container). Engine-
+    portable (the DuckDB oracle computes the same formula), and the same
+    per-token arithmetic a real tokenizer-length dict would slot into."""
+    return F.greatest(F.lit(1), F.ceil(F.length(token) / 4.0)).cast("long")
+
+
 def tfidf_summarize(
     df: DataFrame,
     df_index: DataFrame,
@@ -66,15 +75,21 @@ def tfidf_summarize(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "summary",
+    max_subwords: int | None = None,
 ) -> DataFrame:
-    """Keep each document's `max_tokens` rarest distinct tokens (df_cnt asc,
-    token asc), all occurrences, in original order; stopwords dropped.
+    """Keep each document's rarest distinct tokens (df_cnt asc, token asc),
+    all occurrences, in original order; stopwords dropped. Budget is either
+    `max_tokens` distinct tokens (default) or, when `max_subwords` is set,
+    the reference's LM-subword budget (summarize.py:63-114): distinct
+    tokens are admitted in rarity order while their cumulative estimated
+    subword cost stays ≤ max_subwords — a running-sum window, not a Python
+    loop.
 
     Plan: posexplode → join DF index (broadcast when small — Catalyst
-    decides) → per-doc ranking window over the distinct token set →
-    semi-join positions back → ordered re-concat. Two shuffles, both keyed
-    by doc — at 100 TB the DF index join is the only wide join and the
-    index is orders of magnitude smaller than the corpus."""
+    decides) → per-doc ranking/running-sum window over the distinct token
+    set → semi-join positions back → ordered re-concat. Two shuffles, both
+    keyed by doc — at 100 TB the DF index join is the only wide join and
+    the index is orders of magnitude smaller than the corpus."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
@@ -84,11 +99,20 @@ def tfidf_summarize(
     )
     distinct_tokens = with_df.groupBy(id_col, "token").agg(F.min("df_cnt").alias("df_cnt"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df_cnt"), F.asc("token"))
-    kept = (
-        distinct_tokens.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= max_tokens)
-        .select(id_col, "token")
-    )
+    if max_subwords is not None:
+        kept = (
+            distinct_tokens.withColumn(
+                "cum", F.sum(subword_cost_expr(F.col("token"))).over(w)
+            )
+            .where(F.col("cum") <= max_subwords)
+            .select(id_col, "token")
+        )
+    else:
+        kept = (
+            distinct_tokens.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= max_tokens)
+            .select(id_col, "token")
+        )
     kept_pos = with_df.join(kept, [id_col, "token"], "left_semi")
     ordered = F.array_sort(F.collect_list(F.struct("pos", "token")))
     return kept_pos.groupBy(id_col).agg(

@@ -135,3 +135,30 @@ def test_dk_inject_number_normalization_matches_reference_walk(spark):
     # ints canonicalized, floats %.2f, long digit-bearing tokens get a
     # separate 'ID' marker token (knowledge.py:100-103 'ID ' + token)
     assert out == "7 3.14 ID sku12345 plain"
+
+
+def test_tfidf_summarize_subword_budget(spark):
+    from ditto_spark.operators.textprep import (
+        token_document_frequency, tfidf_summarize,
+    )
+
+    # doc 1: 'rareword' (df 1, cost ceil(8/4)=2), 'common' (df 2, cost 2),
+    # 'tiny' (df 1, cost 1). rarity order: rareword/tiny (df 1, token asc:
+    # rareword < tiny) -> budget walks rareword(2), tiny(3), common(5)
+    df = _docs(
+        spark,
+        [(1, "rareword common tiny rareword"), (2, "common filler words")],
+    )
+    idx = token_document_frequency(df)
+    # budget 3: rareword + tiny admitted, common (cum 5) excluded
+    out = {
+        r["doc_id"]: r["summary"]
+        for r in tfidf_summarize(df, idx, max_subwords=3).collect()
+    }
+    assert out[1] == "rareword tiny rareword"  # original order, all occurrences
+    # budget 5: everything fits
+    out5 = {
+        r["doc_id"]: r["summary"]
+        for r in tfidf_summarize(df, idx, max_subwords=5).collect()
+    }
+    assert out5[1] == "rareword common tiny rareword"
