@@ -664,6 +664,41 @@ def q_crowd_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("task", "agg_label")
 
 
+def _task_truth(votes: DataFrame) -> DataFrame:
+    return votes.select("task").distinct().select(
+        "task", (F.col("task") % 3 == 0).cast("int").alias("truth")
+    )
+
+
+def q_worker_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 conditional-independence screen (crowd_independence.py:30-48):
+    pairwise Yates-corrected chi-square between worker vote columns within
+    each truth class. Closed-form 2x2 arithmetic — fully oracle-checked."""
+    from ditto_spark.operators.crowd import worker_independence_chi2
+
+    votes = _event_votes(spark, sf_dir).groupBy("task", "worker").agg(
+        (F.avg("label") > 0.5).cast("int").alias("label")
+    )
+    out = worker_independence_chi2(votes, _task_truth(votes))
+    return out.select(
+        "w1", "w2",
+        F.round("chi2_y1", 6).alias("chi2_y1"),
+        F.round("chi2_y0", 6).alias("chi2_y0"),
+        F.round("chi2_max", 6).alias("chi2_max"),
+    )
+
+
+def q_optimal_f1_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 method_optimal_f1 (crowd_independence.py:143-159): vote-pattern
+    grouping + argmax-F1 truth-mean cutoff sweep. Oracle-checked."""
+    from ditto_spark.operators.crowd import optimal_f1_cutoff
+
+    votes = _event_votes(spark, sf_dir)
+    return optimal_f1_cutoff(
+        votes, _task_truth(votes), workers=list(range(7))
+    ).select("task", "agg_label")
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, 4-band pigeonhole join) over the
     60-bit md5-portable signature — the band join is an exact optimization
@@ -880,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "worker_pivot": q_worker_pivot,
         "crowd_glad": q_crowd_glad,
         "crowd_gold": q_crowd_gold,
+        "worker_chi2": q_worker_chi2,
+        "optimal_f1_cutoff": q_optimal_f1_cutoff,
         "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
         "crowd_ebcc": q_crowd_ebcc,
@@ -1202,6 +1239,87 @@ def oracle_sql() -> dict[str, str]:
                           PARTITION BY w0, w1, w2, w3, w4, w5, w6
                         ) > 0.5 THEN 1 ELSE 0 END AS agg_label
             FROM wt
+        """,
+        "worker_chi2": """
+            WITH raw AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            ), votes AS (
+              SELECT task, worker,
+                     CASE WHEN avg(label) > 0.5 THEN 1 ELSE 0 END AS label
+              FROM raw GROUP BY task, worker
+            ), wt AS (
+              SELECT v.*, CASE WHEN task % 3 = 0 THEN 1 ELSE 0 END AS y
+              FROM votes v
+            ), pairs AS (
+              SELECT a.worker AS w1, b.worker AS w2, a.y,
+                     a.label AS l1, b.label AS l2
+              FROM wt a JOIN wt b ON a.task = b.task AND a.worker < b.worker
+            ), cnt AS (
+              SELECT w1, w2, y,
+                     sum(CASE WHEN l1 = 0 AND l2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS n00,
+                     sum(CASE WHEN l1 = 0 AND l2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS n01,
+                     sum(CASE WHEN l1 = 1 AND l2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS n10,
+                     sum(CASE WHEN l1 = 1 AND l2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS n11
+              FROM pairs GROUP BY w1, w2, y
+            ), chi AS (
+              SELECT w1, w2, y,
+                     CASE WHEN (n00+n01)*(n10+n11)*(n00+n10)*(n01+n11) > 0
+                          THEN (n00+n01+n10+n11)
+                               * power(greatest(abs(n00*n11 - n01*n10)
+                                                - (n00+n01+n10+n11)/2.0, 0), 2)
+                               / ((n00+n01)*(n10+n11)*(n00+n10)*(n01+n11))
+                          ELSE 0 END AS chi2
+              FROM cnt
+            )
+            SELECT w1, w2,
+                   round(coalesce(max(CASE WHEN y = 1 THEN chi2 END), 0), 6) AS chi2_y1,
+                   round(coalesce(max(CASE WHEN y = 0 THEN chi2 END), 0), 6) AS chi2_y0,
+                   round(greatest(coalesce(max(CASE WHEN y = 1 THEN chi2 END), 0),
+                                  coalesce(max(CASE WHEN y = 0 THEN chi2 END), 0)), 6) AS chi2_max
+            FROM chi GROUP BY w1, w2
+        """,
+        "optimal_f1_cutoff": """
+            WITH raw AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            ), mv AS (
+              SELECT task, worker, avg(label) AS mlabel
+              FROM raw GROUP BY task, worker
+            ), wide AS (
+              SELECT task,
+                     max(CASE WHEN worker = 0 THEN mlabel END) AS w0,
+                     max(CASE WHEN worker = 1 THEN mlabel END) AS w1,
+                     max(CASE WHEN worker = 2 THEN mlabel END) AS w2,
+                     max(CASE WHEN worker = 3 THEN mlabel END) AS w3,
+                     max(CASE WHEN worker = 4 THEN mlabel END) AS w4,
+                     max(CASE WHEN worker = 5 THEN mlabel END) AS w5,
+                     max(CASE WHEN worker = 6 THEN mlabel END) AS w6
+              FROM mv GROUP BY task
+            ), pat AS (
+              SELECT task, truth,
+                     avg(truth) OVER (PARTITION BY w0, w1, w2, w3, w4, w5, w6) AS mt
+              FROM (SELECT w.*, CASE WHEN task % 3 = 0 THEN 1 ELSE 0 END AS truth
+                    FROM wide w)
+            ), levels AS (
+              SELECT DISTINCT mt AS level FROM pat WHERE mt <= 0.5
+              UNION SELECT 0.0
+            ), per AS (
+              SELECT l.level,
+                     sum(CASE WHEN p.mt > l.level AND p.truth = 1 THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN p.mt > l.level AND p.truth = 0 THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN p.mt <= l.level AND p.truth = 1 THEN 1 ELSE 0 END) AS fn
+              FROM pat p CROSS JOIN levels l GROUP BY l.level
+            ), best AS (
+              SELECT level FROM per
+              ORDER BY 2.0 * tp / greatest(2 * tp + fp + fn, 1) DESC, level DESC
+              LIMIT 1
+            )
+            SELECT p.task,
+                   CASE WHEN p.mt > b.level THEN 1 ELSE 0 END AS agg_label
+            FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
         "simhash_near_dup": _SIMHASH_ORACLE,

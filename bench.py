@@ -49,6 +49,30 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _burn(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return x
+
+
+def _hw_probe(n: int = 16) -> float:
+    """Effective cores right now (n-proc pure-CPU burn vs serial): a window-
+    quality stamp for this JVM's samples — the VM shows multi-minute
+    degraded periods, and a sample taken inside one is not a throughput
+    statement about the code."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    _burn(0)
+    serial = time.monotonic() - t0
+    with mp.Pool(n) as p:
+        t0 = time.monotonic()
+        p.map(_burn, range(n))
+        wall = time.monotonic() - t0
+    return round(n * serial / wall, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -185,6 +209,7 @@ def main() -> None:
                 "flagship_runs": flagship_runs,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
+                "hw_probe_effective_cores_16": _hw_probe(),
                 "n_turns": n_turns,
                 "n_base_conversations": n_base,
                 "candidate_pairs": n_cand_full,

@@ -88,10 +88,20 @@ def main() -> None:
 
     cal = calibrate(ns=(1, lo, hi, 32))
 
+    # INTERLEAVE the two configs (lo, hi, lo, hi, …): the VM's multi-minute
+    # degraded windows then hit both configs alike, so the min/min RATIO is
+    # unbiased even when absolute times inflate — running all lo-JVMs then
+    # all hi-JVMs lets one window poison exactly one side (observed: an
+    # all-stalled hi sequence reported 0.457 after a clean-window 0.616)
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(procs):
+        for cores in (lo, hi):
+            runs[cores].append(run_bench(cores, sf_dir, n_base))
+
     def best(cores: int) -> tuple[dict, list[float]]:
-        runs = [run_bench(cores, sf_dir, n_base) for _ in range(procs)]
-        samples = [t for r in runs for t in r["flagship_runs"]]
-        winner = min(runs, key=lambda r: r["queries"]["transcript_full_dedup"])
+        rs = runs[cores]
+        samples = [t for r in rs for t in r["flagship_runs"]]
+        winner = min(rs, key=lambda r: r["queries"]["transcript_full_dedup"])
         return winner, sorted(samples)
 
     r_lo, samples_lo = best(lo)
@@ -121,6 +131,8 @@ def main() -> None:
         f"median_{hi}": round(statistics.median(samples_hi), 3),
         f"stages_{lo}": stages_lo,
         f"stages_{hi}": stages_hi,
+        f"probes_{lo}": [r.get("hw_probe_effective_cores_16") for r in runs[lo]],
+        f"probes_{hi}": [r.get("hw_probe_effective_cores_16") for r in runs[hi]],
         f"pairs_per_sec_{lo}": round(r_lo["candidate_pairs"] / t_lo, 1),
         f"pairs_per_sec_{hi}": round(r_hi["candidate_pairs"] / t_hi, 1),
         "candidate_pairs": r_hi["candidate_pairs"],

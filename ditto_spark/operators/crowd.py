@@ -99,6 +99,128 @@ def gold_standard(
     )
 
 
+def worker_independence_chi2(
+    votes: DataFrame,
+    truth: DataFrame,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """A9 conditional-independence screen (reference
+    /root/reference/crowd_independence.py:30-48: pairwise
+    chi2_contingency between worker vote columns within each truth class,
+    report the less-independent class). Binary labels → 2×2 tables, so the
+    χ² statistic (Yates-corrected, scipy's 2×2 default) is closed-form:
+    n·(|ad−bc| − n/2)²₊ / ((a+b)(c+d)(a+c)(b+d)) — pure JVM arithmetic
+    over a task self-join + one agg, no scipy. With 1 dof the p-value is a
+    monotone transform of the statistic, so ranking by max χ² ≡ the
+    reference's ranking by min p (documented deviation: we emit the
+    statistic; Spark has no erfc and the ranking is what the analysis
+    uses). Output: (w1, w2, chi2_y1, chi2_y0, chi2_max) for w1 < w2."""
+    v = votes.join(truth.select(task_col, truth_col), task_col)
+    a = v.select(
+        task_col, F.col(truth_col).alias("y"),
+        F.col(worker_col).alias("w1"), F.col(label_col).alias("l1"),
+    )
+    b = v.select(
+        task_col, F.col(truth_col).alias("y"),
+        F.col(worker_col).alias("w2"), F.col(label_col).alias("l2"),
+    )
+    pairs = a.join(b, [task_col, "y"]).where(F.col("w1") < F.col("w2"))
+    cnt = pairs.groupBy("w1", "w2", "y").agg(
+        F.sum(((F.col("l1") == 0) & (F.col("l2") == 0)).cast("long")).alias("n00"),
+        F.sum(((F.col("l1") == 0) & (F.col("l2") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("l1") == 1) & (F.col("l2") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("l1") == 1) & (F.col("l2") == 1)).cast("long")).alias("n11"),
+    )
+    n = F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")
+    det = F.abs(F.col("n00") * F.col("n11") - F.col("n01") * F.col("n10"))
+    yates = F.greatest(det - n / 2.0, F.lit(0.0))
+    denom = (
+        (F.col("n00") + F.col("n01")) * (F.col("n10") + F.col("n11"))
+        * (F.col("n00") + F.col("n10")) * (F.col("n01") + F.col("n11"))
+    )
+    chi2 = F.when(denom > 0, n * yates * yates / denom).otherwise(F.lit(0.0))
+    per_class = cnt.select("w1", "w2", "y", chi2.alias("chi2"))
+    return (
+        per_class.groupBy("w1", "w2")
+        .agg(
+            F.max(F.when(F.col("y") == 1, F.col("chi2"))).alias("chi2_y1"),
+            F.max(F.when(F.col("y") == 0, F.col("chi2"))).alias("chi2_y0"),
+        )
+        .select(
+            "w1", "w2",
+            F.coalesce("chi2_y1", F.lit(0.0)).alias("chi2_y1"),
+            F.coalesce("chi2_y0", F.lit(0.0)).alias("chi2_y0"),
+            F.greatest(
+                F.coalesce("chi2_y1", F.lit(0.0)),
+                F.coalesce("chi2_y0", F.lit(0.0)),
+            ).alias("chi2_max"),
+        )
+    )
+
+
+def optimal_f1_cutoff(
+    votes: DataFrame,
+    truth: DataFrame,
+    workers: list,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """A10 `method_optimal_f1` (reference crowd_independence.py:143-159):
+    group tasks by their complete worker-vote pattern, compute each
+    pattern's mean gold truth, then sweep cutoff levels (the distinct
+    pattern-truth means ≤ 0.5, descending, plus 0.0) labeling a pattern 1
+    iff mean-truth > level; keep the level with the best F1 against truth
+    (ties → the level tried first, i.e. the highest). Returns
+    (task, agg_label) at the argmax level.
+
+    Relational: pivot + pattern-window mean (same shape as gold_standard),
+    broadcast crossJoin against the tiny level grid for the sweep, one
+    driver scalar for the argmax (like tune_threshold)."""
+    from pyspark.sql import Window
+
+    mean_votes = votes.groupBy(task_col, worker_col).agg(
+        F.avg(label_col).alias("mlabel")
+    )
+    wide = mean_votes.groupBy(task_col).pivot(worker_col, workers).agg(
+        F.first("mlabel")
+    )
+    pattern_cols = [str(w) for w in workers]
+    joined = wide.join(truth.select(task_col, truth_col), task_col)
+    w = Window.partitionBy(*pattern_cols)
+    pat = joined.withColumn("mt", F.avg(truth_col).over(w)).persist()
+    levels = (
+        pat.select(F.col("mt").alias("level"))
+        .where(F.col("mt") <= 0.5)
+        .distinct()
+        .unionByName(pat.sparkSession.createDataFrame([(0.0,)], "level double"))
+        .distinct()
+    )
+    crossed = pat.crossJoin(F.broadcast(levels))
+    pred = (F.col("mt") > F.col("level")).cast("int")
+    per_level = crossed.groupBy("level").agg(
+        F.sum(((pred == 1) & (F.col(truth_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (F.col(truth_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (F.col(truth_col) == 1)).cast("long")).alias("fn"),
+    )
+    scored = per_level.select(
+        "level",
+        (
+            2.0 * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+        ).alias("f1"),
+    )
+    best = scored.orderBy(F.desc("f1"), F.desc("level")).limit(1).collect()[0]
+    out = pat.select(
+        task_col, (F.col("mt") > F.lit(float(best["level"]))).cast("int").alias("agg_label")
+    )
+    return out
+
+
 GLAD_SCHEMA = "dataset string, task string, crowd_label int, p1 double"
 
 

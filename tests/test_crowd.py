@@ -161,3 +161,78 @@ def test_ebcc_recovers_truth(spark):
     first = {r["task"]: r["p1"] for r in out}
     for t in first:
         assert abs(first[t] - again[t]) < 1e-12
+
+
+def test_worker_chi2_dependence_ranking(spark):
+    """w3 always flips w1 (perfectly dependent given truth); w4 votes by
+    coin-of-task-hash (near-independent of w1). chi2_max must rank the
+    dependent pair far above the independent one."""
+    from ditto_spark.operators.crowd import worker_independence_chi2
+
+    rows, truth_rows = [], []
+    for i in range(60):
+        t = f"t{i:03d}"
+        y = i % 2
+        truth_rows.append((t, y))
+        w1 = y if i % 5 else 1 - y  # mostly-correct worker
+        rows.append((t, "w1", w1))
+        rows.append((t, "w3", 1 - w1))          # anti-copy of w1
+        rows.append((t, "w4", (i * 7) % 3 % 2))  # unrelated pattern
+    votes = spark.createDataFrame(rows, "task string, worker string, label int")
+    truth = spark.createDataFrame(truth_rows, "task string, truth int")
+    out = {
+        (r["w1"], r["w2"]): r["chi2_max"]
+        for r in worker_independence_chi2(votes, truth).collect()
+    }
+    assert out[("w1", "w3")] > out[("w1", "w4")] * 3
+    assert all(v >= 0 for v in out.values())
+
+
+def test_worker_chi2_matches_scipy_formula(spark):
+    """Yates-corrected 2x2 chi-square must equal the textbook value on a
+    hand-checkable table."""
+    from ditto_spark.operators.crowd import worker_independence_chi2
+
+    # one truth class only; contingency for (wa, wb): n00=20 n01=5 n10=5 n11=20
+    rows = []
+    truth_rows = []
+    k = 0
+    for n, (la, lb) in [(20, (0, 0)), (5, (0, 1)), (5, (1, 0)), (20, (1, 1))]:
+        for _ in range(n):
+            t = f"t{k:03d}"
+            k += 1
+            truth_rows.append((t, 1))
+            rows.append((t, "wa", la))
+            rows.append((t, "wb", lb))
+    votes = spark.createDataFrame(rows, "task string, worker string, label int")
+    truth = spark.createDataFrame(truth_rows, "task string, truth int")
+    r = worker_independence_chi2(votes, truth).collect()[0]
+    n = 50.0
+    expected = n * (abs(20 * 20 - 5 * 5) - n / 2) ** 2 / (25 * 25 * 25 * 25)
+    assert abs(r["chi2_y1"] - expected) < 1e-9
+    assert r["chi2_y0"] == 0.0
+
+
+def test_optimal_f1_cutoff_recovers_pattern_labels(spark):
+    """Patterns whose mean truth is separable: the sweep must pick a level
+    that labels the high-truth pattern 1 and the low-truth pattern 0."""
+    from ditto_spark.operators.crowd import optimal_f1_cutoff
+
+    rows, truth_rows = [], []
+    # pattern A (votes 1,1): tasks 0-9, truth 1 for 9 of 10
+    # pattern B (votes 0,1): tasks 10-19, truth 1 for 1 of 10
+    for i in range(20):
+        t = f"t{i:02d}"
+        pat = (1, 1) if i < 10 else (0, 1)
+        y = 1 if (i < 9 or i == 10) else 0
+        truth_rows.append((t, y))
+        rows.append((t, "w1", pat[0]))
+        rows.append((t, "w2", pat[1]))
+    votes = spark.createDataFrame(rows, "task string, worker string, label int")
+    truth = spark.createDataFrame(truth_rows, "task string, truth int")
+    got = {
+        r["task"]: r["agg_label"]
+        for r in optimal_f1_cutoff(votes, truth, workers=["w1", "w2"]).collect()
+    }
+    for i in range(20):
+        assert got[f"t{i:02d}"] == (1 if i < 10 else 0)
