@@ -556,6 +556,27 @@ def q_dk_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prompt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 CSV prompt rendering (convert_to_csv.py:7-48): language-tag strip,
+    quote removal, COL/VAL → attr: value lines, per-line truncation, and
+    the left/###/right/###/question prompt with yes/no completion."""
+    from ditto_spark.operators.prompts import render_pair_csv
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.concat(F.lit("COL title VAL "), F.col("text")).alias("left_txt"),
+        F.concat(
+            F.lit("COL title VAL "), F.col("text"),
+            F.lit(' COL note VAL extra "@en tagged'),
+        ).alias("right_txt"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+    return render_pair_csv(pairs).select(
+        "doc_id", "left", "right", "match", "prompt", "completion"
+    )
+
+
 def q_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ditto_spark.operators.textprep import detect_language
 
@@ -910,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_summarize_budget": q_tfidf_summarize_budget,
         "normalize_numbers": q_normalize_numbers,
         "dk_inject": q_dk_inject,
+        "prompt_render": q_prompt_render,
         "detect_language": q_detect_language,
         "crowd_wawa": q_crowd_wawa,
         "worker_pivot": q_worker_pivot,
@@ -1130,6 +1152,37 @@ def oracle_sql() -> dict[str, str]:
                          THEN 'ID ' || x
                        ELSE x END), ' ') AS injected
             FROM t
+        """,
+        "prompt_render": """
+            WITH pairs AS (
+              SELECT doc_id,
+                     'COL title VAL ' || text AS lt,
+                     'COL title VAL ' || text || ' COL note VAL extra "@en tagged' AS rt,
+                     (doc_id % 2)::INT AS label
+              FROM documents
+            ), cleaned AS (
+              SELECT doc_id, label,
+                     array_to_string(list_transform(string_split(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                         lt, '"@[a-z][a-z](-[a-zA-Z]*)?', '', 'g'),
+                         '"', '', 'g'),
+                         'COL ([a-zA-Z]+) VAL +', e'\\n\\\\1: ', 'g'),
+                         '^\\s+|\\s+$', '', 'g'),
+                       e'\\n'), x -> substring(x, 1, 1000)), e'\\n') AS l,
+                     array_to_string(list_transform(string_split(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                         rt, '"@[a-z][a-z](-[a-zA-Z]*)?', '', 'g'),
+                         '"', '', 'g'),
+                         'COL ([a-zA-Z]+) VAL +', e'\\n\\\\1: ', 'g'),
+                         '^\\s+|\\s+$', '', 'g'),
+                       e'\\n'), x -> substring(x, 1, 1000)), e'\\n') AS r
+              FROM pairs
+            )
+            SELECT doc_id, l AS "left", r AS "right",
+                   label = 1 AS match,
+                   l || e'\\n\\n###\\n\\n' || r || e'\\n\\n###\\n\\nSame product?' AS prompt,
+                   CASE WHEN label = 1 THEN ' yes' ELSE ' no' END AS completion
+            FROM cleaned
         """,
         "detect_language": f"""
             WITH c AS (
