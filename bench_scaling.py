@@ -93,10 +93,21 @@ def main() -> None:
     # unbiased even when absolute times inflate — running all lo-JVMs then
     # all hi-JVMs lets one window poison exactly one side (observed: an
     # all-stalled hi sequence reported 0.457 after a clean-window 0.616)
+    probe_floor = float(os.environ.get("SPARK_GRAFT_SCALE_PROBE_FLOOR", "0"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(procs):
         for cores in (lo, hi):
-            runs[cores].append(run_bench(cores, sf_dir, n_base))
+            for attempt in range(3):
+                r = run_bench(cores, sf_dir, n_base)
+                probe = r.get("hw_probe_effective_cores_16") or 0
+                if probe >= probe_floor or attempt == 2:
+                    runs[cores].append(r)
+                    break
+                print(
+                    f"# discarding local[{cores}] sample: hw probe {probe} "
+                    f"< floor {probe_floor} (degraded window), retrying",
+                    file=sys.stderr,
+                )
 
     def best(cores: int) -> tuple[dict, list[float]]:
         rs = runs[cores]

@@ -218,6 +218,9 @@ def optimal_f1_cutoff(
     out = pat.select(
         task_col, (F.col("mt") > F.lit(float(best["level"]))).cast("int").alias("agg_label")
     )
+    # drop the sweep cache; materializing `out` recomputes the pattern
+    # window once (cheap) instead of pinning executor memory per call
+    pat.unpersist()
     return out
 
 

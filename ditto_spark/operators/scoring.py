@@ -235,6 +235,75 @@ def score_pairs_tfidf_relational(
     )
 
 
+def numpy_cross_encoder_factory(
+    vocab_size: int = 2048,
+    hidden: int = 64,
+    max_len: int = 128,
+    seed: int = 17,
+) -> Callable[[], Callable[[pd.Series, pd.Series], np.ndarray]]:
+    """Deterministic numpy mini cross-encoder executing M1's FORWARD-PASS
+    SEMANTICS (ditto.py:22-64) without torch: tokenize the pair as
+    [CLS] left [SEP] right (dataset.py:58-88), pad to the batch max
+    (dataset.py:91-117), embed + position, one ATTENTION-MASKED
+    self-attention layer, take the CLS vector, Linear(hidden, 2), and
+    softmax[:, 1]. Weights are seeded-random (this is a plumbing/semantics
+    vehicle, not a trained matcher — `cross_encoder_scorer_factory` loads
+    real HF weights into the same slot); the attention mask makes scores
+    BATCH-INVARIANT: a pair scores identically whatever else shares its
+    Arrow batch (asserted by tests — an unmasked encoder would leak batch
+    padding into the scores)."""
+    rng = np.random.RandomState(seed)
+    emb = rng.randn(vocab_size, hidden).astype(np.float64) * 0.1
+    pos = rng.randn(max_len, hidden).astype(np.float64) * 0.1
+    wq = rng.randn(hidden, hidden) * (hidden ** -0.5)
+    wk = rng.randn(hidden, hidden) * (hidden ** -0.5)
+    wv = rng.randn(hidden, hidden) * (hidden ** -0.5)
+    w_fc = rng.randn(hidden, 2) * 0.1
+    b_fc = np.zeros(2)
+    CLS, SEP = 1, 2
+
+    def tok_ids(text: str) -> list[int]:
+        import zlib
+
+        return [
+            3 + (zlib.crc32(t.encode()) % (vocab_size - 3))
+            for t in text.lower().split()
+        ]
+
+    def factory() -> Callable[[pd.Series, pd.Series], np.ndarray]:
+        def score(left: pd.Series, right: pd.Series) -> np.ndarray:
+            n = len(left)
+            if n == 0:
+                return np.zeros(0)
+            seqs = []
+            for l, r in zip(left, right):
+                ids = [CLS] + tok_ids(l) + [SEP] + tok_ids(r)
+                seqs.append(ids[:max_len])
+            L = max(len(s) for s in seqs)
+            ids = np.zeros((n, L), dtype=np.int64)  # 0 = PAD
+            mask = np.zeros((n, L), dtype=bool)
+            for i, s in enumerate(seqs):
+                ids[i, : len(s)] = s
+                mask[i, : len(s)] = True
+            x = emb[ids] + pos[:L][None, :, :]  # (n, L, h)
+            q, k, v = x @ wq, x @ wk, x @ wv
+            att = (q @ k.transpose(0, 2, 1)) / np.sqrt(hidden)  # (n, L, L)
+            att = np.where(mask[:, None, :], att, -1e30)
+            att = att - att.max(axis=-1, keepdims=True)
+            p = np.exp(att)
+            p = p / p.sum(axis=-1, keepdims=True)
+            ctx = p @ v + x  # residual
+            cls = ctx[:, 0, :]  # CLS pooling (ditto.py:62)
+            logits = cls @ w_fc + b_fc
+            m = logits.max(axis=1, keepdims=True)
+            e = np.exp(logits - m)
+            return (e / e.sum(axis=1, keepdims=True))[:, 1]
+
+        return score
+
+    return factory
+
+
 def cross_encoder_scorer_factory(
     model_name: str = "distilbert-base-uncased",
     checkpoint_path: str | None = None,

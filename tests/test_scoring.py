@@ -153,3 +153,39 @@ def test_tune_threshold_verified_roundtrip(spark):
     )
     with pytest.raises(RuntimeError, match="not deterministic"):
         tune_threshold_verified(df, lambda: flipped)
+
+
+def test_numpy_cross_encoder_semantics():
+    """M1 forward-pass vehicle: deterministic, batch-padding-invariant
+    (attention mask works), probabilities in (0, 1), identical pairs score
+    identically regardless of batch composition."""
+    from ditto_spark.operators.scoring import numpy_cross_encoder_factory
+
+    scorer = numpy_cross_encoder_factory()()
+    l = pd.Series(["alpha beta gamma", "delta epsilon"])
+    r = pd.Series(["alpha beta gamma", "zeta eta theta iota kappa"])
+    p2 = scorer(l, r)
+    assert p2.shape == (2,)
+    assert np.all((p2 > 0) & (p2 < 1))
+    # batch invariance: score row 0 alone — padding length differs, result must not
+    p1 = scorer(l[:1], r[:1])
+    assert abs(p1[0] - p2[0]) < 1e-12
+    # determinism across factory instances
+    again = numpy_cross_encoder_factory()()(l, r)
+    assert np.allclose(again, p2, atol=0)
+
+
+def test_numpy_cross_encoder_in_udf_slot(spark):
+    from ditto_spark.operators.scoring import numpy_cross_encoder_factory
+
+    df = spark.createDataFrame(
+        [("a", "b", "sony tv 55", "sony tv 55"), ("c", "d", "one", "two three")],
+        "left_id string, right_id string, left_txt string, right_txt string",
+    )
+    out = {
+        r["left_id"]: r["prob"]
+        for r in score_pairs(df, scorer_factory=numpy_cross_encoder_factory()).collect()
+    }
+    assert set(out) == {"a", "c"}
+    for v in out.values():
+        assert 0.0 < v < 1.0
