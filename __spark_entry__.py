@@ -581,9 +581,39 @@ def q_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ditto_spark.operators.textprep import detect_language
 
     docs = _load(spark, sf_dir, "documents")
-    return detect_language(docs).select(
+    return detect_language(docs, min_hits=2).select(
         "doc_id", "detected_lang", F.col("lang_hits").cast("long").alias("lang_hits")
     )
+
+
+def _detect_language_sql() -> str:
+    """Oracle generated from the SAME LANG_STOPWORDS table the operator
+    uses (14 languages): per-language hit counts, argmax with ties broken
+    by language code ascending (first-match CASE over sorted languages with
+    an >=-all-others condition), min-hits floor of 2."""
+    langs = sorted(LANG_STOPWORDS_SQL)
+    hits = ",\n                ".join(
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains({LANG_STOPWORDS_SQL[lg]!r}, x))) AS h_{lg}"
+        for lg in langs
+    )
+    all_h = ", ".join(f"h_{lg}" for lg in langs)
+    arms = "\n                        ".join(
+        f"WHEN h_{lg} >= 2 AND h_{lg} = greatest({all_h}) THEN '{lg}'"
+        for lg in langs
+    )
+    return f"""
+            WITH c AS (
+              SELECT doc_id,
+                {hits}
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE {arms}
+                        ELSE 'und' END AS detected_lang,
+                   greatest({all_h}, 0)::BIGINT AS lang_hits
+            FROM c
+        """
 
 
 def _event_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +750,36 @@ def q_optimal_f1_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("task", "agg_label")
 
 
+def q_worker_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 partial correlations (crowd_independence.py:50-71): pairwise
+    Pearson partial correlation between worker vote columns given ground
+    truth, closed-form from three corr aggregates. Oracle-checked."""
+    from ditto_spark.operators.crowd import worker_partial_correlations
+
+    votes = _event_votes(spark, sf_dir)
+    out = worker_partial_correlations(votes, _task_truth(votes))
+    return out.select(
+        "w1", "w2",
+        F.round("r_xy", 6).alias("r_xy"),
+        F.round("r_xt", 6).alias("r_xt"),
+        F.round("r_yt", 6).alias("r_yt"),
+        F.round("partial_r", 6).alias("partial_r"),
+    )
+
+
+def q_worker_removal_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 iterative worker-removal F1 curve (crowd_independence.py:111-141):
+    remove workers best-first (individual F1 desc, ties worker desc);
+    before each removal evaluate majority-vote and Wawa F1 on the remaining
+    crowd. Driver loop over the 7-worker axis only; oracle replicates the
+    unrolled sweep relationally (rank join against the step grid)."""
+    from ditto_spark.operators.crowd import worker_removal_curve
+
+    votes = _event_votes(spark, sf_dir)
+    out = worker_removal_curve(votes, _task_truth(votes))
+    return out.select("n_removed", "method", F.round("f1", 6).alias("f1"))
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, 4-band pigeonhole join) over the
     60-bit md5-portable signature — the band join is an exact optimization
@@ -828,7 +888,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
             for i in range(_MH_PERMS)
         ]
-    )
+    ).persist()  # feeds the band explode AND both est-jaccard rejoin sides
     r = _MH_PERMS // _MH_BANDS
     bands = F.explode(
         F.array(
@@ -843,25 +903,37 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    banded = sig.select("doc_id", *[f"h{i}" for i in range(_MH_PERMS)], bands.alias("b")).select(
-        "doc_id", *[f"h{i}" for i in range(_MH_PERMS)],
+    # Band join + dedup on BARE id pairs; the 16 md5 signature columns
+    # (~1 KB/row) join back exactly once afterwards — attaching them before
+    # the dedup ships both signatures through the shuffle for every
+    # duplicate band hit (the same ~bands× payload amplification the
+    # round-2 verdict flagged in ann.cosine_topk_lsh).
+    banded = sig.select("doc_id", bands.alias("b")).select(
+        "doc_id",
         F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
     )
-    l = banded.select(
-        "band_idx", "band_key", F.col("doc_id").alias("left_id"),
+    l = banded.select("band_idx", "band_key", F.col("doc_id").alias("left_id"))
+    rr = banded.select("band_idx", "band_key", F.col("doc_id").alias("right_id"))
+    cand = (
+        l.join(rr, ["band_idx", "band_key"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ls = sig.select(
+        F.col("doc_id").alias("left_id"),
         *[F.col(f"h{i}").alias(f"lh{i}") for i in range(_MH_PERMS)],
     )
-    rr = banded.select(
-        "band_idx", "band_key", F.col("doc_id").alias("right_id"),
+    rs = sig.select(
+        F.col("doc_id").alias("right_id"),
         *[F.col(f"h{i}").alias(f"rh{i}") for i in range(_MH_PERMS)],
     )
     agree = sum(
         (F.col(f"lh{i}") == F.col(f"rh{i}")).cast("int") for i in range(_MH_PERMS)
     )
     return (
-        l.join(rr, ["band_idx", "band_key"])
-        .where(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
+        cand.join(ls, "left_id")
+        .join(rs, "right_id")
         .select(
             "left_id", "right_id",
             (agree / F.lit(float(_MH_PERMS))).alias("est_jaccard"),
@@ -939,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_gold": q_crowd_gold,
         "worker_chi2": q_worker_chi2,
         "optimal_f1_cutoff": q_optimal_f1_cutoff,
+        "worker_partial_corr": q_worker_partial_corr,
+        "worker_removal_curve": q_worker_removal_curve,
         "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
         "crowd_ebcc": q_crowd_ebcc,
@@ -1184,28 +1258,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN label = 1 THEN ' yes' ELSE ' no' END AS completion
             FROM cleaned
         """,
-        "detect_language": f"""
-            WITH c AS (
-              SELECT doc_id,
-                len(list_filter(string_split(lower(text), ' '),
-                    x -> list_contains({LANG_STOPWORDS_SQL['de']!r}, x))) AS hde,
-                len(list_filter(string_split(lower(text), ' '),
-                    x -> list_contains({LANG_STOPWORDS_SQL['en']!r}, x))) AS hen,
-                len(list_filter(string_split(lower(text), ' '),
-                    x -> list_contains({LANG_STOPWORDS_SQL['es']!r}, x))) AS hes,
-                len(list_filter(string_split(lower(text), ' '),
-                    x -> list_contains({LANG_STOPWORDS_SQL['fr']!r}, x))) AS hfr
-              FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN hde > 0 AND hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
-                        WHEN hen > 0 AND hen >= hes AND hen >= hfr THEN 'en'
-                        WHEN hes > 0 AND hes >= hfr THEN 'es'
-                        WHEN hfr > 0 THEN 'fr'
-                        ELSE 'und' END AS detected_lang,
-                   greatest(hde, hen, hes, hfr, 0)::BIGINT AS lang_hits
-            FROM c
-        """,
+        "detect_language": _detect_language_sql(),
         "crowd_wawa": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,
@@ -1292,6 +1345,101 @@ def oracle_sql() -> dict[str, str]:
                           PARTITION BY w0, w1, w2, w3, w4, w5, w6
                         ) > 0.5 THEN 1 ELSE 0 END AS agg_label
             FROM wt
+        """,
+        "worker_partial_corr": """
+            WITH raw AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            ), votes AS (
+              SELECT task, worker, avg(label) AS mlabel
+              FROM raw GROUP BY task, worker
+            ), wt AS (
+              SELECT v.*, CASE WHEN task % 3 = 0 THEN 1 ELSE 0 END AS t
+              FROM votes v
+            ), pairs AS (
+              SELECT a.worker AS w1, b.worker AS w2,
+                     a.mlabel AS l1, b.mlabel AS l2, a.t
+              FROM wt a JOIN wt b ON a.task = b.task AND a.worker < b.worker
+            ), agg AS (
+              SELECT w1, w2, corr(l1, l2) AS r_xy,
+                     corr(l1, t) AS r_xt, corr(l2, t) AS r_yt
+              FROM pairs GROUP BY w1, w2
+            )
+            SELECT w1, w2, round(r_xy, 6) AS r_xy, round(r_xt, 6) AS r_xt,
+                   round(r_yt, 6) AS r_yt,
+                   CASE WHEN (1 - r_xt*r_xt) * (1 - r_yt*r_yt) > 0
+                        THEN round((r_xy - r_xt*r_yt)
+                                   / sqrt((1 - r_xt*r_xt) * (1 - r_yt*r_yt)), 6)
+                        END AS partial_r
+            FROM agg
+        """,
+        "worker_removal_curve": """
+            WITH raw AS (
+              SELECT event_id % 500 AS task, user_id % 7 AS worker,
+                     CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+              FROM events
+            ), tr AS (
+              SELECT DISTINCT task,
+                     CASE WHEN task % 3 = 0 THEN 1 ELSE 0 END AS truth
+              FROM raw
+            ), wl AS (
+              SELECT worker, task,
+                     CASE WHEN avg(label) > 0.5 THEN 1 ELSE 0 END AS wlabel
+              FROM raw GROUP BY worker, task
+            ), per AS (
+              SELECT worker,
+                sum(CASE WHEN wlabel = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN wlabel = 1 AND truth = 0 THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN wlabel = 0 AND truth = 1 THEN 1 ELSE 0 END) AS fn
+              FROM wl JOIN tr USING (task) GROUP BY worker
+            ), rk AS (
+              SELECT worker,
+                     row_number() OVER (
+                       ORDER BY 2.0*tp/greatest(2*tp+fp+fn, 1) DESC, worker DESC
+                     ) - 1 AS rnk
+              FROM per
+            ), steps AS (
+              SELECT rnk AS k FROM rk
+            ), sub AS (
+              SELECT s.k, v.task, v.worker, v.label
+              FROM steps s JOIN rk r ON r.rnk >= s.k
+                           JOIN raw v ON v.worker = r.worker
+            ), mv AS (
+              SELECT k, task,
+                     CASE WHEN avg(label) > 0.5 THEN 1 ELSE 0 END AS crowd_label
+              FROM sub GROUP BY k, task
+            ), wawa_j AS (
+              SELECT s.k, s.task, s.worker, s.label, m.crowd_label AS mlabel
+              FROM sub s JOIN mv m ON s.k = m.k AND s.task = m.task
+            ), wawa_w AS (
+              SELECT k, worker,
+                     avg(CASE WHEN label = mlabel THEN 1.0 ELSE 0.0 END) AS wt
+              FROM wawa_j GROUP BY k, worker
+            ), wawa_v AS (
+              SELECT j.k, j.task,
+                     CASE WHEN sum(w.wt * j.label) > 0.5 * sum(w.wt)
+                          THEN 1 ELSE 0 END AS crowd_label
+              FROM wawa_j j JOIN wawa_w w ON j.k = w.k AND j.worker = w.worker
+              GROUP BY j.k, j.task
+            ), mv_f1 AS (
+              SELECT k,
+                sum(CASE WHEN crowd_label = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN crowd_label = 1 AND truth = 0 THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN crowd_label = 0 AND truth = 1 THEN 1 ELSE 0 END) AS fn
+              FROM mv JOIN tr USING (task) GROUP BY k
+            ), wawa_f1 AS (
+              SELECT k,
+                sum(CASE WHEN crowd_label = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN crowd_label = 1 AND truth = 0 THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN crowd_label = 0 AND truth = 1 THEN 1 ELSE 0 END) AS fn
+              FROM wawa_v JOIN tr USING (task) GROUP BY k
+            )
+            SELECT k::INT AS n_removed, 'majority_vote' AS method,
+                   round(2.0*tp/greatest(2*tp+fp+fn, 1), 6) AS f1 FROM mv_f1
+            UNION ALL
+            SELECT k::INT AS n_removed, 'wawa' AS method,
+                   round(2.0*tp/greatest(2*tp+fp+fn, 1), 6) AS f1 FROM wawa_f1
         """,
         "worker_chi2": """
             WITH raw AS (

@@ -125,11 +125,38 @@ def main() -> None:
     # cleared between runs (the pipeline's internal persists would
     # otherwise make run 2 a cache read); transcripts are re-cached
     # OUTSIDE the timed region.
+    # Probe-gated sampling (round-2 verdict task: the noise policy lives in
+    # the harness, not the write-up): before each flagship run a ~2 s
+    # pure-CPU probe stamps the window's quality; a window below
+    # SPARK_GRAFT_PROBE_FLOOR effective cores (default 8 of 16 — the VM
+    # shows multi-minute degraded periods at 2-6) is SKIPPED and logged
+    # machine-readably in `discarded_windows`, up to
+    # SPARK_GRAFT_BENCH_MAX_EXTRA extra attempts; after that the run
+    # proceeds regardless so the bench always terminates with a number.
+    probe_floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "8"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
     flagship_runs: list[float] = []
-    for _ in range(repeat):
+    flagship_probes: list[float] = []
+    flagship_loadavg: list[float] = []
+    discarded_windows: list[dict] = []
+    while len(flagship_runs) < repeat:
+        probe = _hw_probe()
+        if probe < probe_floor and len(discarded_windows) < max_extra:
+            discarded_windows.append(
+                {
+                    "probe_effective_cores": probe,
+                    "probe_floor": probe_floor,
+                    "loadavg": _loadavg(),
+                    "action": "window skipped before run, retrying",
+                }
+            )
+            time.sleep(10)
+            continue
         spark.catalog.clearCache()
         transcripts.cache()
         transcripts.count()
+        flagship_probes.append(probe)
+        flagship_loadavg.append(_loadavg())
         t0 = time.monotonic()
         res = dedup_transcripts(transcripts, PipelineConfig())
         counts["transcript_full_dedup"] = _force(res.clusters)
@@ -207,6 +234,10 @@ def main() -> None:
                 "rows": counts,
                 "stages": stages,
                 "flagship_runs": flagship_runs,
+                "flagship_probes": flagship_probes,
+                "flagship_loadavg": flagship_loadavg,
+                "discarded_windows": discarded_windows,
+                "probe_floor": probe_floor,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "hw_probe_effective_cores_16": _hw_probe(),

@@ -66,6 +66,23 @@ class StageStore:
                     "checkpoints. Use a new run_id (or delete the run dir)."
                 )
         else:
+            # A run dir that already holds committed stages but has no
+            # _config_hash predates this guard: its checkpoints' config is
+            # unknowable, so adopting the new hash would silently bless
+            # possibly-stale stages (round-2 advisor finding). Refuse.
+            run_dir = os.path.join(self.root, self.run_id)
+            committed = [
+                d
+                for d in (os.listdir(run_dir) if os.path.isdir(run_dir) else [])
+                if os.path.exists(_success_marker(os.path.join(run_dir, d)))
+            ]
+            if committed:
+                raise ValueError(
+                    f"StageStore {run_dir} holds committed stages "
+                    f"{sorted(committed)} but no _config_hash (written before "
+                    "config-hash guarding): cannot verify they match the "
+                    "current config. Use a new run_id (or delete the run dir)."
+                )
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "w") as f:
                 f.write(self.config_hash)

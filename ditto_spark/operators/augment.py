@@ -151,15 +151,26 @@ def append_col(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                out_col: str = "augmented", seed: int = 505) -> DataFrame:
     """Move one attribute's VALUES onto another attribute: remove segment
     idx1 and append its tokens-after-VAL to segment idx2 (augment.py:116-158
-    semantics). Unchanged when fewer than 2 segments. Deterministic by
-    xxhash64(id, seed): idx1 uniform, idx2 uniform over the rest."""
+    semantics — the reference samples among COL columns only, so a non-COL
+    leading fragment is never a source or target; round-2 advisor fix).
+    Unchanged when fewer than 2 COL segments qualify. Deterministic by
+    xxhash64(id, seed): idx1 uniform over COL segments, idx2 uniform over
+    the remaining COL segments."""
     segs = _segments(F.col(text_col))
     n = F.size(segs)
-    h1 = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(1)), n).cast("int")
-    h2r = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(2)), n - 1).cast("int")
-    idx2 = F.when(h2r >= h1, h2r + 1).otherwise(h2r)  # uniform over != idx1
-    val_part = F.regexp_replace(F.element_at(segs, h1 + 1), "^COL .*? VAL ", "")
     idx = F.sequence(F.lit(0), n - 1)
+    is_col = lambda s: s.startswith("COL ")  # noqa: E731
+    # segment indices of COL segments, in order — candidate rank → seg index
+    cand_idx = F.filter(idx, lambda i: is_col(F.element_at(segs, i + 1)))
+    n_cand = F.size(cand_idx)
+    c1 = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(1)), n_cand).cast("int")
+    c2r = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed), F.lit(2)), n_cand - 1
+    ).cast("int")
+    c2 = F.when(c2r >= c1, c2r + 1).otherwise(c2r)  # uniform over != c1
+    h1 = F.element_at(cand_idx, c1 + 1)
+    idx2 = F.element_at(cand_idx, c2 + 1)
+    val_part = F.regexp_replace(F.element_at(segs, h1 + 1), "^COL .*? VAL ", "")
     rebuilt = F.transform(
         idx,
         lambda i: F.when(i == h1, F.lit(""))
@@ -167,7 +178,7 @@ def append_col(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .otherwise(F.element_at(segs, i + 1)),
     )
     out = F.when(
-        n >= 2,
+        n_cand >= 2,
         F.concat_ws(" ", F.filter(rebuilt, lambda s: s != "")),
     ).otherwise(F.col(text_col))
     return df.withColumn(out_col, out)

@@ -11,10 +11,17 @@ Implementation invariant: edges are kept oriented big→small (u > v).
   orientation — duplicate-free by construction, so NO distinct there.
 * Large-star emits (w, m) with w > m — which is exactly small-star's input
   orientation, so the two stars chain with no re-symmetrize between them.
-Per round: 2 groupBys + 2 joins + 2 distincts, then an eager
-localCheckpoint to cut lineage (a persisted round table on a real cluster —
-the resume point) and one tiny (count, xor-hash) job for the convergence
-test. All driver work is O(1) per round.
+Per round: 3 shuffles — the two per-star min-windows plus ONE end-of-round
+dedup (large-star's output feeds small-star un-deduplicated: duplicate
+edges are harmless to a min/row_number window, and small-star's dedup
+bounds growth across rounds) — then a lazy localCheckpoint to cut lineage
+(a persisted round table on a real cluster — the resume point) and one tiny
+(count, xor-hash) job per `check_every` rounds for the convergence test.
+All driver work is O(1) per round. Loop shuffles are scoped to an
+edge-sized partition count via explicit repartition(loop_parts, keys) on
+the loop tables — never by mutating the session-global
+spark.sql.shuffle.partitions (a concurrent job on the same session must
+not see the loop's partition count).
 
   large-star(x): m = min(Γ(x) ∪ x); emit (w, m) for w ∈ Γ(x), w > x
   small-star(x): N = {w ∈ Γ(x): w < x}; m = min(N); emit
@@ -27,46 +34,55 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """edges oriented (u, v), u > v. Returns (u, v) with u > v.
+def _large_star(edges: DataFrame, parts: int) -> DataFrame:
+    """edges oriented (u, v), u > v. Returns (u, v) with u > v, possibly
+    with duplicates (no dedup here — small-star's end-of-round dedup covers
+    it; duplicate edges are harmless to the min/row_number windows, so
+    skipping the dedup saves one full shuffle per round).
 
     m = min(Γ(u) ∪ u) via an unordered per-u window — ONE shuffle instead
-    of the groupBy+rejoin formulation's two (the rejoin also forced a sort
-    or hash build per round; rounds dominate the pipeline's serial
-    fraction, so per-round stages are what the scaling gate buys)."""
+    of the groupBy+rejoin formulation's two. The explicit
+    repartition(parts, "u") both scopes the loop's partition count (no
+    session-global conf writes) and satisfies the window's clustering
+    requirement, so the window adds no second exchange."""
     from pyspark.sql import Window
 
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).repartition(parts, "u")
     m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
         sym.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """edges oriented (u, v) with v < u (large-star output). Returns the
-    same orientation. Same one-window-shuffle shape as _large_star; the
-    self-edge (u, m) is emitted by tagging each group's first row rather
-    than re-aggregating."""
+def _small_star(edges: DataFrame, parts: int) -> DataFrame:
+    """edges oriented (u, v) with v < u (large-star output, duplicates
+    allowed). Returns the same orientation, deduplicated — this is the
+    round's single growth-bounding dedup. Same one-window-shuffle shape as
+    _large_star; the self-edge (u, m) is emitted by tagging each group's
+    first row rather than re-aggregating. The dedup's clustering is
+    pre-satisfied by repartition(parts, "u", "v") so it too runs at the
+    loop's partition count without touching session conf."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("u")
     wo = Window.partitionBy("u").orderBy("v")
-    withm = edges.withColumn("m", F.min("v").over(w)).withColumn(
-        "rn", F.row_number().over(wo)
+    withm = (
+        edges.repartition(parts, "u")
+        .withColumn("m", F.min("v").over(w))
+        .withColumn("rn", F.row_number().over(wo))
     )
     emit_n = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
     emit_self = withm.where(F.col("rn") == 1).select("u", F.col("m").alias("v"))
     return (
         emit_n.unionByName(emit_self)
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        .repartition(parts, "u", "v")
+        .dropDuplicates(["u", "v"])
     )
 
 
@@ -93,8 +109,11 @@ def connected_components(
     * the loop's shuffles run at a partition count sized to the EDGE table
       (edges ≪ corpus; the session's shuffle.partitions is sized for the
       corpus): max(4, n_edges/rows_per_partition) capped at the session
-      setting. On a 1000-executor cluster the same knob keeps thousands of
-      near-empty reducers out of every round."""
+      setting, applied via explicit repartition on the loop tables — the
+      session-global shuffle.partitions is never mutated, so concurrent
+      jobs on the same SparkSession are unaffected. On a 1000-executor
+      cluster the same knob keeps thousands of near-empty reducers out of
+      every round."""
     spark = pairs.sparkSession
     e = pairs.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
@@ -112,31 +131,32 @@ def connected_components(
         return edges.select(
             F.col("u").alias("conv_id"), F.col("v").alias("cluster_id")
         )
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        session_parts = 200
     loop_parts = max(4, min(session_parts, n_edges // rows_per_partition + 1))
 
     prev_sig = None
     converged = False
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        for rnd in range(max_iter):
-            # lazy checkpoint: the signature collect below materializes it
-            # (with the intermediate rounds), so convergence costs ONE
-            # driver-synchronized job per check_every rounds
-            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-            if (rnd + 1) % check_every != 0 and rnd + 1 < max_iter:
-                continue
-            sig_row = edges.select(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-            ).collect()[0]
-            sig = (sig_row["n"], sig_row["h"])
-            if sig == prev_sig:
-                converged = True
-                break
-            prev_sig = sig
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+    for rnd in range(max_iter):
+        # lazy checkpoint: the signature collect below materializes it
+        # (with the intermediate rounds), so convergence costs ONE
+        # driver-synchronized job per check_every rounds
+        edges = _small_star(
+            _large_star(edges, loop_parts), loop_parts
+        ).localCheckpoint(eager=False)
+        if (rnd + 1) % check_every != 0 and rnd + 1 < max_iter:
+            continue
+        sig_row = edges.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
     if not converged:
         # At a non-fixed-point a node can still carry different cluster ids
         # on its u- and v-sides — fail loudly instead of emitting an

@@ -224,6 +224,137 @@ def optimal_f1_cutoff(
     return out
 
 
+def worker_partial_correlations(
+    votes: DataFrame,
+    truth: DataFrame,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """A9 partial correlations (reference
+    /root/reference/crowd_independence.py:50-71: pingouin partial_corr of
+    every worker-column pair with Ground Truth as the single covariate).
+    With one covariate the partial correlation is closed-form,
+        r_xy·t = (r_xy − r_xt·r_yt) / sqrt((1 − r_xt²)(1 − r_yt²)),
+    so the whole analysis is three F.corr aggregates over a task self-join —
+    fully relational, DuckDB-oracle-checkable, no pingouin. Votes are first
+    averaged per (task, worker) (repetitions collapse to a mean, like
+    gold_standard); correlations run over the pair's common tasks, which is
+    also what pingouin's row-wise NaN-drop computes. Output:
+    (w1, w2, r_xy, r_xt, r_yt, partial_r) for w1 < w2; partial_r is NULL
+    when either marginal correlation with truth is ±1 (degenerate)."""
+    mean_votes = votes.groupBy(task_col, worker_col).agg(
+        F.avg(label_col).alias("mlabel")
+    )
+    v = mean_votes.join(truth.select(task_col, truth_col), task_col)
+    a = v.select(
+        task_col, F.col(truth_col).alias("t"),
+        F.col(worker_col).alias("w1"), F.col("mlabel").alias("l1"),
+    )
+    b = v.select(
+        task_col, F.col(worker_col).alias("w2"), F.col("mlabel").alias("l2"),
+    )
+    pairs = a.join(b, task_col).where(F.col("w1") < F.col("w2"))
+    agg = pairs.groupBy("w1", "w2").agg(
+        F.corr("l1", "l2").alias("r_xy"),
+        F.corr("l1", "t").alias("r_xt"),
+        F.corr("l2", "t").alias("r_yt"),
+    )
+    denom = F.sqrt(
+        (1.0 - F.col("r_xt") * F.col("r_xt"))
+        * (1.0 - F.col("r_yt") * F.col("r_yt"))
+    )
+    return agg.withColumn(
+        "partial_r",
+        F.when(
+            denom > 0,
+            (F.col("r_xy") - F.col("r_xt") * F.col("r_yt")) / denom,
+        ),
+    )
+
+
+def worker_f1_ranking(
+    votes: DataFrame,
+    truth: DataFrame,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """Per-worker individual F1 vs gold (reference ordered_crowd,
+    crowd_independence.py:169-174), with the removal order attached:
+    rank 0 = best worker (removed first). Ties follow the reference's
+    reversed tuple sort: F1 desc, then worker desc. A worker's per-task
+    prediction is the majority of their own repetitions (single votes pass
+    through unchanged)."""
+    from pyspark.sql import Window
+
+    wl = votes.groupBy(worker_col, task_col).agg(
+        (F.avg(label_col) > 0.5).cast("int").alias("wlabel")
+    )
+    j = wl.join(truth.select(task_col, truth_col), task_col)
+    per = j.groupBy(worker_col).agg(
+        F.sum(((F.col("wlabel") == 1) & (F.col(truth_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("wlabel") == 1) & (F.col(truth_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("wlabel") == 0) & (F.col(truth_col) == 1)).cast("long")).alias("fn"),
+    )
+    f1 = (
+        2.0 * F.col("tp")
+        / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+    )
+    w = Window.orderBy(F.desc("f1"), F.desc(worker_col))
+    return per.select(worker_col, f1.alias("f1")).withColumn(
+        "removal_rank", F.row_number().over(w) - 1
+    )
+
+
+def worker_removal_curve(
+    votes: DataFrame,
+    truth: DataFrame,
+    methods: dict | None = None,
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """A9 iterative worker-removal curve (reference iterative_crowd,
+    crowd_independence.py:111-141): remove workers best-first (by
+    worker_f1_ranking); BEFORE each removal evaluate every aggregation
+    method's F1 on the remaining crowd. Step k therefore uses the workers
+    with removal_rank ≥ k, k = 0 … n_workers−1.
+
+    The loop is driver-side over ≤ |workers| steps — workers are O(10) in
+    the reference's analysis (a per-crowd constant, not data-scaled) while
+    each step's aggregation + confusion count is fully distributed, the
+    legitimate small-axis/driver-loop split (same reasoning as the τ sweep).
+    Output: (n_removed, method, f1), F1 = 2tp/(2tp+fp+fn) like the
+    reference's sklearn f1_score (reported as a fraction, not ×100)."""
+    if methods is None:
+        methods = {"majority_vote": majority_vote, "wawa": wawa}
+    ranked = worker_f1_ranking(
+        votes, truth, task_col, worker_col, label_col, truth_col
+    ).collect()
+    order = [r[worker_col] for r in sorted(ranked, key=lambda r: r["removal_rank"])]
+    t = truth.select(task_col, truth_col)
+    rows = []
+    for k in range(len(order)):
+        remaining = order[k:]
+        sub = votes.where(F.col(worker_col).isin(remaining))
+        for name in sorted(methods):
+            pred = methods[name](sub).select(task_col, "crowd_label")
+            c = pred.join(t, task_col).agg(
+                F.sum(((F.col("crowd_label") == 1) & (F.col(truth_col) == 1)).cast("long")).alias("tp"),
+                F.sum(((F.col("crowd_label") == 1) & (F.col(truth_col) == 0)).cast("long")).alias("fp"),
+                F.sum(((F.col("crowd_label") == 0) & (F.col(truth_col) == 1)).cast("long")).alias("fn"),
+            ).collect()[0]
+            f1 = 2.0 * c["tp"] / max(2 * c["tp"] + c["fp"] + c["fn"], 1)
+            rows.append((k, name, f1))
+    return votes.sparkSession.createDataFrame(
+        rows, "n_removed int, method string, f1 double"
+    )
+
+
 GLAD_SCHEMA = "dataset string, task string, crowd_label int, p1 double"
 
 

@@ -38,11 +38,26 @@ SUMMARIZE_STOPWORDS = [
     "with", "as", "at", "by", "an", "be", "this", "that", "are", "or",
 ]
 
+# Function-word lists per language (public common-word knowledge; ISO 639-1
+# keys). Voting is argmax of per-language hit counts with ties broken by
+# language code ascending — closely related pairs (da/no, es/pt) therefore
+# need at least one discriminative word each, and short texts are guarded by
+# the detect_language `min_hits` floor.
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sie", "ich"],
     "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "pour", "que"],
     "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+    "it": ["il", "di", "che", "non", "per", "sono", "una", "con", "della", "questo"],
+    "pt": ["de", "que", "não", "uma", "para", "com", "os", "mais", "como", "isso"],
+    "nl": ["de", "het", "een", "van", "niet", "dat", "maar", "zijn", "voor", "ik"],
+    "sv": ["och", "att", "det", "som", "en", "är", "på", "för", "med", "inte"],
+    "da": ["og", "det", "at", "der", "til", "ikke", "jeg", "med", "han", "hvad"],
+    "no": ["og", "det", "ikke", "som", "på", "jeg", "har", "til", "av", "hva"],
+    "pl": ["nie", "się", "jest", "to", "czy", "ale", "jak", "tak", "było", "tego"],
+    "ro": ["și", "nu", "este", "care", "din", "mai", "pentru", "fost", "sunt", "dacă"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"],
+    "tr": ["bir", "ve", "bu", "için", "ne", "gibi", "ama", "değil", "daha", "çok"],
 }
 
 
@@ -247,10 +262,15 @@ def dk_inject(
 
 
 def detect_language(
-    df: DataFrame, text_col: str = "text", out_col: str = "detected_lang"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "detected_lang",
+    min_hits: int = 1,
 ) -> DataFrame:
     """Stopword-voting language ID: hits per language over the lowercased
-    token array; argmax (hits desc, lang asc); 'und' if all zero."""
+    token array; argmax (hits desc, lang asc); 'und' when the best language
+    scores fewer than `min_hits` function-word hits (floor ≥ 2 recommended
+    for short/noisy text — one stray stopword is not evidence)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
 
     def _hits(ws: list[str]):
@@ -277,5 +297,5 @@ def detect_language(
     )
     return df.withColumn(
         out_col,
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+        F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und")),
     ).withColumn("lang_hits", F.greatest(best["hits"], F.lit(0)))

@@ -146,3 +146,24 @@ def test_plane_matrix_portable_formula():
     ).fetchall()
     for p, d, val in got:
         assert abs(w[d, p] - val) < 1e-15
+
+
+def test_embedding_near_dup_salting_is_lossless(spark):
+    """One-side cell replication: forcing every bucket to salt (max_bucket=4)
+    must return EXACTLY the unsalted pair set — full within-bucket recall,
+    not probabilistic recovery (round-2 advisor finding)."""
+    df, _ = _vecs(spark)
+    unsalted = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            df, dim=DIM, threshold=0.9, max_bucket=10**9
+        ).collect()
+    }
+    salted = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(
+            df, dim=DIM, threshold=0.9, max_bucket=4
+        ).collect()
+    }
+    assert salted == unsalted
+    assert len(unsalted) > 0

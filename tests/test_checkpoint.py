@@ -91,3 +91,22 @@ def test_checkpoint_matches_unchechpointed_pipeline(spark, tiny_transcripts, tmp
     ck = dedup_transcripts_checkpointed(spark, tiny_transcripts, s)
     direct = dedup_transcripts(tiny_transcripts)
     assert _cluster_sig(ck.clusters) == _cluster_sig(direct.clusters)
+
+
+def test_checkpoint_refuses_unhashed_preexisting_run(spark, tiny_transcripts, tmp_path):
+    """A run dir with committed stages but no _config_hash (written before
+    the guard existed) must be refused, not silently adopted."""
+    import os
+
+    import pytest
+
+    from ditto_spark.pipeline import PipelineConfig
+
+    root = str(tmp_path / "ckpt5")
+    s1 = StageStore(spark, root, "runE")
+    dedup_transcripts_checkpointed(spark, tiny_transcripts, s1, PipelineConfig())
+    os.remove(os.path.join(root, "runE", "_config_hash"))  # simulate pre-guard dir
+    with pytest.raises(ValueError, match="no _config_hash"):
+        dedup_transcripts_checkpointed(
+            spark, tiny_transcripts, StageStore(spark, root, "runE"), PipelineConfig()
+        )

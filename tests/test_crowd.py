@@ -236,3 +236,67 @@ def test_optimal_f1_cutoff_recovers_pattern_labels(spark):
     }
     for i in range(20):
         assert got[f"t{i:02d}"] == (1 if i < 10 else 0)
+
+
+def test_worker_partial_correlations_closed_form(spark):
+    """Pairwise partial correlation vs a numpy recomputation of the same
+    closed form (r_xy − r_xt·r_yt)/sqrt((1−r_xt²)(1−r_yt²)) on the pivoted
+    matrix — the formula pingouin evaluates for a single covariate."""
+    import numpy as np
+
+    from ditto_spark.operators.crowd import worker_partial_correlations
+
+    rng = np.random.default_rng(11)
+    truth_arr = rng.integers(0, 2, 40)
+    # w1/w2 follow truth with independent noise; w3 copies w2's noise → the
+    # w2-w3 partial correlation given truth must dominate w1-w2's
+    flips2 = rng.random(40) < 0.3
+    w1 = np.where(rng.random(40) < 0.3, 1 - truth_arr, truth_arr)
+    w2 = np.where(flips2, 1 - truth_arr, truth_arr)
+    w3 = np.where(flips2, 1 - truth_arr, truth_arr)
+    rows = []
+    for i in range(40):
+        rows += [(f"t{i:02d}", "w1", int(w1[i])), (f"t{i:02d}", "w2", int(w2[i])),
+                 (f"t{i:02d}", "w3", int(w3[i]))]
+    votes = spark.createDataFrame(rows, "task string, worker string, label int")
+    truth = spark.createDataFrame(
+        [(f"t{i:02d}", int(truth_arr[i])) for i in range(40)],
+        "task string, truth int",
+    )
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in worker_partial_correlations(votes, truth).collect()
+    }
+    mats = {"w1": w1, "w2": w2, "w3": w3}
+    for (a, b), r in got.items():
+        r_xy = np.corrcoef(mats[a], mats[b])[0, 1]
+        r_xt = np.corrcoef(mats[a], truth_arr)[0, 1]
+        r_yt = np.corrcoef(mats[b], truth_arr)[0, 1]
+        exp = (r_xy - r_xt * r_yt) / np.sqrt((1 - r_xt**2) * (1 - r_yt**2))
+        assert abs(r["partial_r"] - exp) < 1e-9
+    assert got[("w2", "w3")]["partial_r"] == 1.0  # identical noise
+    assert got[("w2", "w3")]["partial_r"] > got[("w1", "w2")]["partial_r"]
+
+
+def test_worker_removal_curve_order_and_f1(spark):
+    """Best worker removed first; majority-vote F1 degrades once only the
+    adversary remains."""
+    from ditto_spark.operators.crowd import worker_f1_ranking, worker_removal_curve
+
+    votes, truth_map = _votes(spark)
+    truth = spark.createDataFrame(
+        list(truth_map.items()), "task string, truth int"
+    )
+    ranked = {
+        r["worker"]: r["removal_rank"]
+        for r in worker_f1_ranking(votes, truth).collect()
+    }
+    # w1/w2 perfect (F1 1.0, tie → worker desc: w2 first), w3 adversarial
+    assert ranked == {"w2": 0, "w1": 1, "w3": 2}
+    curve = {
+        (r["n_removed"], r["method"]): r["f1"]
+        for r in worker_removal_curve(votes, truth).collect()
+    }
+    assert curve[(0, "majority_vote")] == 1.0  # 2 good vs 1 bad
+    assert curve[(2, "majority_vote")] == 0.0  # only the adversary left
+    assert curve[(2, "wawa")] == 0.0

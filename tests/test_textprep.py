@@ -162,3 +162,35 @@ def test_tfidf_summarize_subword_budget(spark):
         for r in tfidf_summarize(df, idx, max_subwords=5).collect()
     }
     assert out5[1] == "rareword common tiny rareword"
+
+
+def test_detect_language_widened_set(spark):
+    """One sentence per new language (function words only), plus the
+    min_hits floor: a single stray stopword is not evidence."""
+    samples = {
+        5: ("it", "il gatto non sono della casa per questo che"),
+        6: ("pt", "não uma para com os mais como isso que"),
+        7: ("nl", "het een van niet dat maar zijn voor ik"),
+        8: ("sv", "och att det som är på för med inte"),
+        9: ("da", "og det at der til ikke jeg med han hvad"),
+        10: ("no", "og det ikke som på jeg har av hva"),
+        11: ("pl", "nie się jest to czy ale jak tak tego"),
+        12: ("ro", "și nu este care din mai pentru sunt dacă"),
+        13: ("id", "yang dan di itu dengan untuk tidak ini dari"),
+        14: ("tr", "bir ve bu için ne gibi ama değil daha çok"),
+    }
+    df = _docs(spark, [(i, t) for i, (_, t) in samples.items()])
+    out = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
+    assert out == {i: lang for i, (lang, _) in samples.items()}
+
+
+def test_detect_language_min_hits_floor(spark):
+    df = _docs(spark, [(1, "le fromage artisanal"), (2, "le vin est pour moi")])
+    # one French hit ("le"): floor 2 → und; default floor 1 → fr
+    strict = {
+        r["doc_id"]: r["detected_lang"]
+        for r in detect_language(df, min_hits=2).collect()
+    }
+    assert strict == {1: "und", 2: "fr"}
+    loose = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
+    assert loose == {1: "fr", 2: "fr"}
