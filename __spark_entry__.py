@@ -421,6 +421,68 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: most-frequent-bigram
+    fraction + duplicated-trigram fraction per document. Oracle-checked."""
+    from ditto_spark.operators.textprep import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle generated from the SAME PII_PATTERNS the operator uses, with
+    the operator's semantics replicated exactly: counts for pattern k are
+    taken on the text AFTER patterns < k were replaced (so an SSN never
+    double-counts as a phone), and the scrub chain is
+    email → ipv4 → ssn → phone with 'g' (replace-all) to match Spark."""
+    from ditto_spark.operators.textprep import PII_PATTERNS
+
+    cur = "text"
+    cols = []
+    for name in ["email", "ipv4", "ssn", "phone"]:
+        pat = PII_PATTERNS[name].replace("'", "''")
+        cols.append(f"len(regexp_extract_all({cur}, '{pat}'))::BIGINT AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '<{name.upper()}>', 'g')"
+    col_sql = ",\n                   ".join(cols)
+    return f"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 10.0.0.'
+                          || (doc_id % 256) || ' tel 555-867-5309 ssn 123-45-6789' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   {col_sql},
+                   {cur} AS scrubbed
+            FROM injected
+        """
+
+
+def _pii_inject(docs: DataFrame) -> DataFrame:
+    """Deterministic PII suffix per document (the testdata corpus carries no
+    natural PII; the SAME injection is replicated in the oracle SQL so the
+    scrub itself is what's checked)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-867-5309 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing (email/IPv4/SSN/phone → <TYPE> markers + counts)
+    over documents with a deterministic injected PII suffix. Pure JVM
+    regexp chain; patterns portable to RE2 → fully oracle-checked."""
+    from ditto_spark.operators.textprep import pii_scrub
+
+    return pii_scrub(_pii_inject(_load(spark, sf_dir, "documents")))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over 3-shingles — a
     1-permutation MinHash, portable across engines."""
@@ -992,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_md5_signature": q_minhash_md5_signature,
         "crowd_majority_vote": q_crowd_majority_vote,
@@ -1102,6 +1166,39 @@ def oracle_sql() -> dict[str, str]:
                    round((len(l) - len(list_distinct(l))) / len(l), 9) AS dup_token_ratio
             FROM t
         """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents
+            ), b AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+              FROM toks, unnest(generate_series(1, len(l) - 1)) u(i)
+              WHERE len(l) >= 2
+            ), bc AS (
+              SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g
+            ), ba AS (
+              SELECT doc_id, round(max(c) / greatest(sum(c), 1), 9) AS top_bigram_frac
+              FROM bc GROUP BY doc_id
+            ), t3 AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+              FROM toks, unnest(generate_series(1, len(l) - 2)) u(i)
+              WHERE len(l) >= 3
+            ), tc AS (
+              SELECT doc_id, g, count(*) AS c FROM t3 GROUP BY doc_id, g
+            ), ta AS (
+              SELECT doc_id,
+                     round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                           / greatest(sum(c), 1), 9) AS dup_trigram_frac
+              FROM tc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(ta.dup_trigram_frac, 0.0) AS dup_trigram_frac
+            FROM documents d
+            LEFT JOIN ba ON d.doc_id = ba.doc_id
+            LEFT JOIN ta ON d.doc_id = ta.doc_id
+        """,
+        "pii_scrub": _pii_scrub_sql(),
         "doc_fingerprint": """
             WITH sh AS (
               SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s

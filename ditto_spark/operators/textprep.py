@@ -299,3 +299,94 @@ def detect_language(
         out_col,
         F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("und")),
     ).withColumn("lang_hits", F.greatest(best["hits"], F.lit(0)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    public filtering heuristics; absent from the reference, which never
+    needs corpus-quality scoring): per document,
+      top_bigram_frac  — fraction of all bigram occurrences taken by the
+                         single most frequent bigram,
+      dup_trigram_frac — fraction of trigram occurrences whose trigram
+                         occurs more than once.
+    High values flag boilerplate / degenerate repetition.
+
+    Shape: two explodes + per-(doc, gram) counts + a per-doc agg — every
+    shuffle is keyed by doc_id (+gram), no joins wider than the document
+    itself; scales as a pure keyed aggregation. Documents shorter than n
+    tokens have no n-grams → frac 0 (guarded division)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    def grams(n: int) -> F.Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def frac(n: int, mode: str, out: str) -> DataFrame:
+        g = df.select(F.col(id_col), F.explode(grams(n)).alias("g"))
+        cnt = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        agg = cnt.groupBy(id_col).agg(
+            F.sum("c").alias("total"),
+            (
+                F.max("c") if mode == "top"
+                else F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            ).alias("part"),
+        )
+        return agg.select(
+            F.col(id_col),
+            F.round(F.col("part") / F.greatest("total", F.lit(1)), 9).alias(out),
+        )
+
+    out = (
+        df.select(id_col)
+        .join(frac(2, "top", "top_bigram_frac"), id_col, "left")
+        .join(frac(3, "dup", "dup_trigram_frac"), id_col, "left")
+    )
+    return out.select(
+        id_col,
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+    )
+
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: longest/most specific first; all patterns are valid in
+    # both Java regex (Spark) and RE2 (DuckDB) so the oracle replicates them
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Training-data PII scrubbing (public-pattern redaction; a standard
+    pre-training pipeline stage, out of the reference's scope): replace
+    email / IPv4 / phone / SSN-shaped spans with <TYPE> markers and count
+    each. Pure JVM regexp_replace/regexp_count chain — zero Python, fully
+    pushed into whole-stage codegen; patterns chosen to be portable between
+    Java regex and RE2 so the DuckDB oracle replicates the scrub exactly.
+    SSN runs before phone (a dashed SSN also matches the phone shape)."""
+    order = ["email", "ipv4", "ssn", "phone"]
+    text = F.col(text_col)
+    counts = []
+    for name in order:
+        pat = PII_PATTERNS[name]
+        counts.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        text = F.regexp_replace(text, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, text.alias(out_col))

@@ -194,3 +194,48 @@ def test_detect_language_min_hits_floor(spark):
     assert strict == {1: "und", 2: "fr"}
     loose = {r["doc_id"]: r["detected_lang"] for r in detect_language(df).collect()}
     assert loose == {1: "fr", 2: "fr"}
+
+
+def test_repetition_stats(spark):
+    from ditto_spark.operators.textprep import repetition_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab → top 3/5
+            (2, "x y z w"),            # all distinct → top 1/3, dup3 0
+            (3, "r r r r r"),          # one bigram repeated 4x, trigram 3x
+            (4, "q"),                  # too short for any gram
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in repetition_stats(df).collect()
+    }
+    assert got[1] == (round(3 / 5, 9), 1.0)  # aba/bab each repeat → all dup
+    assert got[2] == (round(1 / 3, 9), 0.0)
+    assert got[3] == (1.0, 1.0)
+    assert got[4] == (0.0, 0.0)
+
+
+def test_pii_scrub_counts_and_order(spark):
+    from ditto_spark.operators.textprep import pii_scrub
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail a@b.co and b@c.org now"),
+            (2, "host 10.1.2.3 ssn 123-45-6789 tel 555-123-4567"),
+            (3, "clean text only"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["scrubbed"]) == (
+        2, "mail <EMAIL> and <EMAIL> now"
+    )
+    r2 = got[2]
+    # the SSN must be consumed by the ssn pattern, not the phone pattern
+    assert (r2["n_ipv4"], r2["n_ssn"], r2["n_phone"]) == (1, 1, 1)
+    assert r2["scrubbed"] == "host <IPV4> ssn <SSN> tel <PHONE>"
+    assert got[3]["scrubbed"] == "clean text only"
+    assert sum(got[3][c] for c in ["n_email", "n_ipv4", "n_ssn", "n_phone"]) == 0
