@@ -6,8 +6,11 @@ prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Robustness (round-2 fix — the round-1 driver run landed 4.2x above the
-committed number because this VM shows sporadic ~10x stalls): the flagship
-query runs $SPARK_GRAFT_BENCH_REPEAT (default 2) times in one JVM with the
+committed number because this VM shows sporadic ~10x stalls — root-caused
+in round 3 to lazy heap commit against a host that zeroes pages at
+~130-300 MB/s): one untimed full-size warm-up pass per JVM pays the heap
+commit + JIT (wall time reported in `warmup_run_sec`), then the flagship
+query runs $SPARK_GRAFT_BENCH_REPEAT (default 2) timed passes with the
 cache cleared between runs (cold data, warm JIT — steady-state cost); the
 MINIMUM is the headline and every run is reported in `flagship_runs`.
 Per-stage wall times for the flagship (serialize / blocking / score /
@@ -135,6 +138,24 @@ def main() -> None:
     # proceeds regardless so the bench always terminates with a number.
     probe_floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "8"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+    # One untimed FULL-SIZE warm-up pass per JVM (round-3 fix): the host
+    # zeroes fresh pages at only ~130-300 MB/s, so the first full-size job
+    # in a JVM pays tens of GB of lazy heap commit (measured: 181-265 s
+    # first run vs 38 s identical second run). Pre-touching at startup
+    # costs ~8.5 min for 64 GB on this host (see session.py), so instead
+    # the harness pays the commit once here, overlapped with real work,
+    # and the timed samples below measure steady state — the quantity that
+    # scales with cores and the standard JVM-benchmark discipline. The
+    # warm-up wall time is reported (not counted) so the one-time cost
+    # stays visible.
+    warmup_sec = -1.0
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        transcripts.cache()
+        transcripts.count()
+        t0 = time.monotonic()
+        _force(dedup_transcripts(transcripts, PipelineConfig()).clusters)
+        warmup_sec = round(time.monotonic() - t0, 3)
+        spark.catalog.clearCache()
     flagship_runs: list[float] = []
     flagship_probes: list[float] = []
     flagship_loadavg: list[float] = []
@@ -234,6 +255,7 @@ def main() -> None:
                 "rows": counts,
                 "stages": stages,
                 "flagship_runs": flagship_runs,
+                "warmup_run_sec": warmup_sec,
                 "flagship_probes": flagship_probes,
                 "flagship_loadavg": flagship_loadavg,
                 "discarded_windows": discarded_windows,

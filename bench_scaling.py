@@ -187,8 +187,17 @@ criterion is evidenced by two local parallelism levels.
 **Noise policy (probe-gated, in-harness).** This VM shows sporadic ~10x
 stalls (measured: the same blocking stage 273.7 s and 27.9 s in
 back-to-back runs on an idle box; the round-1 driver bench landed 4.2x
-above the committed number the same way). Every flagship run is therefore
-preceded by a ~2 s pure-CPU probe; windows measuring below
+above the committed number the same way). Round 3 root-caused the
+dominant stall: the first full-size job in each JVM pays tens of GB of
+lazy heap commit against a host that zeroes fresh pages at only
+~130-300 MB/s (measured: first flagship run 181-265 s vs 38 s for the
+identical second run; `-XX:+AlwaysPreTouch` moves the cost to startup
+but takes 506 s for 64 GB on this host, so it is opt-in). The harness
+therefore runs one untimed full-size warm-up pass per JVM (reported as
+`warmup_run_sec`, never counted) and times only steady-state passes —
+the standard JVM-benchmark discipline, and the quantity a long-lived
+executor on a real cluster actually delivers. Every flagship run is
+additionally preceded by a ~2 s pure-CPU probe; windows measuring below
 {os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "8")} effective cores (of 16)
 are skipped and logged machine-readably
 ({sum(len(v) for v in summary["discarded_windows"].values())} windows
@@ -199,12 +208,17 @@ steady-state cost of the job, which is the quantity that scales with
 cores — and all samples + medians are recorded below and in the raw JSON so
 a stalled sample is visible rather than silently averaged in.
 
-**Why 4 vs 16 (not 8 vs 32):** the VM exposes 32 hardware threads but a
-pure-CPU calibration measures only ~{max(cal.values()):.1f} effective cores
-({cal_rows}) — i.e. 16 physical cores with SMT. 8→32 threads tops out at
-~2x even for embarrassingly parallel work; 4→16 is the pair where the
-hardware genuinely offers 4x, so it is the honest proxy for the N→4N
-executor criterion.
+**Why local[{lo}] vs local[{hi}]:** the VM exposes 32 hardware threads but
+a pure-CPU calibration measures only ~{max(cal.values()):.1f} effective
+cores ({cal_rows}) — 16 physical cores with SMT siblings. A pair that
+crosses the physical-core count measures the VM's SMT ceiling, not the
+job (8→32 threads tops out at ~2x even for embarrassingly parallel
+work). local[{lo}]→local[{hi}] keeps BOTH levels within the physical
+cores, where the calibration shows the hardware genuinely delivering
+~{hw_ratio:.2f}x — the honest proxy for the north rule's N→4N executor
+criterion. The raw efficiency at this pair is the committed number;
+the hardware-normalized form additionally divides out whatever ceiling
+the calibration measured.
 
 ## Headline job: full transcript linkage (serialize → MinHash-LSH blocking → Arrow-UDF pairwise scorer → threshold → large-star/small-star connected components)
 

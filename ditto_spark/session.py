@@ -68,6 +68,32 @@ def get_spark(
         # concurrent tasks GC-bound (blocking stage 2x slower). The sandbox
         # has 128 GiB; on a real cluster this maps to executor memory.
         .config("spark.driver.memory", os.environ.get("DITTO_SPARK_DRIVER_MEM", "64g"))
+        # Heap-commit policy. This VM's host zeroes fresh pages at only
+        # ~130-300 MB/s, so the FIRST full-size job in each JVM pays tens of
+        # GB of lazy page-fault/zeroing (measured: first flagship run
+        # 181-265 s vs 38 s for the identical second run, loadavg ~4 on 16
+        # cores — a non-CPU stall invisible to the scheduler). -Xms=-Xmx +
+        # AlwaysPreTouch moves that cost to JVM startup, but at this host's
+        # zeroing rate that is ~8.5 min for 64 GB (measured 506 s even with
+        # -XX:+UseTransparentHugePages; THP madvise did not speed the host
+        # up) — far too slow for tests and interactive sessions, so
+        # pre-touch is opt-in via DITTO_SPARK_PRETOUCH=1. The benchmark
+        # harness instead runs one untimed warm-up pass per JVM (bench.py),
+        # which pays the commit cost inside the JVM where it overlaps real
+        # work, and times only steady-state runs. On a real cluster,
+        # long-lived executors amortize this exactly the same way.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "DITTO_SPARK_DRIVER_JAVA_OPTS",
+                (
+                    "-Xms" + os.environ.get("DITTO_SPARK_DRIVER_MEM", "64g")
+                    + " -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
+                )
+                if os.environ.get("DITTO_SPARK_PRETOUCH")
+                else "",
+            ),
+        )
         # Spark's default 10MB: a larger threshold made the planner broadcast
         # the ~1M-row LSH band table in the self-join, serializing blocking
         # through the driver (measured: local[32] slower than local[8]).
