@@ -34,6 +34,60 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """Phase-0 local contraction (the 'filtering' step of two-phase CC,
+    Kiveris et al. §6): each partition runs union-find over ITS edges only
+    and re-emits them as spanning stars (node → partition-local component
+    min). Connectivity-equivalent by construction, embarrassingly parallel,
+    and ZERO-shuffle — it runs on whatever layout the edge table already
+    has. Dense components (duplicate clusters are cliques across ~b bands)
+    collapse to one edge per node before the star loop ever shuffles, so
+    the loop starts from a far smaller, shallower graph. Per-partition
+    memory is O(nodes in partition) — bounded by the partition size the
+    caller already controls.
+
+    Output keeps the (u, v) u > v orientation: the union root is the
+    component min (UTF-8 binary order == Python str order for the loop's
+    F.least/greatest to agree), and emitted edges are (node, root),
+    node != root, unique by construction."""
+    import pandas as pd
+
+    schema = edges.schema
+
+    def contract(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out_u = []
+        out_v = []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                out_u.append(x)
+                out_v.append(r)
+        yield pd.DataFrame({"u": out_u, "v": out_v})
+
+    return edges.mapInPandas(contract, schema=schema)
+
+
 def _large_star(edges: DataFrame, parts: int) -> DataFrame:
     """edges oriented (u, v), u > v. Returns (u, v) with u > v, possibly
     with duplicates (no dedup here — small-star's end-of-round dedup covers
@@ -125,8 +179,14 @@ def connected_components(
         # candidate pipelines emit unique (left < right) pairs already —
         # pass assume_unique=True there to skip this full-edge-set shuffle
         oriented = oriented.distinct()
-    edges = oriented.localCheckpoint(eager=True)
-    n_edges = edges.count()
+    # phase-0 local contraction: shrink the loop's input before the first
+    # shuffle (also subsumes intra-partition duplicate edges)
+    edges = _contract_partitions(oriented).localCheckpoint(eager=True)
+    init_row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    n_edges = init_row["n"]
     if n_edges == 0:
         return edges.select(
             F.col("u").alias("conv_id"), F.col("v").alias("cluster_id")
@@ -137,7 +197,13 @@ def connected_components(
         session_parts = 200
     loop_parts = max(4, min(session_parts, n_edges // rows_per_partition + 1))
 
-    prev_sig = None
+    # Seed the convergence test with the INPUT's signature: post-contraction
+    # the graph is often already a union of min-rooted stars (a fixed point
+    # of both stars), and with a seeded prev_sig the first check at round
+    # check_every can conclude — saving a full extra round pair. Identical
+    # signatures across one round pair still mean "fixed point of both
+    # stars", same guarantee as before.
+    prev_sig = (init_row["n"], init_row["h"])
     converged = False
     for rnd in range(max_iter):
         # lazy checkpoint: the signature collect below materializes it
