@@ -879,6 +879,31 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("rk").cast("long").alias("rk"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k cosine — the inverted-file scale path
+    beside the LSH tier: md5-seeded coarse quantizer (16 cells, 0 Lloyd
+    rounds so the whole operator is deterministic arithmetic), corpus
+    assigned to its nearest cell by a zero-shuffle broadcast expression,
+    queries (vec_id % 25 == 0, same set as the brute-force baseline) probe
+    their 4 nearest cells, exact cosine + window top-5 inside the probed
+    cells only. The DuckDB oracle replicates seeding/assignment/probing
+    verbatim → full hash-checked parity."""
+    from ditto_spark.operators.ann import cosine_topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk_ivf(
+        emb, k=5, n_centroids=16, n_probe=4, n_iter=0, queries=queries
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
 def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (vec_id + 10000, even dims ×1.05, odd
     ×0.95 → cos(v, v') ≈ 0.999): gives the near-dup query REAL near-
@@ -1082,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_ebcc": q_crowd_ebcc,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
     }
@@ -1414,6 +1440,62 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk <= 5
         """,
         "ann_lsh_topk": _ANN_LSH_TOPK_ORACLE,
+        "ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            seeds AS (
+              SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+              FROM e ORDER BY h LIMIT 16
+            ),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY h) - 1 AS centroid_id, v AS cv
+              FROM seeds
+            ),
+            assign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         (list_inner_product(e.v, c.cv) /
+                          (sqrt(list_inner_product(e.v, e.v)) *
+                           sqrt(list_inner_product(c.cv, c.cv)))) DESC,
+                         c.centroid_id ASC) AS crk
+                FROM e CROSS JOIN cent c
+              ) WHERE crk = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+            probe AS (
+              SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         (list_inner_product(q.qv, c.cv) /
+                          (sqrt(list_inner_product(q.qv, q.qv)) *
+                           sqrt(list_inner_product(c.cv, c.cv)))) DESC,
+                         c.centroid_id ASC) AS crk
+                FROM q CROSS JOIN cent c
+              ) WHERE crk <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probe p JOIN assign a USING (centroid_id)
+              WHERE a.vec_id != p.query_id
+            ),
+            s AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_inner_product(q.qv, e.v) /
+                     (sqrt(list_inner_product(q.qv, q.qv)) *
+                      sqrt(list_inner_product(e.v, e.v))) AS cos
+              FROM cand
+              JOIN q ON q.query_id = cand.query_id
+              JOIN e ON e.vec_id = cand.neighbor_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rk
+              FROM s
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk
+            FROM ranked WHERE rk <= 5
+        """,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "crowd_gold": """
             WITH votes AS (

@@ -323,3 +323,167 @@ def embedding_near_dup_pairs(
     return cand.select("left_id", "right_id", cos.alias("cos")).where(
         F.col("cos") >= threshold
     )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 0,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    `n_centroids` corpus vectors with the smallest md5(id) — an
+    engine-portable stand-in for k-means++ sampling (uniform, seedable,
+    reproducible in the DuckDB oracle) — optionally refined by `n_iter`
+    Lloyd rounds (assign → per-cell mean), each one broadcast-join +
+    groupBy over the corpus. Returns (centroid_id, cv: array<double>),
+    centroid_id = rank of the seed's md5 (0-based), stable across rounds.
+
+    Scale: the centroid table is k rows (k ≪ corpus, e.g. 2^10..2^16 at
+    100 TB) — always broadcast; Lloyd rounds cost one map-side crossJoin
+    (k·n rows, never shuffled wide) + one k-key groupBy each."""
+    vecs = _vec_view(vectors, id_col, vec_col)
+    seeds = (
+        vecs.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("h")
+    cent = seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
+        F.col("v").alias("cv"),
+    )
+    for _ in range(n_iter):
+        assigned = _ivf_assign(vecs, cent)
+        # per-cell mean via dimension explode: the shuffle key is
+        # (centroid_id, pos) — k·dim groups, partial-aggregated map-side;
+        # no cell's vectors are ever collected into one row
+        cent = (
+            assigned.join(vecs, id_col)
+            .select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("cv"),
+            )
+        )
+    return cent
+
+
+def _ivf_assign(vecs: DataFrame, cent: DataFrame, rank_upto: int = 1) -> DataFrame:
+    """(id…, centroid_id, cell_rank) — the `rank_upto` nearest centroids
+    per vector by cosine, ties broken by centroid_id. ZERO-shuffle: the
+    centroid table collapses to ONE broadcast row holding a sorted
+    struct-array, and each vector row ranks all k centroids inside a
+    higher-order expression (transform → array_sort → slice) — no window,
+    no exchange, no per-row Python. A window/argmax formulation would
+    shuffle n·k rows on the vector id; this shuffles nothing."""
+    id_cols = [c for c in vecs.columns if c != "v"]
+    carr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cv"))).alias("cents")
+    )
+
+    def neg_cos(c):
+        num = F.aggregate(
+            F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        nv = F.sqrt(F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+        nc = F.sqrt(F.aggregate(
+            F.transform(c["cv"], lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+        return -(num / (nv * nc))
+
+    # ascending struct sort on (-cos, centroid_id) == cos desc, id asc
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    neg_cos(c).alias("neg"),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        ),
+        1, rank_upto,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .select(*id_cols, F.posexplode(ranked).alias("pos", "s"))
+        .select(
+            *id_cols,
+            F.col("s.centroid_id").alias("centroid_id"),
+            (F.col("pos") + 1).cast("long").alias("cell_rank"),
+        )
+    )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 0,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k cosine search — the inverted-file
+    counterpart to `cosine_topk_lsh`: the corpus is partitioned into
+    `n_centroids` Voronoi cells by a broadcast coarse quantizer; each query
+    probes its `n_probe` nearest cells and ranks exact cosine only against
+    those cells' members. Same output contract as the other tiers:
+    (query_id, neighbor_id, cos, rk).
+
+    Scale: corpus- and query-side assignment are zero-shuffle broadcast
+    expressions (see _ivf_assign); the candidate join shuffles on
+    centroid_id — ~|corpus|·n_probe/k of the brute-force volume. Cell skew (real embeddings cluster) is left to AQE
+    skew-join; raising n_centroids shrinks every cell. With n_iter=0 the
+    whole operator is deterministic md5 arithmetic + exact cosine and is
+    replicated verbatim by a DuckDB oracle (`ivf_topk` in
+    __spark_entry__.py)."""
+    vecs = _vec_view(vectors, id_col, vec_col)
+    cent = ivf_centroids(
+        vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        n_iter=n_iter,
+    )
+    members = _ivf_assign(vecs, cent).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    if queries is None:  # self-search: every corpus vector queries
+        qvecs = vecs.select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        )
+    else:  # external query set: (query_id, qv) contract
+        qvecs = queries.select(
+            "query_id", F.transform("qv", lambda x: x.cast("double")).alias("qv")
+        )
+    probed = _ivf_assign(
+        qvecs.select("query_id", F.col("qv").alias("v")), cent, rank_upto=n_probe
+    ).select("query_id", "centroid_id")
+    cand = (
+        probed.join(members, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = cand.join(qvecs, "query_id").join(
+        vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")),
+        "neighbor_id",
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -140,6 +140,44 @@ def _small_star(edges: DataFrame, parts: int) -> DataFrame:
     )
 
 
+def _large_star_agg(edges: DataFrame) -> DataFrame:
+    """Skew-safe large-star: same semantics as _large_star, but m =
+    min(Γ(u) ∪ u) comes from a groupBy (partial-aggregated map-side — a hub
+    key reduces within every map task, no single-reducer bottleneck) joined
+    back onto the symmetric edge view. The join's exchange is left to AQE's
+    skew-join splitting, so a dense component's hub neighborhood is
+    processed by MANY tasks — the window formulation necessarily collects
+    all Γ(hub) rows into one task. Costs ~1.5x the shuffle volume of the
+    window form; worth it only when components are large/dense."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", F.col("u")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def _small_star_agg(edges: DataFrame) -> DataFrame:
+    """Skew-safe small-star (see _large_star_agg): groupBy-min + join-back
+    + self-edge from the min table; the end-of-round dedup is itself an
+    aggregation (map-side partial), so no step funnels a hot key into one
+    task."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    emit_n = edges.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    emit_self = m.select("u", F.col("m").alias("v"))
+    return (
+        emit_n.unionByName(emit_self)
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "left_id",
@@ -148,6 +186,7 @@ def connected_components(
     check_every: int = 2,
     rows_per_partition: int = 200_000,
     assume_unique: bool = False,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """(left_id, right_id) match edges → (conv_id, cluster_id) with
     cluster_id = min node id of the component. Nodes appearing only as
@@ -167,7 +206,13 @@ def connected_components(
       session-global shuffle.partitions is never mutated, so concurrent
       jobs on the same SparkSession are unaffected. On a 1000-executor
       cluster the same knob keeps thousands of near-empty reducers out of
-      every round."""
+      every round.
+    * skew_safe=True swaps the per-star min-WINDOW (one shuffle, but a hub
+      node's whole neighborhood lands in one task) for groupBy-min +
+      join-back (partial aggregation + AQE skew-split join; ~1.5x shuffle
+      volume). Default False: dedup graphs are millions of small cliques
+      where the window form wins; use True for graphs with giant/dense
+      components."""
     spark = pairs.sparkSession
     e = pairs.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
@@ -179,9 +224,17 @@ def connected_components(
         # candidate pipelines emit unique (left < right) pairs already —
         # pass assume_unique=True there to skip this full-edge-set shuffle
         oriented = oriented.distinct()
-    # phase-0 local contraction: shrink the loop's input before the first
-    # shuffle (also subsumes intra-partition duplicate edges)
-    edges = _contract_partitions(oriented).localCheckpoint(eager=True)
+    # phase-0 local contraction: shrink the loop's input (also subsumes
+    # intra-partition duplicate edges). Co-locating each LOWER endpoint's
+    # edges first makes the union-find see every edge incident to a
+    # cluster's min node in one partition, so dedup cliques — the
+    # production shape — collapse to min-rooted stars before the loop ever
+    # runs (measured on 4.8M clustered edges: 3.84M→2.81M loop edges vs
+    # 3.76M with layout-as-is contraction). One column-repartition (AQE
+    # coalesces the count) buys fewer, cheaper star rounds.
+    edges = _contract_partitions(oriented.repartition("v")).localCheckpoint(
+        eager=True
+    )
     init_row = edges.select(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("u", "v")).alias("h"),
@@ -209,9 +262,14 @@ def connected_components(
         # lazy checkpoint: the signature collect below materializes it
         # (with the intermediate rounds), so convergence costs ONE
         # driver-synchronized job per check_every rounds
-        edges = _small_star(
-            _large_star(edges, loop_parts), loop_parts
-        ).localCheckpoint(eager=False)
+        if skew_safe:
+            edges = _small_star_agg(_large_star_agg(edges)).localCheckpoint(
+                eager=False
+            )
+        else:
+            edges = _small_star(
+                _large_star(edges, loop_parts), loop_parts
+            ).localCheckpoint(eager=False)
         if (rnd + 1) % check_every != 0 and rnd + 1 < max_iter:
             continue
         sig_row = edges.select(

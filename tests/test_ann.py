@@ -167,3 +167,77 @@ def test_embedding_near_dup_salting_is_lossless(spark):
     }
     assert salted == unsalted
     assert len(unsalted) > 0
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    from ditto_spark.operators.ann import cosine_topk_ivf
+
+    df, _ = _vecs(spark)
+    v = df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(v, q, k=3, vec_col="v").collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(df, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF recall {recall}"
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    from ditto_spark.operators.ann import _ivf_assign, _vec_view, ivf_centroids
+
+    df, _ = _vecs(spark)
+    cent = ivf_centroids(df, n_centroids=8)
+    assert cent.count() == 8
+    assigned = _ivf_assign(_vec_view(df, "vec_id", "embedding"), cent)
+    rows = assigned.collect()
+    assert len(rows) == 60  # exactly one cell per vector
+    assert len({r["vec_id"] for r in rows}) == 60
+    assert {r["cell_rank"] for r in rows} == {1}
+
+
+def test_ivf_topk_deterministic(spark):
+    from ditto_spark.operators.ann import cosine_topk_ivf
+
+    df, _ = _vecs(spark)
+    a = sorted(map(tuple, cosine_topk_ivf(df, k=3, n_centroids=8).collect()))
+    b = sorted(map(tuple, cosine_topk_ivf(df, k=3, n_centroids=8).collect()))
+    assert a == b
+
+
+def test_ivf_lloyd_refinement_improves_quantization(spark):
+    from ditto_spark.operators.ann import _ivf_assign, _vec_view, ivf_centroids
+
+    df, _ = _vecs(spark)
+    v = _vec_view(df, "vec_id", "embedding")
+
+    def mean_best_cos(cent):
+        # average cosine of each vector to its assigned centroid — the
+        # quantity a Lloyd round is supposed to not decrease
+        assigned = _ivf_assign(v, cent)
+        joined = (
+            assigned.join(v, "vec_id")
+            .join(cent, "centroid_id")
+        )
+        dot = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot(F.col("v"), F.col("cv")) / (
+            F.sqrt(dot(F.col("v"), F.col("v")))
+            * F.sqrt(dot(F.col("cv"), F.col("cv")))
+        )
+        return joined.select(F.avg(cos).alias("m")).collect()[0]["m"]
+
+    c0 = ivf_centroids(df, n_centroids=6, n_iter=0)
+    c1 = ivf_centroids(df, n_centroids=6, n_iter=1)
+    assert c1.count() <= 6
+    dim = len(c1.collect()[0]["cv"])
+    assert dim == DIM
+    assert mean_best_cos(c1) >= mean_best_cos(c0) - 1e-9
