@@ -187,6 +187,7 @@ def connected_components(
     rows_per_partition: int = 200_000,
     assume_unique: bool = False,
     skew_safe: bool = False,
+    contract: bool = True,
 ) -> DataFrame:
     """(left_id, right_id) match edges → (conv_id, cluster_id) with
     cluster_id = min node id of the component. Nodes appearing only as
@@ -212,7 +213,20 @@ def connected_components(
       join-back (partial aggregation + AQE skew-split join; ~1.5x shuffle
       volume). Default False: dedup graphs are millions of small cliques
       where the window form wins; use True for graphs with giant/dense
-      components."""
+      components.
+    * two-pass local contraction (by v, then by u) + a star-forest check
+      SKIP the loop outright when contraction already converged — exact
+      for clique-shaped components (the dedup production shape), so the
+      flagship's CC stage usually runs zero driver-synchronized rounds.
+
+    * contract=False skips the contraction passes — the loop runs from
+      the raw oriented edges (regression lever for loop-path testing;
+      also for graphs whose layout makes local contraction useless,
+      where the two passes are two wasted shuffles). The star-forest
+      check still applies (it is correct on any edge set).
+
+    After a call, `connected_components.last_rounds` holds the number of
+    star rounds the loop actually executed (0 = star short-circuit)."""
     spark = pairs.sparkSession
     e = pairs.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
@@ -225,25 +239,69 @@ def connected_components(
         # pass assume_unique=True there to skip this full-edge-set shuffle
         oriented = oriented.distinct()
     # phase-0 local contraction: shrink the loop's input (also subsumes
-    # intra-partition duplicate edges). Co-locating each LOWER endpoint's
-    # edges first makes the union-find see every edge incident to a
-    # cluster's min node in one partition, so dedup cliques — the
-    # production shape — collapse to min-rooted stars before the loop ever
-    # runs (measured on 4.8M clustered edges: 3.84M→2.81M loop edges vs
-    # 3.76M with layout-as-is contraction). One column-repartition (AQE
-    # coalesces the count) buys fewer, cheaper star rounds.
-    edges = _contract_partitions(oriented.repartition("v")).localCheckpoint(
-        eager=True
+    # intra-partition duplicate edges). Two passes with ALTERNATING layout:
+    # pass 1 co-locates each LOWER endpoint's edges (v), pass 2 each
+    # HIGHER endpoint's (u). For clique-shaped components — the dedup
+    # production shape — the pair is EXACT regardless of hash co-location:
+    # after the v-pass every emitted edge points at a smaller neighbor,
+    # and in the u-pass every node's full edge list (which, in a clique,
+    # contains the direct edge to the component min) lands in one
+    # partition, so union-find roots every member at the min. The loop
+    # below then starts from a star forest and is skipped outright by the
+    # star check — zero driver-synchronized rounds. Non-clique residues
+    # (paths, sparse bridges) still enter the loop, just smaller. Each
+    # pass is one column-repartition (AQE coalesces the count) + a linear
+    # zero-shuffle scan.
+    if contract:
+        edges = _contract_partitions(
+            _contract_partitions(oriented.repartition("v")).repartition("u")
+        ).localCheckpoint(eager=True)
+    else:
+        edges = oriented.localCheckpoint(eager=True)
+    # star-forest short-circuit: the edge set is already node→root stars
+    # iff (a) no node appears on BOTH sides and (b) no node carries two
+    # DISTINCT parents — (b) is reachable even after the u-pass because a
+    # node pulled into two different partitions' local components as a
+    # v-side member is emitted once per partition, possibly under two
+    # roots. Under (a)+(b), orientation (u > v) makes each root the min of
+    # its star and connectivity preservation makes each star exactly one
+    # input component — the final assembly below is then exact with zero
+    # star rounds. Checked with ONE node-keyed aggregate (ids only,
+    # map-side partial) + an isEmpty probe; on star input this replaces
+    # the loop's 2 fixed-point rounds (6 shuffles, 2 collects).
+    vtype = edges.schema["v"].dataType.simpleString()
+    sides = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("p")
+    ).unionByName(
+        edges.select(F.col("v").alias("n"), F.lit(None).cast(vtype).alias("p"))
     )
+    viol = (
+        sides.groupBy("n")
+        .agg(
+            F.count_distinct("p").alias("np"),
+            F.max(F.col("p").isNull().cast("int")).alias("is_parent"),
+        )
+        .where((F.col("np") >= 2) | ((F.col("np") >= 1) & (F.col("is_parent") == 1)))
+    )
+    if viol.isEmpty():
+        connected_components.last_rounds = 0
+        return (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("cluster_id"))
+            .select(F.col("u").alias("conv_id"), "cluster_id")
+            .unionByName(
+                edges.select(
+                    F.col("v").alias("conv_id"), F.col("v").alias("cluster_id")
+                ).distinct()
+            )
+            .groupBy("conv_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
     init_row = edges.select(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("u", "v")).alias("h"),
     ).collect()[0]
-    n_edges = init_row["n"]
-    if n_edges == 0:
-        return edges.select(
-            F.col("u").alias("conv_id"), F.col("v").alias("cluster_id")
-        )
+    n_edges = init_row["n"]  # > 0: empty edge sets exit via the star path
     try:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except (TypeError, ValueError):
@@ -279,6 +337,7 @@ def connected_components(
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
             converged = True
+            connected_components.last_rounds = rnd + 1
             break
         prev_sig = sig
     if not converged:

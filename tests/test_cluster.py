@@ -39,6 +39,56 @@ def test_reversed_and_duplicate_edges(spark):
     assert got == {"a": "a", "b": "a", "c": "a"}
 
 
+def test_cliques_take_star_shortcut(spark):
+    # production shape: disjoint near-dup cliques. Two-pass contraction
+    # must collapse them to exact min-rooted stars and skip the loop.
+    edges = []
+    for c in range(6):
+        nodes = [f"c{c}_{i}" for i in range(5)]
+        edges += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    got = _cc(spark, edges)
+    assert connected_components.last_rounds == 0
+    for c in range(6):
+        root = f"c{c}_0"
+        assert all(got[f"c{c}_{i}"] == root for i in range(5))
+
+
+def test_multi_parent_not_mistaken_for_star(spark):
+    # (u,v1),(u,v2): u carries two distinct parents — a star-check that
+    # only tests two-sidedness would wrongly leave v1 and v2 in separate
+    # clusters. All three nodes share one component rooted at min.
+    got = _cc(spark, [("zz", "aa"), ("zz", "mm")])
+    assert got == {"zz": "aa", "aa": "aa", "mm": "aa"}
+
+
+def test_star_shortcut_correct_on_path_graphs(spark):
+    # paths defeat local contraction under adversarial partitioning; the
+    # loop path must still produce exact min-rooted components.
+    nodes = [f"p{i:03d}" for i in range(40)]
+    got = _cc(spark, list(zip(nodes, nodes[1:])))
+    assert all(v == "p000" for v in got.values()) and len(got) == 40
+
+
+def test_loop_path_without_contraction(spark):
+    # contract=False forces the star loop (at test scale AQE coalesces
+    # contraction to one partition, which would short-circuit everything);
+    # result must match the contracted path exactly.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "z")]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(df, contract=False).collect()
+    }
+    assert connected_components.last_rounds > 0
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "z": "x"}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "left_id string, right_id string")
+    assert connected_components(df).count() == 0
+
+
 def test_singletons_assigned_self(spark):
     ids = spark.createDataFrame([("a",), ("b",), ("c",), ("lone",)], "conv_id string")
     pairs = spark.createDataFrame([("a", "b")], "left_id string, right_id string")

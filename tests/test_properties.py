@@ -56,11 +56,18 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     if not edges:
         return
     df = spark.createDataFrame(edges, "left_id string, right_id string")
+    want = _union_find_components(edges)
     got = {
         r["conv_id"]: r["cluster_id"] for r in connected_components(df).collect()
     }
-    want = _union_find_components(edges)
     assert got == want
+    # loop path (contract=False): AQE coalesces contraction to one
+    # partition at this scale, so without this the star loop is untested
+    got_loop = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(df, contract=False).collect()
+    }
+    assert got_loop == want
 
 
 @given(st.randoms(use_true_random=False))
