@@ -67,12 +67,16 @@ def _pinned() -> bool:
 def calibrate(ns=(1, 4, 16, 32)) -> dict[int, float]:
     """Effective parallelism of n concurrent pure-CPU processes. When
     pinning is on, each pool is confined to CPUs 0..n-1, mirroring exactly
-    what run_bench's taskset gives the measured job."""
+    what run_bench's taskset gives the measured job.
+
+    Noise control: BOTH the serial baseline and each pool run use the
+    minimum of 3 repeats — a single stalled serial sample otherwise
+    inflates every ratio (observed: a 2-proc pool 'delivering' 3.0
+    effective cores because the one serial measurement hit a degraded
+    window), and the hw-normalized efficiency built on it is garbage."""
     out = {}
     all_cpus = os.sched_getaffinity(0)
-    t0 = time.time()
-    _burn(0)
-    serial = time.time() - t0
+    serial = min(_timed_burn() for _ in range(3))
     for n in ns:
         if n == 1:
             out[1] = 1.0
@@ -80,15 +84,23 @@ def calibrate(ns=(1, 4, 16, 32)) -> dict[int, float]:
         if _pinned():
             os.sched_setaffinity(0, set(range(n)))
         try:
+            walls = []
             with mp.Pool(n) as p:
-                t0 = time.time()
-                p.map(_burn, range(n))
-                wall = time.time() - t0
+                for _ in range(3):
+                    t0 = time.time()
+                    p.map(_burn, range(n))
+                    walls.append(time.time() - t0)
         finally:
             if _pinned():
                 os.sched_setaffinity(0, all_cpus)
-        out[n] = round(n * serial / wall, 1)
+        out[n] = round(n * serial / min(walls), 1)
     return out
+
+
+def _timed_burn() -> float:
+    t0 = time.time()
+    _burn(0)
+    return time.time() - t0
 
 
 def calibrate_membw(ns=(1, 4, 16)) -> dict[int, float]:
@@ -104,9 +116,12 @@ def calibrate_membw(ns=(1, 4, 16)) -> dict[int, float]:
     out = {}
     all_cpus = os.sched_getaffinity(0)
     _stream(0)
-    t0 = time.time()
-    _stream(0)
-    serial = time.time() - t0
+    serials = []
+    for _ in range(3):
+        t0 = time.time()
+        _stream(0)
+        serials.append(time.time() - t0)
+    serial = min(serials)
     for n in ns:
         if n == 1:
             out[1] = 1.0
@@ -114,15 +129,17 @@ def calibrate_membw(ns=(1, 4, 16)) -> dict[int, float]:
         if _pinned():
             os.sched_setaffinity(0, set(range(n)))
         try:
+            walls = []
             with mp.Pool(n) as p:
                 p.map(_stream, range(n))  # fault in worker buffers, untimed
-                t0 = time.time()
-                p.map(_stream, range(n))
-                wall = time.time() - t0
+                for _ in range(3):
+                    t0 = time.time()
+                    p.map(_stream, range(n))
+                    walls.append(time.time() - t0)
         finally:
             if _pinned():
                 os.sched_setaffinity(0, all_cpus)
-        out[n] = round(n * serial / wall, 2)
+        out[n] = round(n * serial / min(walls), 2)
     return out
 
 
