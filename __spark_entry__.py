@@ -114,9 +114,11 @@ WITH sh AS (
 """
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id") -> str:
     """16-perm md5 MinHash + 4-band LSH join + agreement estimate,
-    replicating q_minhash_lsh_candidates in portable SQL."""
+    replicating q_minhash_lsh_candidates in portable SQL. `cand_where`
+    selects the pair space: the default self-join orientation, or the
+    two-table parity split (q_er_cross_candidates)."""
     r = _MH_PERMS // _MH_BANDS
     mins = ",\n             ".join(
         f"min(md5('{i}|' || s)) AS h{i}" for i in range(_MH_PERMS)
@@ -143,7 +145,7 @@ def _minhash_lsh_oracle() -> str:
       SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
       FROM bands l JOIN bands r
         ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-      WHERE l.doc_id < r.doc_id
+      WHERE {cand_where}
     )
     SELECT c.left_id, c.right_id,
            ({agree}) / {float(_MH_PERMS)} AS est_jaccard
@@ -1029,6 +1031,90 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: documents concatenated in doc_id
+    order and cut into 512-token packs; each row is the doc-relative token
+    slice a document contributes to one pack. Distributed two-phase prefix
+    sum (range repartition → per-partition offsets → local cumsum window)
+    — see ditto_spark/operators/packing.py; the DuckDB oracle is the
+    single-node window-cumsum equivalent."""
+    from ditto_spark.operators.packing import pack_pretraining_chunks
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_pretraining_chunks(docs, budget=512)
+
+
+def q_er_cross_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table (ER-Magellan-style) MinHash-LSH candidate generation:
+    documents split by doc_id parity into table_a (even) and table_b
+    (odd); candidates are cross-table band matches only — the reference's
+    table_a/table_b linkage setting (/root/reference/blocking/blocker.py,
+    er_magellan pair files are cross-table by construction). Same
+    md5-portable 16-perm signature and band join as
+    q_minhash_lsh_candidates, so the DuckDB oracle replicates banding,
+    the cross join, and the agreement estimate exactly. The production
+    xxhash-64-perm path with A-side salting + B-side replication is
+    `blocking.block_minhash_lsh_cross`, exercised by pytest (recall vs
+    exact cross pairs; salted-bucket full-recall bound)."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(_MH_PERMS)
+        ]
+    ).persist()
+    r = _MH_PERMS // _MH_BANDS
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                    ).alias("band_key"),
+                )
+                for b in range(_MH_BANDS)
+            ]
+        )
+    )
+    banded = sig.select("doc_id", bands.alias("b")).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
+    )
+    l = banded.where(F.col("doc_id") % 2 == 0).select(
+        "band_idx", "band_key", F.col("doc_id").alias("left_id")
+    )
+    rr = banded.where(F.col("doc_id") % 2 == 1).select(
+        "band_idx", "band_key", F.col("doc_id").alias("right_id")
+    )
+    cand = (
+        l.join(rr, ["band_idx", "band_key"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ls = sig.select(
+        F.col("doc_id").alias("left_id"),
+        *[F.col(f"h{i}").alias(f"lh{i}") for i in range(_MH_PERMS)],
+    )
+    rs = sig.select(
+        F.col("doc_id").alias("right_id"),
+        *[F.col(f"h{i}").alias(f"rh{i}") for i in range(_MH_PERMS)],
+    )
+    agree = sum(
+        (F.col(f"lh{i}") == F.col(f"rh{i}")).cast("int") for i in range(_MH_PERMS)
+    )
+    return (
+        cand.join(ls, "left_id")
+        .join(rs, "right_id")
+        .select(
+            "left_id", "right_id",
+            (agree / F.lit(float(_MH_PERMS))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.25)
+    )
+
+
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document near-dup clustering, fully oracle-checked end to end:
     exact rare-shingle blocking → shingle-set Jaccard ≥ 0.5 → large-star/
@@ -1086,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "er_cross_candidates": q_er_cross_candidates,
+        "pack_chunks": q_pack_chunks,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
         "tfidf_summarize": q_tfidf_summarize,
@@ -1702,6 +1790,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "pack_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+              FROM documents
+            ), nz AS (
+              SELECT * FROM t WHERE n_tok > 0
+            ), c AS (
+              SELECT doc_id, n_tok,
+                     sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS start
+              FROM nz
+            )
+            SELECT c.doc_id, g.p::BIGINT AS pack_id,
+                   (greatest(g.p * 512, start) - start)::BIGINT AS tok_from,
+                   (least((g.p + 1) * 512, start + n_tok) - start)::BIGINT AS tok_to
+            FROM c, unnest(generate_series((start // 512)::BIGINT, ((start + n_tok - 1) // 512)::BIGINT)) g(p)
+        """,
+        "er_cross_candidates": _minhash_lsh_oracle(
+            "l.doc_id % 2 = 0 AND r.doc_id % 2 = 1"
+        ),
         "simhash_near_dup": _SIMHASH_ORACLE,
         "doc_dedup_clusters": _DOC_DEDUP_ORACLE,
         "media_features": """

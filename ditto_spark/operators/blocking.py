@@ -242,6 +242,112 @@ def block_minhash_lsh(
     return pairs
 
 
+def block_minhash_lsh_cross(
+    table_a: DataFrame,
+    table_b: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "entity_text",
+    shingle_n: int = 2,
+    num_perm: int = 64,
+    num_bands: int = 21,
+    rows_per_band: int = 3,
+    max_bucket: int = 200,
+    salt_seed: int = 7,
+    threshold: float | None = None,
+    top_k: int | None = None,
+    persist_sig: bool = True,
+) -> DataFrame:
+    """Two-table (cross-corpus) MinHash-LSH blocking — the reference's
+    ER-Magellan / WDC setting, where candidates link table_a to table_b
+    rather than a corpus to itself (/root/reference/blocking/blocker.py
+    encodes table_a and table_b separately and matches across; the labeled
+    pair files are cross-table by construction). Returns
+    (left_id, right_id, est_jaccard) with left from A and right from B.
+
+    Same construction as the self-join path (identical seeds — signatures
+    of the two sides must be comparable), with the skew treatment adapted
+    to the asymmetric join: a band bucket whose A-side exceeds
+    `max_bucket` is split into ceil(n_a/max_bucket) cells; A rows hash
+    into one cell, B rows REPLICATE across all cells of their bucket —
+    every A-B pair of the bucket still meets in exactly the A row's cell
+    (full within-bucket recall at any bucket size, unlike the self-join's
+    probabilistic cross-cell recovery, which leans on CC downstream — a
+    luxury two-table linkage does not have since its output IS the final
+    pair set). Per-task width stays ~max_bucket A rows; the replication
+    factor is bounded by the count window, not guessed.
+
+    top_k keeps the best-k A-side candidates per B row (blocker.py:67-72
+    ranks neighbors per query row)."""
+    from pyspark.sql import Window
+
+    assert num_bands * rows_per_band <= num_perm
+    sig_a = minhash_signatures(
+        shingle(tokenize(table_a, text_col), shingle_n), id_col, num_perm=num_perm
+    )
+    sig_b = minhash_signatures(
+        shingle(tokenize(table_b, text_col), shingle_n), id_col, num_perm=num_perm
+    )
+    if persist_sig:
+        sig_a = sig_a.persist()
+        sig_b = sig_b.persist()
+    bands_a = lsh_bands(sig_a, id_col, num_bands, rows_per_band).withColumn(
+        "side", F.lit("a")
+    )
+    bands_b = lsh_bands(sig_b, id_col, num_bands, rows_per_band).withColumn(
+        "side", F.lit("b")
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    tagged = bands_a.unionByName(bands_b).withColumn(
+        "n_salts",
+        F.ceil(
+            F.sum((F.col("side") == "a").cast("int")).over(w) / F.lit(max_bucket)
+        ).cast("int"),
+    )
+    # n_salts = 0 ⇔ the bucket has no A rows: B's explode over an empty
+    # range drops those rows before the join ever sees them
+    a_rows = tagged.where(F.col("side") == "a").select(
+        "band_idx", "band_key",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")).alias("salt"),
+        F.col(id_col).alias("left_id"),
+    )
+    b_rows = tagged.where(F.col("side") == "b").select(
+        "band_idx", "band_key", F.col(id_col).alias("right_id"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_salts").cast("long") - 1)
+        ).alias("salt"),
+    )
+    cand = (
+        a_rows.join(b_rows.hint("shuffle_hash"), ["band_idx", "band_key", "salt"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ls = sig_a.select(F.col(id_col).alias("left_id"), F.col("sig").alias("lsig"))
+    rs = sig_b.select(F.col(id_col).alias("right_id"), F.col("sig").alias("rsig"))
+    agree = F.aggregate(
+        F.zip_with("lsig", "rsig", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.join(ls.hint("shuffle_hash"), "left_id")
+        .join(rs.hint("shuffle_hash"), "right_id")
+        .withColumn("est_jaccard", agree / F.size("lsig"))
+        .drop("lsig", "rsig")
+    )
+    if threshold is not None:
+        pairs = pairs.where(F.col("est_jaccard") >= threshold)
+    if top_k is not None:
+        wk = Window.partitionBy("right_id").orderBy(
+            F.desc("est_jaccard"), F.asc("left_id")
+        )
+        pairs = (
+            pairs.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") <= top_k)
+            .drop("rk")
+        )
+    return pairs
+
+
 def block_exact_shingles(
     serialized: DataFrame,
     id_col: str = "conv_id",

@@ -1,0 +1,119 @@
+"""Sequence packing for LLM pretraining — concat-then-cut chunking.
+
+The standard pretraining data layout: documents are concatenated in a
+deterministic global order and cut into fixed `budget`-token chunks
+("packs"); a document straddling a boundary contributes a slice to each
+overlapping pack. Output is the doc→pack assignment with the doc-relative
+token slice, ready for a downstream tokenizer/writer to materialize packs.
+
+Not in the reference (its datasets are pair files, /root/reference/
+ditto_light/dataset.py); this is part of the training-data-pipeline tier
+the build brief asks for beyond reference parity.
+
+Scale design — the operator is a GLOBAL prefix sum, which naive window code
+(`Window.orderBy(...)` with no partitionBy) computes by dragging the whole
+corpus into ONE partition. Here it is the classic two-phase distributed
+scan instead:
+
+  1. range-repartition + sort by `id_col` (range boundaries are Spark's
+     sampled global sort — the only wide exchange);
+  2. per-partition token sums (one tiny row per partition) collected and
+     turned into per-partition START OFFSETS on the driver — O(partitions)
+     driver work, broadcast back as a literal map;
+  3. the cumulative sum inside each partition is a window over
+     (spark_partition_id) — already clustered, no further exchange.
+
+So the whole operator costs one range shuffle + one O(partitions) collect,
+and every partition computes its absolute token offsets independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tok"
+) -> DataFrame:
+    """Whitespace token count (same tokenizer as token_stats/quality ops)."""
+    return df.withColumn(
+        out_col,
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")),
+    )
+
+
+def pack_pretraining_chunks(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tok_col: str | None = None,
+    parts: int | None = None,
+) -> DataFrame:
+    """(id, text|n_tok) → (id, pack_id, tok_from, tok_to): for every pack a
+    document overlaps, the doc-relative half-open token slice [tok_from,
+    tok_to) it contributes. Global order is `id_col` ascending; packs are
+    exactly `budget` tokens (the last may be short). Zero-token documents
+    are dropped (they contribute nothing to any pack).
+
+    Deterministic and engine-portable: the DuckDB oracle replicates it
+    with a plain window cumsum + generate_series (fine single-node; the
+    two-phase scan here is what survives the same computation at 10^12
+    rows)."""
+    from pyspark.sql import Window
+
+    if n_tok_col:
+        sized = docs.select(F.col(id_col), F.col(n_tok_col).alias("n_tok"))
+    else:
+        sized = token_counts(docs.select(id_col, text_col), text_col).select(
+            id_col, "n_tok"
+        )
+    sized = sized.where(F.col("n_tok") > 0)
+    n_parts = parts or sized.sparkSession.sparkContext.defaultParallelism * 2
+    by_range = sized.repartitionByRange(n_parts, F.col(id_col)).sortWithinPartitions(
+        id_col
+    ).withColumn("pid", F.spark_partition_id())
+    by_range = by_range.persist()
+    # phase 2: one tiny row per partition → absolute start offset per pid
+    psums = {
+        r["pid"]: r["s"]
+        for r in by_range.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("pid"),
+    ) if offsets else F.lit(0)
+    # phase 3: local cumsum (window pre-clustered by the range partitioning)
+    w = Window.partitionBy("pid").orderBy(id_col)
+    spans = by_range.select(
+        id_col,
+        "n_tok",
+        (off_expr + F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+    )
+    # explode over the packs the doc overlaps; slice is doc-relative
+    first_pack = (F.col("start") / budget).cast("long")
+    last_pack = ((F.col("start") + F.col("n_tok") - 1) / budget).cast("long")
+    out = spans.select(
+        id_col,
+        "n_tok",
+        "start",
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    )
+    tok_from = F.greatest(F.col("pack_id") * budget, F.col("start")) - F.col("start")
+    tok_to = (
+        F.least((F.col("pack_id") + 1) * budget, F.col("start") + F.col("n_tok"))
+        - F.col("start")
+    )
+    return out.select(
+        id_col,
+        "pack_id",
+        tok_from.cast("long").alias("tok_from"),
+        tok_to.cast("long").alias("tok_to"),
+    )

@@ -81,3 +81,52 @@ def test_exact_shingle_blocking(spark):
     out = B.block_exact_shingles(df, shingle_n=3)
     got = {(r["left_id"], r["right_id"]) for r in out.collect()}
     assert got == {("a", "b")}
+
+
+def test_cross_table_blocking_recall_and_sides(spark, small_transcripts):
+    # split the corpus by conv_id hash parity; cross blocking must find
+    # every planted-duplicate pair that straddles the split (recall gate)
+    # and must emit ONLY cross-table pairs
+    ser = serialize_conversations(small_transcripts)
+    side = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    a = ser.where(side == 0)
+    b = ser.where(side == 1)
+    pairs = B.block_minhash_lsh_cross(a, b, text_col="block_text").cache()
+    a_ids = {r[0] for r in a.select("conv_id").collect()}
+    b_ids = {r[0] for r in b.select("conv_id").collect()}
+    got = pairs.select("left_id", "right_id").collect()
+    assert got, "no cross candidates found"
+    assert all(r["left_id"] in a_ids and r["right_id"] in b_ids for r in got)
+    truth = golden_clusters(small_transcripts)
+    pos = (
+        truth.alias("x")
+        .join(truth.alias("y"), F.col("x.cluster_id") == F.col("y.cluster_id"))
+        .where(F.col("x.conv_id") != F.col("y.conv_id"))
+        .select(
+            F.col("x.conv_id").alias("left_id"),
+            F.col("y.conv_id").alias("right_id"),
+        )
+    )
+    pos_cross = pos.where(
+        F.pmod(F.xxhash64("left_id"), F.lit(2)) == 0
+    ).where(F.pmod(F.xxhash64("right_id"), F.lit(2)) == 1)
+    n_pos = pos_cross.count()
+    found = pos_cross.join(pairs, ["left_id", "right_id"], "left_semi").count()
+    assert found / max(n_pos, 1) >= 0.95, f"cross recall {found}/{n_pos}"
+
+
+def test_cross_table_salting_full_recall(spark):
+    # one hot bucket: 30 identical A texts and 20 identical B texts land in
+    # the same band buckets; with max_bucket=10 the A side splits into 3
+    # cells and B replicates — ALL 30x20 cross pairs must still surface
+    # (one-side replication = full within-bucket recall, unlike the
+    # self-join's probabilistic cross-cell recovery)
+    txt = "omega psi chi phi upsilon tau sigma rho"
+    a = spark.createDataFrame(
+        [(f"a{i:03d}", txt) for i in range(30)], "conv_id string, entity_text string"
+    )
+    b = spark.createDataFrame(
+        [(f"b{i:03d}", txt) for i in range(20)], "conv_id string, entity_text string"
+    )
+    pairs = B.block_minhash_lsh_cross(a, b, max_bucket=10)
+    assert pairs.count() == 30 * 20
