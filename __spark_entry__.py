@@ -1031,6 +1031,28 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a parity split of documents (even
+    doc_id = training corpus, odd = benchmark set): GPT-3-style n-gram
+    contamination pairs via `blocking.ngram_overlap_cross` — the
+    production operator runs unmodified (it is fully relational), with
+    shingle_n=3 and min_common=2 sized to the synthetic corpus. Docs
+    shorter than the shingle width are excluded on both sides (matches
+    the oracle's len filter)."""
+    from ditto_spark.operators.blocking import ngram_overlap_cross
+
+    docs = _load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    return ngram_overlap_cross(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        shingle_n=3,
+        min_common=2,
+        max_train_df=50,
+    )
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence packing: documents concatenated in doc_id
     order and cut into 512-token packs; each row is the doc-relative token
@@ -1173,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
+        "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
@@ -1790,6 +1813,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "decontaminate": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                   unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+              WHERE len(l) >= 3
+            ), tr AS (
+              SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 2 = 0
+            ), keep AS (
+              SELECT s FROM tr GROUP BY s HAVING count(*) <= 50
+            ), trf AS (
+              SELECT tr.train_id, tr.s FROM tr JOIN keep USING (s)
+            ), be AS (
+              SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 2 = 1
+            ), sizes AS (
+              SELECT bench_id, count(*) AS bench_shingles FROM be GROUP BY bench_id
+            ), pairs AS (
+              SELECT t.train_id, b.bench_id, count(*) AS n_common
+              FROM trf t JOIN be b ON t.s = b.s
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.train_id, p.bench_id, p.n_common,
+                   p.n_common / s.bench_shingles AS bench_overlap_frac
+            FROM pairs p JOIN sizes s ON s.bench_id = p.bench_id
+        """,
         "pack_chunks": """
             WITH t AS (
               SELECT doc_id,

@@ -348,6 +348,62 @@ def block_minhash_lsh_cross(
     return pairs
 
 
+def ngram_overlap_cross(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    min_common: int = 1,
+    max_train_df: int | None = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, bench_id, n_common,
+    bench_overlap_frac) for every train/benchmark document pair sharing ≥
+    `min_common` distinct token n-grams — the GPT-3-style n-gram
+    contamination rule (13-grams there; n is a knob because the right n
+    depends on tokenizer and document length). A training pipeline drops
+    or flags every train_id that appears here.
+
+    Scale shape: one exploded shingle table per side, equi-join on the
+    shingle string, groupBy pair — the same prefix-filter skeleton as
+    block_exact_shingles. `max_train_df` prunes shingles appearing in more
+    than that many TRAIN docs before the join (boilerplate n-grams —
+    headers, license text — would otherwise fan out quadratically);
+    pruning is train-side only, so a benchmark n-gram can never be lost by
+    benchmark-side statistics, and None disables pruning for strict
+    audits. bench_overlap_frac = n_common / |bench doc's distinct
+    shingles| — the usual flag-if-above-epsilon decision input."""
+    tr = shingle(tokenize(train, text_col), shingle_n).select(
+        F.col(id_col).alias("train_id"), F.explode("shingles").alias("s")
+    )
+    if max_train_df is not None:
+        keep = tr.groupBy("s").agg(F.count(F.lit(1)).alias("df_cnt")).where(
+            F.col("df_cnt") <= max_train_df
+        )
+        tr = tr.join(keep.select("s"), "s")
+    be = shingle(tokenize(bench, text_col), shingle_n).select(
+        F.col(id_col).alias("bench_id"), F.explode("shingles").alias("s")
+    )
+    bench_sizes = be.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_shingles")
+    )
+    return (
+        tr.join(be, "s")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+        .join(bench_sizes, "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            "n_common",
+            (F.col("n_common") / F.col("bench_shingles")).alias(
+                "bench_overlap_frac"
+            ),
+        )
+    )
+
+
 def block_exact_shingles(
     serialized: DataFrame,
     id_col: str = "conv_id",

@@ -130,3 +130,57 @@ def test_cross_table_salting_full_recall(spark):
     )
     pairs = B.block_minhash_lsh_cross(a, b, max_bucket=10)
     assert pairs.count() == 30 * 20
+
+
+def test_ngram_overlap_cross_decontamination(spark):
+    # planted contamination: train doc t1 contains benchmark doc b1's
+    # 4-gram verbatim; t2 is clean; boilerplate shingle shared by ALL train
+    # docs is pruned by max_train_df without losing the real hit
+    boiler = "copyright header line four"
+    train = spark.createDataFrame(
+        [
+            ("t1", boiler + " alpha beta gamma delta unique tail"),
+            ("t2", boiler + " completely different words here"),
+            ("t3", boiler + " more unrelated training text"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("b1", "alpha beta gamma delta"),
+            ("b2", "nothing shared at all"),
+        ],
+        "doc_id string, text string",
+    )
+    got = B.ngram_overlap_cross(
+        train, bench, shingle_n=4, min_common=1, max_train_df=2
+    ).collect()
+    hits = {(r["train_id"], r["bench_id"]): r for r in got}
+    assert set(hits) == {("t1", "b1")}
+    r = hits[("t1", "b1")]
+    # b1 has exactly one distinct 4-gram, fully contained in t1
+    assert r["n_common"] == 1 and r["bench_overlap_frac"] == 1.0
+
+
+def test_ngram_overlap_train_side_pruning_only(spark):
+    # a shingle common to many TRAIN docs is pruned (df cap), but a shingle
+    # common to many BENCH docs is NOT — benchmark-side statistics must
+    # never drop a contamination hit
+    train = spark.createDataFrame(
+        [(f"t{i}", "shared ngram across train") for i in range(5)]
+        + [("tx", "rare overlap with bench")],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(f"b{i}", "rare overlap with bench") for i in range(5)],
+        "doc_id string, text string",
+    )
+    got = B.ngram_overlap_cross(
+        train, bench, shingle_n=4, min_common=1, max_train_df=2
+    ).collect()
+    # "shared ngram across train" never hits bench anyway; "rare overlap
+    # with bench" appears in 1 train doc (under cap) and 5 bench docs —
+    # all 5 pairs must surface
+    assert {(r["train_id"], r["bench_id"]) for r in got} == {
+        ("tx", f"b{i}") for i in range(5)
+    }
