@@ -1031,6 +1031,28 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the exact-shingle near-dup clustering
+    against md5-exact duplicate groups as truth — the record-averaged ER
+    clustering metric beside pairwise F1 (evaluate.bcubed). Both cluster
+    assignments and the metric itself are relational, so the DuckDB oracle
+    replays the full chain (recursive-CTE CC → contingency aggregates)."""
+    from pyspark.sql import Window
+    from ditto_spark.operators.evaluate import bcubed
+
+    docs = _load(spark, sf_dir, "documents")
+    pred = q_doc_dedup_clusters(spark, sf_dir)
+    truth = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("cluster_id"),
+    )
+    return bcubed(
+        pred.select(F.col("doc_id").alias("conv_id"), "cluster_id"),
+        truth.select(F.col("doc_id").alias("conv_id"), "cluster_id"),
+        ndigits=6,
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a parity split of documents (even
     doc_id = training corpus, odd = benchmark set): GPT-3-style n-gram
@@ -1195,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
+        "bcubed_doc_dedup": q_bcubed,
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
         "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -1813,6 +1836,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "bcubed_doc_dedup": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
+    , pred AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), truth AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+      FROM documents
+    ), j AS (
+      SELECT p.doc_id, p.cluster_id AS pc, t.cluster_id AS tc
+      FROM pred p JOIN truth t USING (doc_id)
+    ), inter AS (
+      SELECT pc, tc, count(*) AS n FROM j GROUP BY 1, 2
+    ), psz AS (SELECT pc, count(*) AS np FROM j GROUP BY 1
+    ), tsz AS (SELECT tc, count(*) AS nt FROM j GROUP BY 1
+    ), agg AS (
+      SELECT sum(n)::DOUBLE AS n_rec,
+             sum(n * n / np) AS sp,
+             sum(n * n / nt) AS sr
+      FROM inter JOIN psz USING (pc) JOIN tsz USING (tc)
+    )
+    SELECT round(sp / n_rec, 6) AS bcubed_precision,
+           round(sr / n_rec, 6) AS bcubed_recall,
+           round(2 * (sp / n_rec) * (sr / n_rec)
+                 / ((sp / n_rec) + (sr / n_rec)), 6) AS bcubed_f1
+    FROM agg
+        """,
         "decontaminate": """
             WITH sh AS (
               SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s

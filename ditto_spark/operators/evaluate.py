@@ -149,3 +149,41 @@ def cluster_pairwise_f1(predicted: DataFrame, truth: DataFrame) -> DataFrame:
         [(tp, fp, fn, prec, rec, f1)],
         "tp long, fp long, fn long, precision double, recall double, f1 double",
     )
+
+
+def bcubed(predicted: DataFrame, truth: DataFrame, ndigits: int = 9) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin '98) — the standard ER
+    clustering metric alongside pairwise F1: per record, precision = |its
+    predicted cluster ∩ its truth cluster| / |predicted cluster|, recall =
+    the same over |truth cluster|; both averaged over records. Unlike
+    pairwise F1 it is not dominated by the largest clusters (each RECORD
+    votes once, not each pair).
+
+    Same contingency-table trick as cluster_pairwise_f1 — with
+    n_ij = |pred i ∩ truth j|: Σ_records precision = Σ_ij n_ij²/n_i·,
+    Σ_records recall = Σ_ij n_ij²/n_·j. Pairs/records never materialize;
+    the whole metric is one join + three narrow aggregates, fully
+    relational (no driver collect except the final row)."""
+    joined = (
+        predicted.select("conv_id", F.col("cluster_id").alias("pc"))
+        .join(truth.select("conv_id", F.col("cluster_id").alias("tc")), "conv_id")
+    )
+    inter = joined.groupBy("pc", "tc").agg(F.count(F.lit(1)).alias("n"))
+    psz = joined.groupBy("pc").agg(F.count(F.lit(1)).alias("np"))
+    tsz = joined.groupBy("tc").agg(F.count(F.lit(1)).alias("nt"))
+    agg = (
+        inter.join(psz, "pc")
+        .join(tsz, "tc")
+        .agg(
+            F.sum("n").alias("n_rec"),
+            F.sum(F.col("n") * F.col("n") / F.col("np")).alias("sp"),
+            F.sum(F.col("n") * F.col("n") / F.col("nt")).alias("sr"),
+        )
+    )
+    p = F.col("sp") / F.col("n_rec")
+    r = F.col("sr") / F.col("n_rec")
+    return agg.select(
+        F.round(p, ndigits).alias("bcubed_precision"),
+        F.round(r, ndigits).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), ndigits).alias("bcubed_f1"),
+    )

@@ -69,3 +69,35 @@ def test_tuned_threshold_pipeline(spark, tiny_transcripts):
     assert 0.0 <= tau <= 0.95
     m = cluster_pairwise_f1(res.clusters, golden_clusters(tiny_transcripts)).collect()[0]
     assert m["f1"] >= 0.99, f"tuned-pipeline F1 {m['f1']} at tau={tau}"
+
+
+def test_bcubed_known_values(spark):
+    from ditto_spark.operators.evaluate import bcubed
+
+    # classic example: truth {a,b,c}{d,e}; predicted {a,b}{c,d,e}
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p2"), ("e", "p2")],
+        "conv_id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"), ("d", "t2"), ("e", "t2")],
+        "conv_id string, cluster_id string",
+    )
+    row = bcubed(pred, truth).collect()[0]
+    # precision per record: a,b: 2/2; c: 1/3; d,e: 2/3 → (1+1+1/3+2/3+2/3)/5
+    # recall per record:    a,b: 2/3; c: 1/3; d,e: 2/2 → (2/3+2/3+1/3+1+1)/5
+    import pytest
+    assert row["bcubed_precision"] == pytest.approx((1 + 1 + 1/3 + 2/3 + 2/3) / 5, abs=1e-9)
+    assert row["bcubed_recall"] == pytest.approx((2/3 + 2/3 + 1/3 + 1 + 1) / 5, abs=1e-9)
+    p, r = row["bcubed_precision"], row["bcubed_recall"]
+    assert row["bcubed_f1"] == pytest.approx(2 * p * r / (p + r), abs=1e-9)
+
+
+def test_bcubed_perfect_clustering(spark):
+    from ditto_spark.operators.evaluate import bcubed
+
+    assign = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "conv_id string, cluster_id string"
+    )
+    row = bcubed(assign, assign).collect()[0]
+    assert row["bcubed_precision"] == 1.0 == row["bcubed_recall"] == row["bcubed_f1"]
