@@ -1031,6 +1031,18 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test split of documents (80/10/10) —
+    packing.hash_split run as-is; the oracle reproduces the exact
+    per-row assignment (not just the sizes)."""
+    from ditto_spark.operators.packing import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-cubed precision/recall/F1 of the exact-shingle near-dup clustering
     against md5-exact duplicate groups as truth — the record-averaged ER
@@ -1217,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
+        "hash_split": q_hash_split,
         "bcubed_doc_dedup": q_bcubed,
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
@@ -1836,6 +1849,18 @@ def oracle_sql() -> dict[str, str]:
             FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('17:' || doc_id), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+        """,
         "bcubed_doc_dedup": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , pred AS (
       SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node

@@ -117,3 +117,44 @@ def pack_pretraining_chunks(
         tok_from.cast("long").alias("tok_from"),
         tok_to.cast("long").alias("tok_to"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 17,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id fraction —
+    the split every curation pipeline needs before packing: stable under
+    reruns, insertions, and repartitioning (a row's split depends only on
+    its id and the seed, never on row order or corpus size — random()
+    splits are none of those things).
+
+    u(id) = int(md5(seed || ':' || id)[:8 hex], 16) / 2^32 ∈ [0, 1);
+    buckets are cumulative-weight intervals in the given dict order.
+    md5 keeps it engine-portable: the DuckDB oracle reproduces the exact
+    assignment, so the split itself is hash-checkable, not just its
+    sizes. Weights must sum to 1 (validated)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 8),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        case = F.when(u < acc, F.lit(name))
+        expr = case if expr is None else expr.when(u < acc, F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn(out_col, expr)

@@ -79,3 +79,32 @@ def test_text_path_counts_whitespace_tokens(spark):
     # b (zero tokens) dropped; a fills [0,3), c fills [3,4)+[0,1) of pack 1
     got = sorted((r["doc_id"], r["pack_id"], r["tok_from"], r["tok_to"]) for r in rows)
     assert got == [("a", 0, 0, 3), ("c", 0, 0, 1), ("c", 1, 1, 2)]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from ditto_spark.operators.packing import hash_split
+
+    df = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(2000)], "doc_id string"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7), w).collect()}
+    assert a == b  # row-order / partitioning invariant
+    # proportions close to weights
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    # stability under corpus growth: a subset's assignment never changes
+    sub = {r["doc_id"]: r["split"] for r in hash_split(df.limit(500), w).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+    from ditto_spark.operators.packing import hash_split
+
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5, "val": 0.1})
