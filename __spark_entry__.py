@@ -1043,6 +1043,25 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (k=9) by deterministic md5 rank —
+    sampling.quota_sample's skew-bounded prefilter+window path run as-is;
+    the oracle reproduces the exact per-row selection AND rank."""
+    from ditto_spark.operators.sampling import quota_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", k=9).select("source", "doc_id", "smp_rank")
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal (lines in >= 2 distinct docs)
+    with per-document reassembly — sampling.strip_boilerplate_lines."""
+    from ditto_spark.operators.sampling import strip_boilerplate_lines
+
+    docs = _load(spark, sf_dir, "documents")
+    return strip_boilerplate_lines(docs, min_doc_freq=2)
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-cubed precision/recall/F1 of the exact-shingle near-dup clustering
     against md5-exact duplicate groups as truth — the record-averaged ER
@@ -1230,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
         "hash_split": q_hash_split,
+        "quota_sample": q_quota_sample,
+        "strip_boilerplate": q_strip_boilerplate,
         "bcubed_doc_dedup": q_bcubed,
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
@@ -1860,6 +1881,44 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        "quota_sample": """
+            SELECT source, doc_id, smp_rank FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('17:' || doc_id), doc_id
+                     ) AS smp_rank
+              FROM documents
+            ) WHERE smp_rank <= 9
+        """,
+        "strip_boilerplate": """
+            WITH lines AS (
+              SELECT doc_id, u.line, u.pos
+              FROM documents,
+              LATERAL (
+                SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              ) u
+            ), freq AS (
+              SELECT md5(line) AS h, count(DISTINCT doc_id) AS dfc
+              FROM lines GROUP BY 1
+            ), kept AS (
+              SELECT l.doc_id, l.line, l.pos
+              FROM lines l JOIN freq f ON md5(l.line) = f.h
+              WHERE f.dfc < 2
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   len(string_split(d.text, chr(10))) - coalesce(a.n_kept, 0)
+                     AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "bcubed_doc_dedup": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , pred AS (

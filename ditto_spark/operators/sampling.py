@@ -1,0 +1,185 @@
+"""Corpus sampling + boilerplate-line removal for training-data curation.
+
+Two operators a pretraining pipeline runs right after dedup and before
+packing, neither present in the reference (its inputs are pre-curated pair
+files, /root/reference/ditto_light/dataset.py) — part of the
+training-data-pipeline tier the build brief adds beyond reference parity:
+
+* `quota_sample` — cap every group (domain / source / language) at k
+  documents, chosen deterministically by hashed id: the "no domain may
+  dominate the mix" rule. At web scale a single source can hold 10^9 docs
+  while the median holds 10^2, so the naive per-group ranking window —
+  one task per group — rides the skew. Here the window only ever sees a
+  hash-thresholded sliver of each group (expected k + O(sqrt(k)) rows per
+  group, independent of group size), with a lazily-composed exact fallback
+  for the astronomically-unlikely under-selection, so the result is always
+  exactly the k hash-smallest rows per group.
+
+* `strip_boilerplate_lines` — remove every line that occurs in at least
+  `min_doc_freq` distinct documents (CCNet-style boilerplate/navigation
+  removal), then reassemble documents preserving intra-document line
+  order. The duplicated-line *set* is tiny relative to the corpus, so the
+  removal join broadcasts; only the line-frequency aggregate and the
+  per-document reassembly shuffle, both keyed on bounded-width columns
+  (md5 hash / doc id), never on line text.
+
+Both are md5-deterministic and engine-portable: the DuckDB oracles in
+__spark_entry__ reproduce the exact per-row output, not just its shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _rank_key(id_col: str, seed: int):
+    """Deterministic per-row rank key: md5(seed ':' id), total order with the
+    id itself as tie-break (md5 collisions). Hex-string order == numeric
+    order of the 128-bit value (fixed-length lowercase hex)."""
+    return F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 17,
+    rank_col: str = "smp_rank",
+    prefilter: bool = True,
+) -> DataFrame:
+    """Keep the min(k, |group|) rows of every group with the smallest
+    md5(seed:id) — a deterministic uniform per-group quota. Adds
+    `rank_col` (1-based within the group). Stable under reruns,
+    repartitioning, and unrelated insertions: a surviving row's rank can
+    only change if rows hashing below it enter/leave its own group.
+
+    Scale path (prefilter=True): per-group counts (one partial-aggregated
+    shuffle on `group_col`) set a per-group hash threshold
+    t = min(1, (k + 6*sqrt(k) + 16) / n) so the ranking window runs on an
+    expected k + O(sqrt(k)) rows per group REGARDLESS of group size —
+    windows are the one skewed operation AQE cannot split, so the full
+    window moves to a join (AQE skew-join splittable) + a bounded window.
+    Because rows with u below the threshold form a prefix of the full
+    (md5, id) ordering, the prefiltered top-k equals the exact top-k
+    whenever the group keeps >= min(k, n) survivors; Chernoff puts the
+    failure odds per group below e^-18, and a lazily-composed fallback
+    (exact window over only the deficient groups, empty in practice and
+    scheduled as a broadcast-pruned scan) repairs even those, so the
+    operator is exact always, skew-bounded always.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rk = _rank_key(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(rk.asc(), F.col(id_col).asc())
+    ranked_all = df.withColumn(rank_col, F.row_number().over(w))
+    if not prefilter:
+        return ranked_all.where(F.col(rank_col) <= k)
+
+    # u = first 8 hex of the rank key as a fraction of 2^32: the threshold
+    # test u < t selects a PREFIX of the (md5, id) total order.
+    u = (
+        F.conv(F.substring(rk, 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    margin = float(k) + 6.0 * float(k) ** 0.5 + 16.0
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_grp_n"))
+        .withColumn("_thresh", F.least(F.lit(1.0), F.lit(margin) / F.col("_grp_n")))
+    )
+    surv = (
+        df.withColumn("_u", u)
+        .join(counts, group_col)
+        .where(F.col("_u") < F.col("_thresh"))
+    )
+    kept = (
+        surv.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+    # Deficient groups: kept fewer than min(k, n) rows. Empty in practice
+    # (see docstring); composed lazily so no driver-side action is needed —
+    # AQE broadcasts the (empty/tiny) deficient set, leaving the fallback
+    # branch a broadcast-filtered scan that emits nothing.
+    kept_counts = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept_n"))
+    deficient = (
+        counts.join(kept_counts, group_col, "left")  # zero-survivor groups too
+        .where(
+            F.coalesce("_kept_n", F.lit(0)) < F.least(F.lit(k), F.col("_grp_n"))
+        )
+        .select(group_col)
+    )
+    # Semi-join BEFORE the window: the full-group window only ever runs on
+    # rows of deficient groups (none in practice — AQE broadcasts the empty
+    # set and the branch degenerates to a filtered scan).
+    exact_fix = (
+        df.join(deficient, group_col, "left_semi")
+        .withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+    good = kept.join(deficient, group_col, "left_anti").select(*ranked_all.columns)
+    return good.unionByName(exact_fix)
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every line occurring in >= `min_doc_freq` DISTINCT documents
+    (boilerplate: navigation bars, license headers, cookie banners), then
+    reassemble each document's surviving lines in original order.
+
+    Output: (id_col, clean_text, n_kept, n_removed) — one row per input
+    document, clean_text = '' when nothing survives.
+
+    Shuffle discipline at corpus scale: line text never rides a shuffle
+    key. The frequency aggregate runs on (md5(line), id) with map-side
+    partial aggregation; the removal anti-join keys on the md5 hash and
+    its build side — the boilerplate hash set — is tiny relative to the
+    corpus, so AQE broadcasts it (no shuffle of the exploded lines); the
+    only corpus-sized exchange is the per-document reassembly groupBy,
+    which any reconstruction needs, with order restored by array_sort
+    inside the aggregate (no second window shuffle — same idiom as
+    serialize.py).
+    """
+    if min_doc_freq < 1:
+        raise ValueError(f"min_doc_freq must be >= 1, got {min_doc_freq}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_h", F.md5(F.col("_line")))
+    boiler = (
+        lines.select("_h", id_col)
+        .dropDuplicates(["_h", id_col])
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_dfc"))
+        .where(F.col("_dfc") >= min_doc_freq)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_total = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+    return (
+        docs.select(id_col, n_total.alias("_n_total"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -1,0 +1,126 @@
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from ditto_spark.operators.sampling import quota_sample, strip_boilerplate_lines
+
+
+def _expected_quota(rows, group_idx, id_idx, k, seed=17):
+    """Reference top-k per group by (md5(seed:id), id)."""
+    by_group = {}
+    for r in rows:
+        key = hashlib.md5(f"{seed}:{r[id_idx]}".encode()).hexdigest()
+        by_group.setdefault(r[group_idx], []).append((key, r[id_idx]))
+    out = {}
+    for g, items in by_group.items():
+        items.sort()
+        out[g] = [i for _, i in items[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 3 sources with very different sizes (one "skewed" group) + one tiny
+    rows = (
+        [(f"a{i:03d}", "src_big", f"text {i}") for i in range(200)]
+        + [(f"b{i:03d}", "src_mid", f"text {i}") for i in range(40)]
+        + [("c000", "src_one", "solo")]
+    )
+    return spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+
+def test_quota_sample_exact_topk_per_group(spark, docs):
+    got = quota_sample(docs, "source", k=10, id_col="doc_id").collect()
+    exp = _expected_quota([(r.doc_id, r.source) for r in docs.collect()], 1, 0, 10)
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.source, []).append((r.smp_rank, r.doc_id))
+    assert set(by_group) == set(exp)
+    for g, pairs in by_group.items():
+        pairs.sort()
+        assert [d for _, d in pairs] == exp[g]
+        assert [rk for rk, _ in pairs] == list(range(1, len(pairs) + 1))
+
+
+def test_quota_sample_prefilter_matches_plain_window(spark, docs):
+    a = quota_sample(docs, "source", k=7, prefilter=True)
+    b = quota_sample(docs, "source", k=7, prefilter=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quota_sample_small_groups_kept_whole(spark, docs):
+    got = quota_sample(docs, "source", k=10).where(F.col("source") == "src_one")
+    assert [r.doc_id for r in got.collect()] == ["c000"]
+
+
+def test_quota_sample_partition_invariant(spark, docs):
+    a = sorted(map(tuple, quota_sample(docs, "source", 5).collect()))
+    b = sorted(map(tuple, quota_sample(docs.repartition(13), "source", 5).collect()))
+    assert a == b
+
+
+def test_quota_sample_fallback_path_exact(spark, docs, monkeypatch):
+    # Force the prefilter to under-select by shrinking the margin to ~0:
+    # every group becomes deficient and the lazy exact-fallback branch must
+    # reproduce the plain-window answer on its own.
+    import ditto_spark.operators.sampling as S
+
+    real_least = F.least
+
+    def tiny_least(a, b):  # replace min(1, margin/n) with ~margin*1e-9/n
+        return real_least(a * 1e-9, b * 1e-9)
+
+    monkeypatch.setattr(S.F, "least", tiny_least)
+    got = sorted(map(tuple, quota_sample(docs, "source", 6).collect()))
+    monkeypatch.undo()
+    exp = sorted(map(tuple, quota_sample(docs, "source", 6, prefilter=False).collect()))
+    assert got == exp
+
+
+def test_strip_boilerplate_removes_frequent_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "COOKIE BANNER\nunique one\nfooter"),
+            ("d2", "COOKIE BANNER\nunique two\nfooter"),
+            ("d3", "all original\nhere"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, 2).collect()}
+    assert out["d1"].clean_text == "unique one"
+    assert out["d1"].n_kept == 1 and out["d1"].n_removed == 2
+    assert out["d2"].clean_text == "unique two"
+    assert out["d3"].clean_text == "all original\nhere"
+    assert out["d3"].n_removed == 0
+
+
+def test_strip_boilerplate_within_doc_repeat_not_boilerplate(spark):
+    # the same line twice in ONE doc is distinct-doc-freq 1 -> kept
+    docs = spark.createDataFrame(
+        [("d1", "la\nla"), ("d2", "other")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, 2).collect()}
+    assert out["d1"].clean_text == "la\nla"
+
+
+def test_strip_boilerplate_order_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [("d1", "same\nsame2"), ("d2", "same\nsame2"), ("d3", "z\nsame\na")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, 2).collect()}
+    assert out["d1"].clean_text == "" and out["d1"].n_kept == 0
+    assert out["d1"].n_removed == 2
+    # intra-doc order restored (z before a), not sorted alphabetically
+    assert out["d3"].clean_text == "z\na"
+
+
+def test_strip_boilerplate_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}", ("common\n" if i % 2 else "") + f"u{i}") for i in range(30)],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, strip_boilerplate_lines(docs, 2).collect()))
+    b = sorted(map(tuple, strip_boilerplate_lines(docs.repartition(7), 2).collect()))
+    assert a == b
