@@ -1062,6 +1062,21 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate_lines(docs, min_doc_freq=2)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform video frame sampling (multimodal.sample_frames): synthesize a
+    deterministic fake video container per document (JVM expressions only),
+    then slice m = min(4, n_frames) evenly-spaced frames out of the binary
+    payload with pure substring arithmetic. Each frame's bytes are
+    md5-derived, so the oracle verifies the SLICES byte-for-byte (via
+    frame_hex) without any blob functions."""
+    from ditto_spark.operators.multimodal import synthesize_video, sample_frames
+
+    docs = _load(spark, sf_dir, "documents")
+    return sample_frames(synthesize_video(docs), n_sample=4).select(
+        "doc_id", "n_frames", "sample_idx", "frame_idx", "frame_hex"
+    )
+
+
 def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-cubed precision/recall/F1 of the exact-shingle near-dup clustering
     against md5-exact duplicate groups as truth — the record-averaged ER
@@ -1251,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quota_sample": q_quota_sample,
         "strip_boilerplate": q_strip_boilerplate,
+        "frame_sample": q_frame_sample,
         "bcubed_doc_dedup": q_bcubed,
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
@@ -1881,6 +1897,23 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        "frame_sample": """
+            WITH v AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('nf|' || text), 1, 8))::BIGINT
+                        % 32 + 4) AS n_frames
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_frames, least(4, n_frames) AS m FROM v
+            ), x AS (
+              SELECT doc_id, n_frames, u.j AS sample_idx,
+                     (u.j * n_frames) // m AS frame_idx
+              FROM s, LATERAL (SELECT unnest(range(0, m::BIGINT)) AS j) u
+            )
+            SELECT doc_id, n_frames, sample_idx, frame_idx,
+                   md5(doc_id || ':' || frame_idx) AS frame_hex
+            FROM x
         """,
         "quota_sample": """
             SELECT source, doc_id, smp_rank FROM (

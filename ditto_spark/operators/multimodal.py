@@ -162,3 +162,158 @@ def extract_media_features(media: DataFrame, n_feature: int = 8) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+_VMAGIC = b"FAKEVID1"
+_VHDR = 12  # 8-byte magic + big-endian int32 frame count
+_FRAME_BYTES = 16  # one md5 digest per fake frame
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, n_frames int"
+)
+
+
+def synthesize_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake video container: payload = 8-byte magic +
+    packed int32 frame count + n_frames fixed-size frames, frame i being
+    the 16 raw bytes of md5(doc_id ':' i). Built entirely from JVM
+    expressions (sequence → transform → array_join → unhex — no Python),
+    and every byte is md5-derived so frame SLICING downstream is exactly
+    oracle-checkable: the DuckDB oracle regenerates any frame's hex
+    without blob functions."""
+    nf = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("nf|"), F.col("text"))), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(32),
+        )
+        + 4
+    ).cast("int")
+    body_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nf - 1),
+            lambda i: F.md5(F.concat_ws(":", F.col(id_col), i)),
+        ),
+        "",
+    )
+    payload = F.concat(
+        F.lit(_VMAGIC),
+        F.unhex(F.format_string("%08x", nf)),
+        F.unhex(body_hex),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.lit("video").alias("media_type"),
+        payload.alias("payload"),
+        nf.alias("n_frames"),
+    )
+
+
+def sample_frames(
+    videos: DataFrame, n_sample: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Uniform temporal frame sampling from an opaque fixed-frame-size
+    video container — (doc_id, payload, n_frames) → one row per sampled
+    frame with the frame bytes sliced out of the payload.
+
+    m = min(n_sample, n_frames) frames per video at indices
+    floor(j * n_frames / m), j = 0..m-1 (evenly spaced, first frame always
+    included). The slice is a pure JVM expression (posexplode of a
+    sequence + binary substring): no Python anywhere, whole-stage codegen
+    end to end, and the only wide operation is whatever the caller does
+    next — frame extraction itself is embarrassingly parallel. A real
+    codec (ffmpeg keyframe extraction) replaces the fixed-stride substring
+    with a mapInPandas decode, same output contract.
+
+    Output: (doc_id, n_frames, sample_idx, frame_idx, frame binary,
+    frame_hex) — frame_hex = lower(hex(frame)) so engines without blob
+    slicing can verify the slice byte-for-byte.
+    """
+    if n_sample < 1:
+        raise ValueError(f"n_sample must be >= 1, got {n_sample}")
+    m = F.least(F.lit(n_sample), F.col("n_frames"))
+    exploded = videos.select(
+        F.col(id_col),
+        "n_frames",
+        "payload",
+        F.posexplode(F.sequence(F.lit(0), m - 1)).alias("sample_idx", "_j"),
+    )
+    frame_idx = ((F.col("_j") * F.col("n_frames")) / m).cast("int")
+    frame = F.substring(
+        F.col("payload"), F.lit(_VHDR) + frame_idx * _FRAME_BYTES + 1, _FRAME_BYTES
+    )
+    return exploded.select(
+        F.col(id_col),
+        "n_frames",
+        "sample_idx",
+        frame_idx.alias("frame_idx"),
+        frame.alias("frame"),
+        F.lower(F.hex(frame)).alias("frame_hex"),
+    )
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Nearest-neighbor media resize as an Arrow-batched mapInPandas UDF —
+    the standard image-preprocessing step before feature extraction.
+    Operating on the fake codec: the body is treated as the flat pixel
+    pool and resampled to target_w*target_h bytes at source index
+    floor((i + 0.5) * len / T); the output payload is a well-formed
+    FAKEIMG1 container with the new dimensions. Fully batch-vectorized:
+    one stacked prefix matrix for headers, one flat gather with per-row
+    offsets for the resample — no per-row Python beyond the unavoidable
+    variable-length byte split/join. A real resizer (PIL.Image.resize /
+    libvips) replaces the gather, same contract.
+    """
+    if target_w < 1 or target_h < 1:
+        raise ValueError("target dims must be >= 1")
+    _hdr = 16
+    magic = np.frombuffer(_MAGIC, dtype=np.uint8)
+    T = target_w * target_h
+    new_header = _MAGIC + _struct.pack(">ii", target_w, target_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "media_type", "payload", "width", "height"]
+        grid = (np.arange(T, dtype=np.float64) + 0.5) / T
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            prefix = np.frombuffer(
+                b"".join(p[:_hdr] for p in payloads), dtype=np.uint8
+            ).reshape(n, _hdr)
+            if not (prefix[:, :8] == magic).all():
+                raise NotImplementedError(
+                    "real media decoding requires an image/audio library not "
+                    "present in this container; only FAKEIMG1 payloads are "
+                    "decodable"
+                )
+            lens = np.array([len(p) for p in payloads], dtype=np.int64) - _hdr
+            if (lens < 1).any():
+                raise ValueError("empty media body cannot be resized")
+            body = np.frombuffer(
+                b"".join(p[_hdr:] for p in payloads), dtype=np.uint8
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # (n, T) source indices: per-row nearest-neighbor into the pool
+            idx = (grid[None, :] * lens[:, None]).astype(np.int64)
+            flat = body[(offsets[:, None] + idx).ravel()].reshape(n, T)
+            out = [new_header + row.tobytes() for row in flat]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
