@@ -232,3 +232,46 @@ def streaming_sessionize_serialize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_window_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window ingest statistics — the monitoring
+    surface of the streaming dedup path: per (event-time window, role)
+    turn counts, distinct-conversation estimate, and the duplicate-text
+    rate (1 - distinct fingerprints / rows), so a corpus operator watches
+    dup pressure per window as data lands.
+
+    Late-data semantics are the standard Structured Streaming contract:
+    rows older than the watermark are DROPPED, a window emits exactly once
+    (append mode) when the watermark passes its end, and state is bounded
+    to open windows. Distinct counts use approx_count_distinct (HLL++) —
+    exact distinct is not streaming-legal and at 10^12-turn scale a
+    per-window exact distinct would hold every key in state; the HLL
+    sketch is mergeable map-side like any partial aggregate."""
+    win = F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("fingerprint", fingerprint_expr(text_col))
+        .groupBy(win.alias("win"), F.col(role_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct(conv_col).alias("n_convs"),
+            F.approx_count_distinct("fingerprint").alias("n_unique"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col(role_col),
+            "n_turns",
+            "n_convs",
+            (F.lit(1.0) - F.col("n_unique") / F.col("n_turns")).alias("dup_rate"),
+        )
+    )

@@ -133,3 +133,64 @@ def test_stateful_sessionize_matches_batch_serializer(spark, tmp_path):
     batch = serialize_conversations(mk(a_turns)).collect()[0]
     assert got["A"]["entity_text"] == batch["entity_text"]
     assert got["A"]["n_turns"] == 3
+
+
+def test_streaming_window_stats_late_data_dropped(spark, tmp_path):
+    from ditto_spark.streaming.incremental import streaming_window_stats
+
+    wschema = "conv_id string, role string, text string, ts string"
+    src = str(tmp_path / "winsrc")
+    # batch 1: three rows in window [10:00,10:10) (one duplicate text) +
+    # a row at 10:40 that advances the watermark to 10:35, closing [10:00,10:10)
+    b1 = [
+        ("c1", "user", "alpha beta", "2025-01-01 10:01:00"),
+        ("c1", "assistant", "reply one", "2025-01-01 10:05:00"),
+        ("c2", "user", "alpha beta", "2025-01-01 10:09:00"),  # dup text
+        ("c3", "user", "closer row", "2025-01-01 10:40:00"),
+    ]
+    # batch 2: filler at the frontier — Spark's late-record filter uses the
+    # PREVIOUS batch's watermark (eviction uses the current one), so the
+    # late row must arrive one batch after the watermark-advancing row to
+    # be dropped (measured: a late row landing in the same batch its window
+    # is evicted still counts)
+    b2 = [("cX", "user", "mid filler", "2025-01-01 10:41:00")]
+    # batch 3: a LATE row for the long-closed window (dropped) + a row at
+    # 10:55 advancing the watermark to 10:50, closing [10:40,10:50)
+    b3 = [
+        ("c9", "user", "too late to count", "2025-01-01 10:02:00"),
+        ("c4", "user", "final row", "2025-01-01 10:55:00"),
+    ]
+    # distinct mtimes so maxFilesPerTrigger=1 processes files in batch order
+    # (same ordering artifact the sessionize test documents)
+    import time as _time
+
+    for i, rows in enumerate([b1, b2, b3]):
+        if i:
+            _time.sleep(1.1)
+        spark.createDataFrame(rows, wschema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "conv_id string, role string, text string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_window_stats(stream)
+    q = (
+        out.writeStream.format("memory").queryName("win_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r.window_start), r.role): r
+        for r in spark.sql("select * from win_sink").collect()
+    }
+    first_user = got[("2025-01-01 10:00:00", "user")]
+    # late row dropped: 2 user turns in the first window, not 3
+    assert first_user.n_turns == 2
+    assert first_user.n_convs == 2
+    assert abs(first_user.dup_rate - 0.5) < 0.05  # 1 distinct text of 2 (HLL)
+    assert got[("2025-01-01 10:00:00", "assistant")].n_turns == 1
+    # the closed [10:40,10:50) window has the closer + the filler rows
+    assert got[("2025-01-01 10:40:00", "user")].n_turns == 2
+    # the late row's text never appears in any emitted window
+    assert all(r.n_turns <= 2 for r in got.values())
