@@ -105,42 +105,15 @@ def _timed_burn() -> float:
 
 def calibrate_membw(ns=(1, 4, 16)) -> dict[int, float]:
     """Memory-bandwidth ceiling between the two concurrency levels
-    (STREAM-triad over 256 MiB/proc — see scripts/membw_probe.py). Shuffle
-    exchanges, sorts, and Arrow transfers stream through DRAM; on this
-    single-socket VM all pinned CPU sets share ONE memory controller,
-    whereas 4N real executors bring 4N sockets' bandwidth. Same pinning as
-    calibrate()."""
+    (STREAM-triad over 256 MiB/proc). Shuffle exchanges, sorts, and Arrow
+    transfers stream through DRAM; on this single-socket VM all pinned CPU
+    sets share ONE memory controller, whereas 4N real executors bring 4N
+    sockets' bandwidth. Delegates to the single shared implementation in
+    scripts/membw_probe.py with this harness's pinning + min-of-3 policy."""
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from membw_probe import _stream  # noqa: E402
+    from membw_probe import calibrate_membw as _membw  # noqa: E402
 
-    out = {}
-    all_cpus = os.sched_getaffinity(0)
-    _stream(0)
-    serials = []
-    for _ in range(3):
-        t0 = time.time()
-        _stream(0)
-        serials.append(time.time() - t0)
-    serial = min(serials)
-    for n in ns:
-        if n == 1:
-            out[1] = 1.0
-            continue
-        if _pinned():
-            os.sched_setaffinity(0, set(range(n)))
-        try:
-            walls = []
-            with mp.Pool(n) as p:
-                p.map(_stream, range(n))  # fault in worker buffers, untimed
-                for _ in range(3):
-                    t0 = time.time()
-                    p.map(_stream, range(n))
-                    walls.append(time.time() - t0)
-        finally:
-            if _pinned():
-                os.sched_setaffinity(0, all_cpus)
-        out[n] = round(n * serial / min(walls), 2)
-    return out
+    return _membw(ns, pinned=_pinned(), repeat=3)
 
 
 def run_bench(cores: int, sf_dir: str, n_base: int) -> dict:

@@ -359,7 +359,7 @@ def ivf_centroids(
         # per-cell mean via dimension explode: the shuffle key is
         # (centroid_id, pos) — k·dim groups, partial-aggregated map-side;
         # no cell's vectors are ever collected into one row
-        cent = (
+        means = (
             assigned.join(vecs, id_col)
             .select("centroid_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
@@ -368,7 +368,18 @@ def ivf_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "centroid_id",
-                F.transform("pm", lambda s: s["m"]).alias("cv"),
+                F.transform("pm", lambda s: s["m"]).alias("cv_new"),
+            )
+        )
+        # Empty-cell handling (standard k-means): a centroid whose cell got
+        # no assignments keeps its previous vector instead of silently
+        # vanishing from the quantizer — the groupBy alone would shrink the
+        # id space below n_centroids (md5 seeding is blind to geometry, so
+        # two nearby seeds make empty cells likely).
+        cent = (
+            cent.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("cv_new", "cv").alias("cv")
             )
         )
     return cent

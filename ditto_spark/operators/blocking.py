@@ -314,18 +314,24 @@ def block_minhash_lsh_cross(
             F.sum((F.col("side") == "a").cast("int")).over(w) / F.lit(max_bucket)
         ).cast("int"),
     )
-    # n_salts = 0 ⇔ the bucket has no A rows: B's explode over an empty
-    # range drops those rows before the join ever sees them
+    # n_salts = 0 ⇔ the bucket has no A rows: B rows there are filtered out
+    # before the explode, so they never enter the join shuffle. (NB: Spark's
+    # sequence(0, -1) is NOT empty — it auto-detects a negative step and
+    # yields [0, -1], which would DOUBLE those rows instead of dropping
+    # them; the explicit n_salts > 0 filter is load-bearing.)
     a_rows = tagged.where(F.col("side") == "a").select(
         "band_idx", "band_key",
         F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")).alias("salt"),
         F.col(id_col).alias("left_id"),
     )
-    b_rows = tagged.where(F.col("side") == "b").select(
-        "band_idx", "band_key", F.col(id_col).alias("right_id"),
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("n_salts").cast("long") - 1)
-        ).alias("salt"),
+    b_rows = (
+        tagged.where((F.col("side") == "b") & (F.col("n_salts") > 0))
+        .select(
+            "band_idx", "band_key", F.col(id_col).alias("right_id"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_salts").cast("long") - 1)
+            ).alias("salt"),
+        )
     )
     cand = (
         a_rows.join(b_rows.hint("shuffle_hash"), ["band_idx", "band_key", "salt"])

@@ -226,7 +226,13 @@ def connected_components(
       check still applies (it is correct on any edge set).
 
     After a call, `connected_components.last_rounds` holds the number of
-    star rounds the loop actually executed (0 = star short-circuit)."""
+    star rounds the loop actually executed (0 = star short-circuit). It
+    is reset to None at call entry so a failed call (non-convergence
+    raise) never leaves a previous call's count behind; it is a
+    diagnostics convenience on the function object, not synchronized —
+    under concurrent calls on one session read it immediately after the
+    call you mean."""
+    connected_components.last_rounds = None
     spark = pairs.sparkSession
     e = pairs.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")

@@ -32,6 +32,21 @@ FEATURE_SCHEMA = (
 _MAGIC = b"FAKEIMG1"
 
 
+def _check_headers(payloads: list, pdf: pd.DataFrame, hdr: int) -> None:
+    """Fail a batch with a locatable error when a payload is shorter than
+    the fixed header (a bare numpy reshape mismatch hides WHICH record is
+    malformed)."""
+    short = [i for i, p in enumerate(payloads) if len(p) < hdr]
+    if short:
+        i = short[0]
+        raise NotImplementedError(
+            f"payload shorter than the {hdr}-byte FAKE header "
+            f"(doc_id={pdf['doc_id'].iloc[i]!r}, {len(payloads[i])} bytes); "
+            "real media decoding requires a codec library not present in "
+            "this container"
+        )
+
+
 def _md5_dim(prefix: str) -> F.Column:
     """Deterministic fake dimension in [16, 527], md5-derived so the DuckDB
     oracle regenerates it: ('0x'||substr(md5(prefix||text),1,8))::BIGINT
@@ -116,6 +131,7 @@ def extract_media_features(media: DataFrame, n_feature: int = 8) -> DataFrame:
                 yield pd.DataFrame({c: [] for c in cols})
                 continue
             payloads = [bytes(p) for p in pdf["payload"]]
+            _check_headers(payloads, pdf, _hdr)
             prefix = np.frombuffer(
                 b"".join(p[:_hdr] for p in payloads), dtype=np.uint8
             ).reshape(n, _hdr)
@@ -173,7 +189,9 @@ VIDEO_SCHEMA = (
 )
 
 
-def synthesize_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_video(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """Deterministic fake video container: payload = 8-byte magic +
     packed int32 frame count + n_frames fixed-size frames, frame i being
     the 16 raw bytes of md5(doc_id ':' i). Built entirely from JVM
@@ -184,7 +202,7 @@ def synthesize_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     nf = (
         F.pmod(
             F.conv(
-                F.substring(F.md5(F.concat(F.lit("nf|"), F.col("text"))), 1, 8),
+                F.substring(F.md5(F.concat(F.lit("nf|"), F.col(text_col))), 1, 8),
                 16, 10,
             ).cast("bigint"),
             F.lit(32),
@@ -233,6 +251,11 @@ def sample_frames(
     """
     if n_sample < 1:
         raise ValueError(f"n_sample must be >= 1, got {n_sample}")
+    # A zero/negative-frame container contributes no rows. Without this
+    # filter m=0 would divide-by-zero in frame_idx (ANSI mode fails the
+    # whole job on one malformed record) and sequence(0, -1) is NOT empty
+    # (Spark auto-negative-step yields [0, -1]).
+    videos = videos.where(F.col("n_frames") > 0)
     m = F.least(F.lit(n_sample), F.col("n_frames"))
     exploded = videos.select(
         F.col(id_col),
@@ -284,6 +307,7 @@ def resize_media(
                 yield pd.DataFrame({c: [] for c in cols})
                 continue
             payloads = [bytes(p) for p in pdf["payload"]]
+            _check_headers(payloads, pdf, _hdr)
             prefix = np.frombuffer(
                 b"".join(p[:_hdr] for p in payloads), dtype=np.uint8
             ).reshape(n, _hdr)

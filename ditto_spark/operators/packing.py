@@ -20,11 +20,19 @@ scan instead:
   2. per-partition token sums (one tiny row per partition) collected and
      turned into per-partition START OFFSETS on the driver — O(partitions)
      driver work, broadcast back as a literal map;
-  3. the cumulative sum inside each partition is a window over
-     (spark_partition_id) — already clustered, no further exchange.
+  3. the cumulative sum inside each partition is a partition-local
+     Arrow-batched cumsum (mapInPandas, vectorized, state carried across
+     batches of one partition) — NO further exchange. (A
+     Window.partitionBy(pid) formulation computes the same values but
+     Catalyst cannot see that the range partitioning already clusters
+     pid, so it inserts a second corpus-wide hash exchange — measured in
+     the executed plan.)
 
 So the whole operator costs one range shuffle + one O(partitions) collect,
 and every partition computes its absolute token offsets independently.
+The sized (id, n_tok) projection is persisted only between the offset
+collect and the span materialization (eager local checkpoint), then
+unpersisted — nothing is pinned in executor storage after the call.
 """
 
 from __future__ import annotations
@@ -61,7 +69,6 @@ def pack_pretraining_chunks(
     with a plain window cumsum + generate_series (fine single-node; the
     two-phase scan here is what survives the same computation at 10^12
     rows)."""
-    from pyspark.sql import Window
 
     if n_tok_col:
         sized = docs.select(F.col(id_col), F.col(n_tok_col).alias("n_tok"))
@@ -69,7 +76,9 @@ def pack_pretraining_chunks(
         sized = token_counts(docs.select(id_col, text_col), text_col).select(
             id_col, "n_tok"
         )
-    sized = sized.where(F.col("n_tok") > 0)
+    sized = sized.where(F.col("n_tok") > 0).withColumn(
+        "n_tok", F.col("n_tok").cast("long")
+    )
     n_parts = parts or sized.sparkSession.sparkContext.defaultParallelism * 2
     by_range = sized.repartitionByRange(n_parts, F.col(id_col)).sortWithinPartitions(
         id_col
@@ -84,19 +93,46 @@ def pack_pretraining_chunks(
     for pid in sorted(psums):
         offsets[pid] = acc
         acc += psums[pid]
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("pid"),
-    ) if offsets else F.lit(0)
-    # phase 3: local cumsum (window pre-clustered by the range partitioning)
-    w = Window.partitionBy("pid").orderBy(id_col)
-    spans = by_range.select(
-        id_col,
-        "n_tok",
-        (off_expr + F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+    # phase 3: partition-local cumsum, Arrow-batched, zero exchange. The
+    # batches of one partition arrive in sortWithinPartitions order; the
+    # running sum carries across them. (Window.partitionBy("pid") computes
+    # the same values but inserts Exchange hashpartitioning(pid) — Catalyst
+    # does not recognize the range partitioning as clustering the derived
+    # pid column.)
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = next(f for f in by_range.schema.fields if f.name == id_col)
+    span_schema = StructType(
+        [id_field, StructField("n_tok", LongType()), StructField("start", LongType())]
     )
+    offs = dict(offsets)
+
+    def _local_cumsum(batches):
+        carry = 0
+        off = 0
+        seen_first = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not seen_first:
+                off = int(offs.get(int(pdf["pid"].iloc[0]), 0))
+                seen_first = True
+            n = pdf["n_tok"].astype("int64")
+            cs = n.cumsum() + carry
+            carry = int(cs.iloc[-1])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_tok": n, "start": off + cs - n}
+            )
+
+    # Eager local checkpoint bounds the persist lifecycle: spans (same row
+    # count as sized, 3 narrow columns) is materialized once, after which
+    # the persisted range-partitioned corpus is released. On a cluster this
+    # is the stage table a StageStore checkpoint would hold.
+    spans = by_range.mapInPandas(_local_cumsum, schema=span_schema).localCheckpoint(
+        eager=True
+    )
+    by_range.unpersist()
     # explode over the packs the doc overlaps; slice is doc-relative
     first_pack = (F.col("start") / budget).cast("long")
     last_pack = ((F.col("start") + F.col("n_tok") - 1) / budget).cast("long")

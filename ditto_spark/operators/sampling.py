@@ -84,41 +84,57 @@ def quota_sample(
         / F.lit(float(1 << 32))
     )
     margin = float(k) + 6.0 * float(k) ** 0.5 + 16.0
+    # All group joins use eqNullSafe (<=>): a NULL group value is a group
+    # like any other for the window partitioner, and a plain equi-join on
+    # group_col would silently drop every NULL-group row from the prefilter
+    # path (diverging from prefilter=False). Spark plans <=> as a hash-join
+    # key, so this stays an equi-join.
     counts = (
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_grp_n"))
+        .withColumnRenamed(group_col, "_gc")
         .withColumn("_thresh", F.least(F.lit(1.0), F.lit(margin) / F.col("_grp_n")))
     )
     surv = (
         df.withColumn("_u", u)
-        .join(counts, group_col)
+        .join(counts, F.col(group_col).eqNullSafe(F.col("_gc")))
         .where(F.col("_u") < F.col("_thresh"))
     )
     kept = (
         surv.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
+        .select(*ranked_all.columns)  # drop _u/_gc/_grp_n/_thresh helpers
     )
     # Deficient groups: kept fewer than min(k, n) rows. Empty in practice
     # (see docstring); composed lazily so no driver-side action is needed —
     # AQE broadcasts the (empty/tiny) deficient set, leaving the fallback
     # branch a broadcast-filtered scan that emits nothing.
-    kept_counts = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept_n"))
+    kept_counts = (
+        kept.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_kept_n"))
+        .withColumnRenamed(group_col, "_kc")
+    )
     deficient = (
-        counts.join(kept_counts, group_col, "left")  # zero-survivor groups too
+        counts.join(  # left join keeps zero-survivor groups too
+            kept_counts, F.col("_gc").eqNullSafe(F.col("_kc")), "left"
+        )
         .where(
             F.coalesce("_kept_n", F.lit(0)) < F.least(F.lit(k), F.col("_grp_n"))
         )
-        .select(group_col)
+        .select("_gc")
     )
     # Semi-join BEFORE the window: the full-group window only ever runs on
     # rows of deficient groups (none in practice — AQE broadcasts the empty
     # set and the branch degenerates to a filtered scan).
     exact_fix = (
-        df.join(deficient, group_col, "left_semi")
+        df.join(deficient, F.col(group_col).eqNullSafe(F.col("_gc")), "left_semi")
         .withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
-    good = kept.join(deficient, group_col, "left_anti").select(*ranked_all.columns)
+    good = (
+        kept.join(deficient, F.col(group_col).eqNullSafe(F.col("_gc")), "left_anti")
+        .select(*ranked_all.columns)
+    )
     return good.unionByName(exact_fix)
 
 

@@ -272,6 +272,11 @@ def streaming_window_stats(
             F.col(role_col),
             "n_turns",
             "n_convs",
-            (F.lit(1.0) - F.col("n_unique") / F.col("n_turns")).alias("dup_rate"),
+            # HLL++ can overestimate distinct count past the exact row
+            # count (~2% standard error) — clamp so dup_rate never goes
+            # negative on an all-unique window
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.col("n_unique") / F.col("n_turns")
+            ).alias("dup_rate"),
         )
     )

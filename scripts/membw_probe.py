@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
@@ -41,22 +42,44 @@ def _stream(_):
     return time.time() - t0
 
 
-def calibrate_membw(ns=(1, 4, 16, 32)) -> dict[int, float]:
+def calibrate_membw(
+    ns=(1, 4, 16, 32), pinned: bool = False, repeat: int = 1
+) -> dict[int, float]:
+    """Effective bandwidth parallelism at each n (n * t_serial / t_wall).
+
+    The SINGLE definition of this calibration — bench_scaling.py calls it
+    with pinned=True, repeat=3 so the number is measured under the same
+    taskset confinement + min-of-k noise policy as the benches it
+    normalizes. pinned confines the pool to CPUs 0..n-1 (the same
+    container-bounded-executor proxy the benches use); repeat takes the
+    min over k timed passes after an untimed page-fault warmup."""
+    all_cpus = os.sched_getaffinity(0)
     _stream(0)  # touch pages / warm allocator in the parent before forking
-    t0 = time.time()
-    _stream(0)
-    serial = time.time() - t0
+    serials = []
+    for _ in range(max(1, repeat)):
+        t0 = time.time()
+        _stream(0)
+        serials.append(time.time() - t0)
+    serial = min(serials)
     out = {1: 1.0}
     for n in ns:
         if n == 1:
             continue
-        with mp.Pool(n) as p:
-            # pool warmup: fault in each worker's buffers untimed
-            p.map(_stream, range(n))
-            t0 = time.time()
-            p.map(_stream, range(n))
-            wall = time.time() - t0
-        out[n] = round(n * serial / wall, 2)
+        if pinned:
+            os.sched_setaffinity(0, set(range(n)))
+        try:
+            walls = []
+            with mp.Pool(n) as p:
+                # pool warmup: fault in each worker's buffers untimed
+                p.map(_stream, range(n))
+                for _ in range(max(1, repeat)):
+                    t0 = time.time()
+                    p.map(_stream, range(n))
+                    walls.append(time.time() - t0)
+        finally:
+            if pinned:
+                os.sched_setaffinity(0, all_cpus)
+        out[n] = round(n * serial / min(walls), 2)
     return out
 
 

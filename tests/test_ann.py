@@ -241,3 +241,17 @@ def test_ivf_lloyd_refinement_improves_quantization(spark):
     dim = len(c1.collect()[0]["cv"])
     assert dim == DIM
     assert mean_best_cos(c1) >= mean_best_cos(c0) - 1e-9
+
+
+def test_ivf_lloyd_keeps_empty_cells(spark):
+    """A centroid whose cell receives no assignments must survive Lloyd
+    refinement with its previous vector (the bare groupBy rebuild would
+    silently shrink the quantizer below n_centroids)."""
+    from ditto_spark.operators.ann import ivf_centroids
+
+    df, _ = _vecs(spark, n=24, n_clusters=2)  # 2 tight clusters, 8 seeds
+    for n_iter in (1, 2):
+        cent = ivf_centroids(df, n_centroids=8, n_iter=n_iter)
+        got = cent.collect()
+        assert len(got) == 8, f"n_iter={n_iter}: quantizer shrank to {len(got)}"
+        assert sorted(r["centroid_id"] for r in got) == list(range(8))

@@ -126,3 +126,37 @@ def test_resize_media_partition_invariant(spark):
         for r in resize_media(media.repartition(5), 4, 4).collect()
     )
     assert a == b
+
+
+def test_sample_frames_zero_frame_video_emits_nothing(spark):
+    """A malformed zero-frame container contributes no rows instead of
+    failing the whole job with an ANSI divide-by-zero."""
+    from ditto_spark.operators.multimodal import sample_frames, synthesize_video
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [("a", "one"), ("b", "two")], "doc_id string, text string"
+    )
+    vids = synthesize_video(docs)
+    broken = vids.withColumn(
+        "n_frames",
+        F.when(F.col("doc_id") == "a", F.lit(0)).otherwise(F.col("n_frames")),
+    )
+    got = sample_frames(broken, n_sample=3).collect()
+    assert all(r["doc_id"] == "b" for r in got) and len(got) == 3
+
+
+def test_media_feature_short_payload_error_names_record(spark):
+    """A truncated payload fails with a locatable error, not a numpy
+    reshape mismatch."""
+    import pytest as _pytest
+
+    from ditto_spark.operators.multimodal import extract_media_features
+
+    bad = spark.createDataFrame(
+        [("x", "image", bytearray(b"abc"))],
+        "doc_id string, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="doc_id='x'"):
+        extract_media_features(bad).collect()

@@ -108,3 +108,17 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.createDataFrame([("a",)], "doc_id string")
     with pytest.raises(ValueError):
         hash_split(df, {"train": 0.5, "val": 0.1})
+
+
+def test_pack_phase3_adds_no_exchange(spark):
+    """The partition-local cumsum must not reintroduce a corpus-wide hash
+    exchange: the materialized span table is an eager local checkpoint, so
+    the returned plan (explode over spans) contains ZERO Exchange nodes —
+    the only wide exchange (the range shuffle) was paid before the
+    checkpoint."""
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", 10 + i % 7) for i in range(50)], "doc_id string, nt int"
+    )
+    out = pack_pretraining_chunks(docs, budget=64, n_tok_col="nt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]

@@ -124,3 +124,17 @@ def test_strip_boilerplate_partition_invariant(spark):
     a = sorted(map(tuple, strip_boilerplate_lines(docs, 2).collect()))
     b = sorted(map(tuple, strip_boilerplate_lines(docs.repartition(7), 2).collect()))
     assert a == b
+
+
+def test_quota_sample_null_group_parity(spark):
+    """NULL group values are a group like any other: both prefilter paths
+    must keep them (a plain equi-join on the group col would silently drop
+    every NULL-group row from the prefilter path)."""
+    rows = [("d1", None), ("d2", None), ("d3", "g"), ("d4", None), ("d5", "g")]
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+    got_pre = quota_sample(df, "src", k=2, prefilter=True)
+    got_exact = quota_sample(df, "src", k=2, prefilter=False)
+    pre = sorted((r["doc_id"], r["src"]) for r in got_pre.collect())
+    exact = sorted((r["doc_id"], r["src"]) for r in got_exact.collect())
+    assert pre == exact
+    assert sum(1 for _, s in pre if s is None) == 2  # NULL group kept its quota
