@@ -939,6 +939,62 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", F.round("cos", 6).alias("cos"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
+    IVF coarse clustering (16 md5-seeded cells, 0 Lloyd rounds), then
+    within-cell cosine >= 0.98 drops every vector with a lower-id witness.
+    Runs over the corpus + its planted near-dup perturbations so real
+    duplicate groups exist; the DuckDB oracle replicates seeding,
+    assignment, and the within-cell verify verbatim."""
+    from ditto_spark.operators.ann import semantic_dedup
+
+    vecs = _embeddings_with_near_dups(spark, sf_dir)
+    return semantic_dedup(vecs, n_centroids=16, threshold=0.98)
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+    WITH vl AS (""" + _ann_vecs_cte(with_aug=True) + """),
+    e AS (SELECT vid AS vec_id, list(val ORDER BY d) AS v FROM vl GROUP BY vid),
+    seeds AS (
+      SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM e ORDER BY h LIMIT 16
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS centroid_id, v AS cv
+      FROM seeds
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_inner_product(e.v, c.cv) /
+                  (sqrt(list_inner_product(e.v, e.v)) *
+                   sqrt(list_inner_product(c.cv, c.cv)))) DESC,
+                 c.centroid_id ASC) AS crk
+        FROM e CROSS JOIN cent c
+      ) WHERE crk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_inner_product(ea.v, eb.v) /
+             (sqrt(list_inner_product(ea.v, ea.v)) *
+              sqrt(list_inner_product(eb.v, eb.v))) AS cos
+      FROM assign a JOIN assign b USING (centroid_id)
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT b_id AS vec_id, min(a_id) AS dup_of
+      FROM pairs WHERE cos >= 0.98 GROUP BY b_id
+    )
+    SELECT a.vec_id, a.centroid_id,
+           coalesce(d.dup_of, -1) AS dup_of,
+           CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS is_kept
+    FROM assign a LEFT JOIN dups d USING (vec_id)
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth binary payloads → mapInPandas feature
     extraction (decode stubbed deterministically — no media libs here).
@@ -1293,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
     }
 
@@ -1681,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk <= 5
         """,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "crowd_gold": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

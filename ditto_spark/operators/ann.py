@@ -498,3 +498,67 @@ def cosine_topk_ivf(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540 — public): coarse-cluster the corpus with the deterministic
+    IVF quantizer, then inside each cell drop every vector that has a
+    LOWER-ID neighbor at cosine >= threshold. The keeper of a duplicate
+    group is therefore its minimum id — deterministic under any
+    partitioning, no RNG. Returns one row per input vector:
+    (id_col, centroid_id, dup_of, is_kept) where dup_of is the smallest
+    qualifying lower-id witness (-1 when kept) and is_kept is 1/0.
+
+    Scale: centroid seeding + assignment are the zero-shuffle broadcast
+    expressions of `ivf_centroids`/`_ivf_assign`; the only wide operation
+    is the within-cell self-join — an equi-join on centroid_id that AQE
+    skew-splitting divides when a cell runs hot, and at 100 TB k grows
+    with n (k ~ n / target_cell_size) so expected cell size stays
+    constant. Vector payloads ride that one shuffle because the verify
+    needs both sides' coordinates (same trade as embedding_near_dup_pairs).
+    Cross-cell near-duplicates are not examined — the documented SemDeDup
+    trade (recall bounded by quantizer locality; raise n_probe-style
+    overlap by unioning assignments at rank<=2 if a corpus needs it).
+    With n_iter=0 the operator is deterministic md5 arithmetic + exact
+    cosine, replicated verbatim by the `semantic_dedup` DuckDB oracle."""
+    vecs = _vec_view(vectors, id_col, vec_col)
+    cent = ivf_centroids(
+        vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        n_iter=n_iter,
+    )
+    assign = _ivf_assign(vecs, cent).select(id_col, "centroid_id")
+    sided = assign.join(vecs, id_col)
+    lhs = sided.select(
+        F.col(id_col).alias("a_id"), "centroid_id", F.col("v").alias("av")
+    )
+    rhs = sided.select(
+        F.col(id_col).alias("b_id"), "centroid_id", F.col("v").alias("bv")
+    )
+    cos = _dot(F.col("av"), F.col("bv")) / (
+        F.sqrt(_dot(F.col("av"), F.col("av")))
+        * F.sqrt(_dot(F.col("bv"), F.col("bv")))
+    )
+    dups = (
+        lhs.join(rhs, "centroid_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("b_id", "a_id", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return assign.join(
+        dups, assign[id_col] == dups["b_id"], "left"
+    ).select(
+        assign[id_col],
+        "centroid_id",
+        F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNull().cast("int").alias("is_kept"),
+    )

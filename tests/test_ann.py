@@ -255,3 +255,39 @@ def test_ivf_lloyd_keeps_empty_cells(spark):
         got = cent.collect()
         assert len(got) == 8, f"n_iter={n_iter}: quantizer shrank to {len(got)}"
         assert sorted(r["centroid_id"] for r in got) == list(range(8))
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from ditto_spark.operators.ann import semantic_dedup
+
+    df, _ = _vecs(spark, n=30, n_clusters=3, noise=0.3)
+    copies = df.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    allv = df.unionByName(copies)
+    out = semantic_dedup(allv, n_centroids=4, threshold=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == allv.count()
+    for i in range(0, 30, 3):
+        r = rows[i + 1000]
+        # an exact copy is dropped, witnessed by its source, in its source's cell
+        assert r["is_kept"] == 0 and r["dup_of"] == i
+        assert r["centroid_id"] == rows[i]["centroid_id"]
+    for r in rows.values():
+        assert (r["is_kept"] == 1) == (r["dup_of"] == -1)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from ditto_spark.operators.ann import semantic_dedup
+
+    df, _ = _vecs(spark, n=24, n_clusters=4, noise=0.2)
+    a = sorted(map(tuple, semantic_dedup(df, n_centroids=4, threshold=0.97).collect()))
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                df.repartition(7), n_centroids=4, threshold=0.97
+            ).collect(),
+        )
+    )
+    assert a == b
