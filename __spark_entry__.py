@@ -939,6 +939,62 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", F.round("cos", 6).alias("cos"))
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1) over
+    documents: word-count / mean-word-length / symbol-ratio / bullet &
+    ellipsis line fractions / alpha-word fraction / stopword-presence
+    rules → keep decision. min_stop_hits=1 and min_words=20 so both rules
+    actually discriminate on this corpus. Pure codegen projection."""
+    from ditto_spark.operators.textprep import gopher_quality_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, min_words=20, min_stop_hits=1)
+
+
+_GOPHER_FILTER_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lns,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(lns) AS nl,
+             list_sum(list_transform(toks, x -> length(x))) AS chars,
+             (length(text) - length(replace(text, '#', ''))) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_ell,
+             len(list_filter(lns, l -> starts_with(l, '- ')
+                 OR starts_with(l, '* ') OR starts_with(l, '•'))) AS bullets,
+             len(list_filter(lns, l -> l LIKE '%...')) AS ell_lines,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+             len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM d
+    ), r AS (
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_words,
+             CASE WHEN n > 0 THEN round(chars / n, 9) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n > 0 THEN round((n_hash + n_ell) / n, 9) ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN nl > 0 THEN round(bullets / nl, 9) ELSE 0.0 END AS bullet_frac,
+             CASE WHEN nl > 0 THEN round(ell_lines / nl, 9) ELSE 0.0 END AS ellipsis_frac,
+             CASE WHEN n > 0 THEN round(alpha / n, 9) ELSE 0.0 END AS alpha_word_frac,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM m
+    )
+    SELECT r.*,
+           CASE WHEN n_words >= 20 AND n_words <= 100000
+                 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                 AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+                 AND stop_hits >= 1
+                THEN 1 ELSE 0 END AS keep
+    FROM r
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): deterministic
     IVF coarse clustering (16 md5-seeded cells, 0 Lloyd rounds), then
@@ -1350,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "gopher_filter": q_gopher_filter,
         "media_features": q_media_features,
     }
 
@@ -1739,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
+        "gopher_filter": _GOPHER_FILTER_ORACLE,
         "crowd_gold": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

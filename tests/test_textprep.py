@@ -239,3 +239,35 @@ def test_pii_scrub_counts_and_order(spark):
     assert r2["scrubbed"] == "host <IPV4> ssn <SSN> tel <PHONE>"
     assert got[3]["scrubbed"] == "clean text only"
     assert sum(got[3][c] for c in ["n_email", "n_ipv4", "n_ssn", "n_phone"]) == 0
+
+
+def test_gopher_quality_filter_rules(spark):
+    from ditto_spark.operators.textprep import gopher_quality_filter
+
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat and then have a nap to rest of it"),
+            (2, "too short now"),
+            (3, "- item one and the\n- item two of the\n- item three to be"),
+            (4, "the ### #### of ## and ## to be ## have ##"),
+            (5, "1 2 3 4 5 6 7 8 9 10 11 12"),
+            (6, "the end is near...\nof all things to come...\nand that is it"),
+            (7, ""),
+            (8, "a" * 30 + " " + "b" * 30 + " the of and"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(df, min_words=5, min_stop_hits=2).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["n_words"] == 3          # too short
+    assert out[3]["keep"] == 0 and out[3]["bullet_frac"] == 1.0    # all bullets
+    assert out[4]["keep"] == 0 and out[4]["symbol_ratio"] > 0.1    # symbol heavy
+    assert out[5]["keep"] == 0 and out[5]["alpha_word_frac"] == 0.0
+    assert out[6]["keep"] == 0                                     # 2/3 ellipsis lines
+    assert abs(out[6]["ellipsis_frac"] - 2 / 3) < 1e-6
+    assert out[7]["keep"] == 0 and out[7]["n_words"] == 0          # empty, no ANSI error
+    assert out[7]["mean_word_len"] == 0.0
+    assert out[8]["keep"] == 0 and out[8]["mean_word_len"] > 12    # degenerate words
