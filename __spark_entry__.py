@@ -939,6 +939,71 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", F.round("cos", 6).alias("cos"))
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
+    dedup, L-gram-anchor approximation): per doc, the fraction of token
+    positions covered by a 4-gram shared with another document, plus the
+    count of maximal duplicated runs. l=4 so the corpus's planted
+    near-duplicates AND generic phrase overlap both register (368/500 docs
+    at sf0.01)."""
+    from ditto_spark.operators.textprep import duplicated_span_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, l=4)
+
+
+_DUP_SPAN_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(toks) AS n_tokens FROM d),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+3], ' ')) AS gh
+      FROM d, unnest(generate_series(1, len(toks) - 3)) u(i)
+    ),
+    shared AS (
+      SELECT gh FROM occ GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN shared USING (gh)),
+    isl AS (
+      SELECT doc_id, pos, pos + 3 AS e,
+             CASE WHEN max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR pos > max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS is_start
+      FROM hits
+    ),
+    runs AS (
+      SELECT doc_id, pos, e,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(e) AS e,
+             count(*) AS n_anchors
+      FROM runs GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(n_anchors) AS dup_anchor_cnt,
+             count(*) AS n_dup_spans, sum(e - s + 1) AS covered
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_anchor_cnt, 0) AS BIGINT) AS dup_anchor_cnt,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN b.n_tokens > 0
+                THEN round(coalesce(p.covered, 0) / b.n_tokens, 9)
+                ELSE 0.0 END AS dup_token_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality filter (Rae et al. 2021 §A1.1) over
     documents: word-count / mean-word-length / symbol-ratio / bullet &
@@ -1407,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "gopher_filter": q_gopher_filter,
+        "dup_span_stats": q_dup_span_stats,
         "media_features": q_media_features,
     }
 
@@ -1797,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "gopher_filter": _GOPHER_FILTER_ORACLE,
+        "dup_span_stats": _DUP_SPAN_ORACLE,
         "crowd_gold": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

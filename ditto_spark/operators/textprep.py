@@ -478,3 +478,98 @@ def gopher_quality_filter(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("keep", keep.cast("int"))
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", arXiv
+    2107.06499 — public; the suffix-array span dedup approximated with
+    L-token-gram anchors): a token position is DUPLICATED when it is
+    covered by some L-gram that also occurs in at least one OTHER
+    document. Per document returns
+      n_tokens        whitespace token count
+      dup_anchor_cnt  this doc's L-gram occurrences whose gram is shared
+      n_dup_spans     maximal runs of duplicated positions
+      dup_token_frac  duplicated positions / n_tokens
+    Marking-then-cut consumers drop or trim the flagged spans.
+
+    Shape: one posexplode (×1 row per token position), a count-distinct
+    keyed by md5(gram) — the gram STRING never rides a shuffle key — an
+    equi-join back on the hash (AQE-splittable; hot grams are exactly the
+    boilerplate this finds), and per-doc interval merging as a classic
+    gaps-and-islands window PARTITIONED BY doc (bounded by doc length, so
+    no unsplittable global window). Suffix arrays find spans ≥ L with
+    arbitrary alignment; L-gram anchors are the standard distributed
+    approximation — any duplicated run of ≥ L tokens contains a shared
+    L-gram, so recall at span granularity L is exact."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= l,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - l),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, l))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    occ = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gh"))
+    shared = (
+        occ.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = occ.join(shared, "gh").select(id_col, "pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        F.col(id_col),
+        "pos",
+        (F.col("pos") + l - 1).alias("end"),
+        F.when(
+            # break only on a real gap: pos == prev_end + 1 still extends
+            # the same maximal duplicated run
+            F.col("pos") > F.max(F.col("pos") + l - 1).over(w) + 1, 1
+        ).otherwise(
+            F.when(F.row_number().over(
+                Window.partitionBy(id_col).orderBy("pos")
+            ) == 1, 1).otherwise(0)
+        ).alias("is_start"),
+    )
+    wrun = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        islands.withColumn("island", F.sum("is_start").over(wrun))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_anchors").cast("long").alias("dup_anchor_cnt"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("dup_anchor_cnt", F.lit(0)).cast("long").alias("dup_anchor_cnt"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.coalesce("covered", F.lit(0)) / F.col("n_tokens"), 9),
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+    )

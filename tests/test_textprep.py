@@ -271,3 +271,48 @@ def test_gopher_quality_filter_rules(spark):
     assert out[7]["keep"] == 0 and out[7]["n_words"] == 0          # empty, no ANSI error
     assert out[7]["mean_word_len"] == 0.0
     assert out[8]["keep"] == 0 and out[8]["mean_word_len"] > 12    # degenerate words
+
+
+def test_duplicated_span_stats_known_values(spark):
+    from ditto_spark.operators.textprep import duplicated_span_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "x x a b c y z w"),
+            (3, "q r s t u v"),
+            (4, "a b c d e f"),
+            (5, "a b c k k k k a b c"),
+            (7, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, l=3).collect()}
+    assert len(out) == 6
+    # exact copies: every position duplicated, one maximal run
+    for d in (1, 4):
+        r = out[d]
+        assert (r["n_tokens"], r["dup_anchor_cnt"], r["n_dup_spans"]) == (6, 4, 1)
+        assert r["dup_token_frac"] == 1.0
+    # single shared trigram "a b c" at pos 2 covers positions 2..4 of 8
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_anchor_cnt"] == 1
+    assert out[2]["dup_token_frac"] == 0.375
+    # no gram shared
+    assert out[3]["dup_anchor_cnt"] == 0 and out[3]["dup_token_frac"] == 0.0
+    # two disjoint shared runs separated by a gap stay two maximal spans
+    assert out[5]["n_dup_spans"] == 2 and out[5]["dup_anchor_cnt"] == 2
+    assert out[5]["dup_token_frac"] == 0.6
+    # empty document: zero everything, no ANSI division error
+    assert out[7]["n_tokens"] == 0 and out[7]["dup_token_frac"] == 0.0
+
+
+def test_duplicated_span_stats_partition_invariant(spark):
+    from ditto_spark.operators.textprep import duplicated_span_stats
+
+    df = _docs(
+        spark,
+        [(i, "common phrase here now " + ("w%d x y z " % i) * 3) for i in range(12)],
+    )
+    a = sorted(map(tuple, duplicated_span_stats(df, l=4).collect()))
+    b = sorted(map(tuple, duplicated_span_stats(df.repartition(5), l=4).collect()))
+    assert a == b
