@@ -939,6 +939,85 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", F.round("cos", 6).alias("cos"))
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo merge/purge) over
+    documents: sort by a 16-char text-prefix key, window w=5. Rank comes
+    from the scale-safe two-phase prefix count (no single-partition
+    window); the oracle's row_number() computes the identical total
+    order."""
+    from ditto_spark.operators.blocking import sorted_neighborhood_pairs
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 16).alias("snb_key")
+    )
+    return sorted_neighborhood_pairs(docs, key_col="snb_key", w=5)
+
+
+_SORTED_NEIGHBORHOOD_ORACLE = """
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substring(text, 1, 16), doc_id) - 1
+               AS rnk
+      FROM documents
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+    FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 5
+"""
+
+
+def q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics (Christen 2012 §7.4): reduction ratio /
+    pairs completeness / pairs quality of the sorted-neighborhood blocker
+    (prefix key, w=5) against a truth set of rare-shingle Jaccard ≥ 0.5
+    pairs — the standard way an ER pipeline quantifies a blocker before
+    paying for pairwise scoring."""
+    from ditto_spark.operators.blocking import sorted_neighborhood_pairs
+    from ditto_spark.operators.evaluate import blocking_metrics
+
+    docs = _load(spark, sf_dir, "documents")
+    cand = sorted_neighborhood_pairs(
+        docs.select("doc_id", F.substring("text", 1, 16).alias("snb_key")),
+        key_col="snb_key",
+        w=5,
+    )
+    truth = _rare_shingle_pairs(docs).where(F.col("jaccard") >= 0.5).select(
+        "left_id", "right_id"
+    )
+    return blocking_metrics(cand, truth, n_records=docs.count())
+
+
+_BLOCKING_METRICS_ORACLE = _ORACLE_SHINGLE_CTE + """
+    , truth AS (
+      SELECT least(left_id, right_id) AS a, greatest(left_id, right_id) AS b
+      FROM jp WHERE jaccard >= 0.5 GROUP BY 1, 2
+    ), rr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substring(text, 1, 16), doc_id) - 1
+               AS rnk
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+                      greatest(x.doc_id, y.doc_id) AS b
+      FROM rr x JOIN rr y ON y.rnk > x.rnk AND y.rnk - x.rnk < 5
+    ), counts AS (
+      SELECT (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand JOIN truth USING (a, b)) AS n_covered,
+             (SELECT (count(*) * (count(*) - 1)) // 2 FROM documents) AS total
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           round(1 - n_candidates / total, 9) AS reduction_ratio,
+           CASE WHEN n_truth > 0 THEN round(n_covered / n_truth, 9)
+                ELSE 0.0 END AS pairs_completeness,
+           CASE WHEN n_candidates > 0 THEN round(n_covered / n_candidates, 9)
+                ELSE 0.0 END AS pairs_quality
+    FROM counts
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -1473,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "gopher_filter": q_gopher_filter,
         "dup_span_stats": q_dup_span_stats,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "blocking_metrics": q_blocking_metrics,
         "media_features": q_media_features,
     }
 
@@ -1864,6 +1945,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "gopher_filter": _GOPHER_FILTER_ORACLE,
         "dup_span_stats": _DUP_SPAN_ORACLE,
+        "sorted_neighborhood": _SORTED_NEIGHBORHOOD_ORACLE,
+        "blocking_metrics": _BLOCKING_METRICS_ORACLE,
         "crowd_gold": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

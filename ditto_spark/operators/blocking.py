@@ -452,3 +452,108 @@ def block_exact_shingles(
         .agg(F.count(F.lit(1)).alias("common_shingles"))
         .where(F.col("common_shingles") >= min_common)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    parts: int | None = None,
+) -> DataFrame:
+    """0-based dense global row index over `order_cols` ascending (the
+    order must be a total order — include a unique id as the last column).
+    A plain `row_number() OVER (ORDER BY …)` funnels the corpus through
+    ONE partition; this is the scale-safe two-phase form (the
+    pack_pretraining_chunks idiom): range-repartition on the order
+    columns, collect one tiny count row per partition to the driver,
+    then assign offset + local position in a zero-exchange Arrow pass."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_parts = parts or spark.sparkContext.defaultParallelism * 2
+    by_range = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = {
+        r["pid"]: r["c"]
+        for r in by_range.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    schema = StructType(
+        [f for f in by_range.schema.fields if f.name != "pid"]
+        + [StructField(out_col, LongType())]
+    )
+    offs = dict(offsets)
+
+    def _assign(batches):
+        pos = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if pos is None:
+                pos = offs[int(b["pid"].iloc[0])]
+            out = b.drop(columns=["pid"])
+            out[out_col] = range(pos, pos + len(b))
+            pos += len(b)
+            yield out
+
+    return by_range.mapInPandas(_assign, schema=schema)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    w: int = 5,
+    id_col: str = "doc_id",
+    parts: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995, the merge/
+    purge method — public; a blocking family the reference does not have):
+    sort every record by (key, id) and emit each pair lying within a
+    sliding window of `w` ranks as a candidate. Returns
+    (left_id, right_id, rank_dist) with left before right in sort order,
+    1 <= rank_dist < w, each unordered pair exactly once.
+
+    Scale shape: the global rank comes from the two-phase distributed
+    prefix count (`global_rank`) — no single-partition window. Pair
+    generation is a banded self-equi-join on bucket = rank // w: the left
+    side replicates to (bucket, bucket+1), the right side keeps its own
+    bucket, and the filter 0 < rank_r - rank_l < w guarantees exactly-once
+    production. The join key is a dense integer bucket holding exactly w
+    ranks, so the shuffle is perfectly uniform no matter how skewed the
+    sort keys are — the skew-vulnerable step (range sort) is handled by
+    repartitionByRange's sampled range bounds."""
+    ranked = global_rank(
+        df.select(F.col(id_col), F.col(key_col).alias("snb_key")),
+        order_cols=["snb_key", id_col],
+    ).select(id_col, "rank")
+    bucket = (F.col("rank") / w).cast("long")
+    lhs = ranked.select(
+        F.col(id_col).alias("left_id"),
+        F.col("rank").alias("lrank"),
+        F.explode(F.array(bucket, bucket + 1)).alias("b"),
+    )
+    rhs = ranked.select(
+        F.col(id_col).alias("right_id"),
+        F.col("rank").alias("rrank"),
+        bucket.alias("b"),
+    )
+    return (
+        lhs.join(rhs, "b")
+        .where(
+            (F.col("rrank") > F.col("lrank"))
+            & (F.col("rrank") - F.col("lrank") < w)
+        )
+        .select(
+            "left_id",
+            "right_id",
+            (F.col("rrank") - F.col("lrank")).cast("long").alias("rank_dist"),
+        )
+    )

@@ -187,3 +187,60 @@ def bcubed(predicted: DataFrame, truth: DataFrame, ndigits: int = 9) -> DataFram
         F.round(r, ndigits).alias("bcubed_recall"),
         F.round(2 * p * r / (p + r), ndigits).alias("bcubed_f1"),
     )
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    ndigits: int = 9,
+) -> DataFrame:
+    """Classic blocking-quality metrics (Christen 2012, "Data Matching"
+    §7.4 — public; the standard evaluation for any ER blocker):
+      reduction_ratio     1 - |C| / (n·(n-1)/2)  — comparisons avoided
+      pairs_completeness  |C ∩ T| / |T|          — truth recall of the blocker
+      pairs_quality       |C ∩ T| / |C|          — candidate precision
+    over candidate pairs C and true match pairs T (both canonicalized to
+    unordered distinct pairs). One row out.
+
+    Shape: two dedups + one semi-join, each keyed by the id pair; the
+    three counts are single-row aggregates cross-joined at the end (1×1×1
+    rows — no data movement). All ratios are int/int divisions → the
+    DuckDB oracle reproduces them bit-for-bit."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(left_col), F.col(right_col)).alias("a"),
+            F.greatest(F.col(left_col), F.col(right_col)).alias("b"),
+        ).distinct()
+
+    c = canon(candidates)
+    t = canon(truth)
+    total = n_records * (n_records - 1) // 2
+    c_cnt = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+    t_cnt = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    h_cnt = c.join(t, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+    return (
+        c_cnt.crossJoin(t_cnt)
+        .crossJoin(h_cnt)
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.round(1 - F.col("n_candidates") / F.lit(total), ndigits).alias(
+                "reduction_ratio"
+            ),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_covered") / F.col("n_truth"), ndigits),
+            ).otherwise(F.lit(0.0)).alias("pairs_completeness"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_covered") / F.col("n_candidates"), ndigits),
+            ).otherwise(F.lit(0.0)).alias("pairs_quality"),
+        )
+    )

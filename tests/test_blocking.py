@@ -184,3 +184,48 @@ def test_ngram_overlap_train_side_pruning_only(spark):
     assert {(r["train_id"], r["bench_id"]) for r in got} == {
         ("tx", f"b{i}") for i in range(5)
     }
+
+
+def test_global_rank_matches_window_row_number(spark):
+    from ditto_spark.operators.blocking import global_rank
+
+    rows = [(i, "k%02d" % (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(df, order_cols=["k", "doc_id"]).collect()
+    }
+    expected = {
+        doc: rnk
+        for rnk, (doc, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expected
+
+
+def test_sorted_neighborhood_exact_window(spark):
+    from ditto_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [(i, "key%03d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {
+        (r["left_id"], r["right_id"]): r["rank_dist"]
+        for r in sorted_neighborhood_pairs(df, key_col="k", w=3).collect()
+    }
+    # sort order == id order here; window 3 → dist 1 and 2 only
+    expected = {}
+    for a in range(20):
+        for b in range(a + 1, min(a + 3, 20)):
+            expected[(a, b)] = b - a
+    assert got == expected
+
+
+def test_sorted_neighborhood_pairs_unique_and_partition_invariant(spark):
+    from ditto_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [(i, "dup") if i % 4 == 0 else (i, "k%05d" % (997 * i % 50)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = sorted_neighborhood_pairs(df, key_col="k", w=4).collect()
+    pairs = [(r["left_id"], r["right_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # exactly-once production
+    out2 = sorted_neighborhood_pairs(df.repartition(7), key_col="k", w=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

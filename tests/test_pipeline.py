@@ -101,3 +101,30 @@ def test_bcubed_perfect_clustering(spark):
     )
     row = bcubed(assign, assign).collect()[0]
     assert row["bcubed_precision"] == 1.0 == row["bcubed_recall"] == row["bcubed_f1"]
+
+
+def test_blocking_metrics_known_values(spark):
+    from ditto_spark.operators.evaluate import blocking_metrics
+
+    cand = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (4, 3)], "left_id long, right_id long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 1)], "left_id long, right_id long"
+    )
+    row = blocking_metrics(cand, truth, n_records=5).collect()[0]
+    # canonicalized: cand {1-2, 2-3, 3-4}, truth {1-2, 1-3}, covered {1-2}
+    assert row["n_candidates"] == 3 and row["n_truth"] == 2
+    assert row["n_covered"] == 1
+    assert row["reduction_ratio"] == 0.7          # 1 - 3/10
+    assert row["pairs_completeness"] == 0.5
+    assert abs(row["pairs_quality"] - 1 / 3) < 1e-9
+
+
+def test_blocking_metrics_empty_truth(spark):
+    from ditto_spark.operators.evaluate import blocking_metrics
+
+    cand = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    truth = spark.createDataFrame([], "left_id long, right_id long")
+    row = blocking_metrics(cand, truth, n_records=3).collect()[0]
+    assert row["pairs_completeness"] == 0.0 and row["n_covered"] == 0
