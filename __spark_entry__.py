@@ -1018,6 +1018,77 @@ _BLOCKING_METRICS_ORACLE = _ORACLE_SHINGLE_CTE + """
 """
 
 
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking with weighted node pruning (Papadakis et al. 2014)
+    over the token-shingle block collection of `documents`: CBS edge
+    weights (shared-block counts), block purging at 50, and an edge kept
+    when its weight reaches the mean incident weight of either endpoint.
+    The pruning comparison is exact integer arithmetic (w·deg ≥ Σw), so
+    the oracle is bit-for-bit."""
+    from ditto_spark.operators.blocking import meta_blocking_wnp
+
+    docs = _load(spark, sf_dir, "documents")
+    blocks = _doc_shingles(docs).select(F.col("s").alias("block_key"), "doc_id")
+    return meta_blocking_wnp(blocks, max_block_size=50)
+
+
+_META_BLOCKING_ORACLE = _ORACLE_SHINGLE_CTE + """
+    , e AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             CAST(count(*) AS BIGINT) AS weight
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), nt AS (
+      SELECT node, sum(weight) AS sw, count(*) AS deg
+      FROM (SELECT left_id AS node, weight FROM e
+            UNION ALL SELECT right_id AS node, weight FROM e)
+      GROUP BY node
+    )
+    SELECT e.left_id, e.right_id, e.weight
+    FROM e
+    JOIN nt a ON a.node = e.left_id
+    JOIN nt b ON b.node = e.right_id
+    WHERE e.weight * a.deg >= a.sw OR e.weight * b.deg >= b.sw
+"""
+
+
+def q_snb_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic merge/purge two-step: sorted-neighborhood candidates
+    (prefix key, w=5) verified by normalized Levenshtein similarity over
+    a 200-char prefix, keeping sim ≥ 0.5. Pure JVM end to end — the
+    Levenshtein DP is a Catalyst expression, cost-capped by the prefix
+    truncation applied BEFORE the attach joins."""
+    from ditto_spark.operators.blocking import sorted_neighborhood_pairs
+    from ditto_spark.operators.scoring import edit_similarity_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    cand = sorted_neighborhood_pairs(
+        docs.select("doc_id", F.substring("text", 1, 16).alias("snb_key")),
+        key_col="snb_key",
+        w=5,
+    )
+    return edit_similarity_pairs(cand, docs, prefix_len=200, min_sim=0.5)
+
+
+_SNB_EDIT_VERIFY_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, substring(text, 1, 200) AS t,
+             row_number() OVER (ORDER BY substring(text, 1, 16), doc_id) - 1
+               AS rnk
+      FROM documents
+    ), scored AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+             round(CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+                   ELSE 1 - levenshtein(a.t, b.t)
+                            / greatest(len(a.t), len(b.t))
+                   END, 9) AS edit_sim
+      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 5
+    )
+    SELECT * FROM scored WHERE edit_sim >= 0.5
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -1554,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "sorted_neighborhood": q_sorted_neighborhood,
         "blocking_metrics": q_blocking_metrics,
+        "meta_blocking": q_meta_blocking,
+        "snb_edit_verify": q_snb_edit_verify,
         "media_features": q_media_features,
     }
 
@@ -1947,6 +2020,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _DUP_SPAN_ORACLE,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_ORACLE,
         "blocking_metrics": _BLOCKING_METRICS_ORACLE,
+        "meta_blocking": _META_BLOCKING_ORACLE,
+        "snb_edit_verify": _SNB_EDIT_VERIFY_ORACLE,
         "crowd_gold": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

@@ -229,3 +229,42 @@ def test_sorted_neighborhood_pairs_unique_and_partition_invariant(spark):
     assert len(pairs) == len(set(pairs))  # exactly-once production
     out2 = sorted_neighborhood_pairs(df.repartition(7), key_col="k", w=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_meta_blocking_wnp_prunes_below_both_means(spark):
+    from ditto_spark.operators.blocking import meta_blocking_wnp
+
+    # edges: (1,2) w=2, (3,4) w=2, (1,3) w=1; node means 1/3 both 1.5
+    # -> (1,3) pruned (1 < 1.5 at BOTH endpoints), the w=2 edges kept
+    blocks = spark.createDataFrame(
+        [("b1", 1), ("b1", 2), ("b2", 1), ("b2", 2),
+         ("b3", 3), ("b3", 4), ("b4", 3), ("b4", 4), ("b5", 1), ("b5", 3)],
+        "block_key string, doc_id long",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["weight"]
+        for r in meta_blocking_wnp(blocks).collect()
+    }
+    assert got == {(1, 2): 2, (3, 4): 2}
+
+
+def test_meta_blocking_wnp_block_purging(spark):
+    from ditto_spark.operators.blocking import meta_blocking_wnp
+
+    rows = [("big", i) for i in range(10, 16)] + [("ok", 1), ("ok", 2)]
+    blocks = spark.createDataFrame(rows, "block_key string, doc_id long")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in meta_blocking_wnp(blocks, max_block_size=3).collect()
+    }
+    assert got == {(1, 2)}  # the 6-entity block is purged entirely
+
+
+def test_meta_blocking_wnp_duplicate_assignments_counted_once(spark):
+    from ditto_spark.operators.blocking import meta_blocking_wnp
+
+    blocks = spark.createDataFrame(
+        [("b1", 1), ("b1", 1), ("b1", 2)], "block_key string, doc_id long"
+    )
+    rows = meta_blocking_wnp(blocks).collect()
+    assert [(r["left_id"], r["right_id"], r["weight"]) for r in rows] == [(1, 2, 1)]

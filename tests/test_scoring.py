@@ -189,3 +189,43 @@ def test_numpy_cross_encoder_in_udf_slot(spark):
     assert set(out) == {"a", "c"}
     for v in out.values():
         assert 0.0 < v < 1.0
+
+
+def test_edit_similarity_known_values(spark):
+    from ditto_spark.operators.scoring import edit_similarity_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "left_id long, right_id long"
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (r["edit_dist"], r["edit_sim"])
+        for r in edit_similarity_pairs(pairs, docs).collect()
+    }
+    assert got[(1, 2)][0] == 3
+    assert abs(got[(1, 2)][1] - (1 - 3 / 7)) < 1e-8
+    assert got[(3, 4)] == (0, 1.0)  # empty-vs-empty guarded, sim 1
+
+
+def test_edit_similarity_prefix_truncation_and_threshold(spark):
+    from ditto_spark.operators.scoring import edit_similarity_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcd" + "x" * 50), (2, "abcd" + "y" * 50), (5, "zzzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 5)], "left_id long, right_id long"
+    )
+    # prefix_len=4: both sides truncate to "abcd" -> dist 0, sim 1
+    got = {
+        (r["left_id"], r["right_id"]): (r["edit_dist"], r["edit_sim"])
+        for r in edit_similarity_pairs(pairs, docs, prefix_len=4).collect()
+    }
+    assert got[(1, 2)] == (0, 1.0)
+    assert got[(1, 5)] == (4, 0.0)
+    kept = edit_similarity_pairs(pairs, docs, prefix_len=4, min_sim=0.5).collect()
+    assert {(r["left_id"], r["right_id"]) for r in kept} == {(1, 2)}
