@@ -1089,6 +1089,58 @@ _SNB_EDIT_VERIFY_ORACLE = """
 """
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation over the oracle-checked document
+    near-dup clusters: one canonical row per cluster — min-id
+    representative, member count, modal lang/source (ties → smallest
+    value), longest text (ties → smallest doc_id). The ER pipeline's
+    final fusion step, composed on the recursive-CTE-verified CC."""
+    from ditto_spark.operators.cluster import cluster_representatives
+
+    docs = _load(spark, sf_dir, "documents")
+    clusters = q_doc_dedup_clusters(spark, sf_dir)
+    return cluster_representatives(
+        clusters,
+        docs.select("doc_id", "text", "lang", "source"),
+        mode_cols=("lang", "source"),
+        longest_cols=("text",),
+    ).select(
+        "cluster_id", "rep_id", "n_members", "lang", "source", "canonical_text"
+    )
+
+
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-best-match 1:1 linkage over the rare-shingle Jaccard
+    pair scores: keep a pair only when each side is the other's
+    top-scoring neighbor (score desc, neighbor id asc)."""
+    from ditto_spark.operators.scoring import mutual_best_match
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = _rare_shingle_pairs(docs).select(
+        "left_id", "right_id", F.col("jaccard").alias("score")
+    )
+    return mutual_best_match(scored).select(
+        "left_id", "right_id", F.round("score", 9).alias("score")
+    )
+
+
+_MUTUAL_BEST_ORACLE = _ORACLE_SHINGLE_CTE + """
+    , sym AS (
+      SELECT left_id AS a, right_id AS b, jaccard AS s FROM jp
+      UNION ALL
+      SELECT right_id AS a, left_id AS b, jaccard AS s FROM jp
+    ), best AS (
+      SELECT a, b, s FROM (
+        SELECT a, b, s,
+               row_number() OVER (PARTITION BY a ORDER BY s DESC, b ASC) AS rn
+        FROM sym) WHERE rn = 1
+    )
+    SELECT x.a AS left_id, x.b AS right_id, round(x.s, 9) AS score
+    FROM best x JOIN best y ON x.a = y.b AND x.b = y.a
+    WHERE x.a < x.b
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -1627,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_metrics": q_blocking_metrics,
         "meta_blocking": q_meta_blocking,
         "snb_edit_verify": q_snb_edit_verify,
+        "golden_record": q_golden_record,
+        "mutual_best_match": q_mutual_best_match,
         "media_features": q_media_features,
     }
 
@@ -2022,6 +2076,46 @@ def oracle_sql() -> dict[str, str]:
         "blocking_metrics": _BLOCKING_METRICS_ORACLE,
         "meta_blocking": _META_BLOCKING_ORACLE,
         "snb_edit_verify": _SNB_EDIT_VERIFY_ORACLE,
+        "mutual_best_match": _MUTUAL_BEST_ORACLE,
+        "golden_record": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
+    , clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), j AS (
+      SELECT c.cluster_id, d.doc_id, d.text, d.lang, d.source
+      FROM clusters c JOIN documents d USING (doc_id)
+    ), base AS (
+      SELECT cluster_id, min(doc_id) AS rep_id,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM j GROUP BY cluster_id
+    ), lang_m AS (
+      SELECT cluster_id, lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, lang ASC) AS rn
+        FROM j WHERE lang IS NOT NULL GROUP BY cluster_id, lang)
+      WHERE rn = 1
+    ), src_m AS (
+      SELECT cluster_id, source FROM (
+        SELECT cluster_id, source,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, source ASC) AS rn
+        FROM j WHERE source IS NOT NULL GROUP BY cluster_id, source)
+      WHERE rn = 1
+    ), txt_l AS (
+      SELECT cluster_id, text FROM (
+        SELECT cluster_id, text,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY len(text) DESC, doc_id ASC) AS rn
+        FROM j)
+      WHERE rn = 1
+    )
+    SELECT b.cluster_id, b.rep_id, b.n_members,
+           l.lang AS lang, s.source AS source, t.text AS canonical_text
+    FROM base b
+    LEFT JOIN lang_m l USING (cluster_id)
+    LEFT JOIN src_m s USING (cluster_id)
+    LEFT JOIN txt_l t USING (cluster_id)
+""",
         "crowd_gold": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

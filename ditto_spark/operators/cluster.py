@@ -384,3 +384,66 @@ def assign_clusters(
         .join(comp, "conv_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "conv_id"))
     )
+
+
+def cluster_representatives(
+    assignments: DataFrame,
+    records: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    mode_cols: tuple[str, ...] = (),
+    longest_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Golden-record consolidation (survivorship) — the ER step after
+    clustering: one canonical row per cluster. Rules (all deterministic):
+      rep_id        min member id
+      n_members     cluster size
+      mode_cols     most frequent non-null value, ties → smallest value
+      longest_cols  longest value, ties → smallest member id
+    The reference pipeline stops at match decisions; consolidation is the
+    standard downstream step (Christen 2012 ch. 2 "data fusion"), added as
+    a first-class operator.
+
+    Scale shape: one narrow join (assignment onto records), then one
+    groupBy per rule column — each is a (cluster, value)-keyed partial
+    aggregate followed by a per-cluster top-1 window over the DISTINCT
+    value counts (tiny), never over raw members. The final assembly joins
+    |clusters|-sized tables on the cluster id. No collect, no skew risk
+    beyond the cluster-size distribution itself (bounded upstream by the
+    dedup threshold)."""
+    j = records.join(
+        assignments.select(F.col(id_col), F.col(cluster_col)), id_col
+    )
+    from pyspark.sql import Window
+
+    out = j.groupBy(cluster_col).agg(
+        F.min(id_col).alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    for c in mode_cols:
+        counts = (
+            j.where(F.col(c).isNotNull())
+            .groupBy(cluster_col, c)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("cnt").desc(), F.col(c).asc()
+        )
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(cluster_col, c)
+        )
+        out = out.join(top, cluster_col, "left")
+    for c in longest_cols:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.length(F.col(c)).desc(), F.col(id_col).asc()
+        )
+        top = (
+            j.select(cluster_col, id_col, c)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(cluster_col, F.col(c).alias(f"canonical_{c}"))
+        )
+        out = out.join(top, cluster_col, "left")
+    return out

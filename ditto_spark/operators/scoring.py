@@ -477,3 +477,54 @@ def edit_similarity_pairs(
         )
         .where(F.col("edit_sim") >= F.lit(min_sim))
     )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    score_col: str = "score",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """One-to-one linkage by symmetric best match: keep an (undirected)
+    scored pair only when each endpoint is the other's highest-scoring
+    neighbor (ties broken by smallest neighbor id). The standard greedy
+    1:1 constraint for record linkage between deduplicated sources —
+    equivalent to the first round of stable-marriage on mutual proposals.
+
+    Scale shape: symmetrize (one union, no shuffle), rank each node's
+    edge list with a per-node window (edge lists are blocker-bounded, so
+    partitions stay small and skew follows the blocker's already-bounded
+    fan-out), then self-join the |nodes|-sized best-edge table on two
+    integer keys. No collect; output ≤ |nodes|/2 rows."""
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col(left_col).alias("a"),
+        F.col(right_col).alias("b"),
+        F.col(score_col).alias("s"),
+    ).unionByName(
+        pairs.select(
+            F.col(right_col).alias("a"),
+            F.col(left_col).alias("b"),
+            F.col(score_col).alias("s"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("b").asc())
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a", "b", "s")
+    )
+    return (
+        best.alias("x")
+        .join(
+            best.alias("y"),
+            (F.col("x.a") == F.col("y.b")) & (F.col("x.b") == F.col("y.a")),
+        )
+        .where(F.col("x.a") < F.col("x.b"))
+        .select(
+            F.col("x.a").alias(left_col),
+            F.col("x.b").alias(right_col),
+            F.col("x.s").alias(score_col),
+        )
+    )

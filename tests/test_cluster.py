@@ -94,3 +94,59 @@ def test_singletons_assigned_self(spark):
     pairs = spark.createDataFrame([("a", "b")], "left_id string, right_id string")
     got = {r["conv_id"]: r["cluster_id"] for r in assign_clusters(ids, pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "c", "lone": "lone"}
+
+
+def test_cluster_representatives_survivorship_rules(spark):
+    from ditto_spark.operators.cluster import cluster_representatives
+
+    records = spark.createDataFrame(
+        [
+            (1, "aaaa", "en", "web"),
+            (2, "bbbbbb", "de", "web"),
+            (3, "cc", "de", None),
+            (7, "dddddd", None, "pdf"),
+            (9, "e", "fr", "pdf"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in cluster_representatives(
+            assign, records, mode_cols=("lang", "source"), longest_cols=("text",)
+        ).collect()
+    }
+    c1, c7 = got[1], got[7]
+    assert (c1["rep_id"], c1["n_members"]) == (1, 3)
+    assert c1["lang"] == "de"  # 2 de vs 1 en
+    assert c1["source"] == "web"  # null excluded
+    assert c1["canonical_text"] == "bbbbbb"
+    assert (c7["rep_id"], c7["n_members"]) == (7, 2)
+    assert c7["lang"] == "fr"  # only non-null
+    assert c7["source"] == "pdf"
+    # longest tie (6 vs 1): doc 7 wins on length; id tie-break unused here
+    assert c7["canonical_text"] == "dddddd"
+
+
+def test_cluster_representatives_mode_tie_breaks_to_smallest_value(spark):
+    from ditto_spark.operators.cluster import cluster_representatives
+
+    records = spark.createDataFrame(
+        [(1, "x", "b"), (2, "xy", "a"), (3, "z", None), (4, "zz", None)],
+        "doc_id long, text string, lang string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster_id long"
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in cluster_representatives(
+            assign, records, mode_cols=("lang",), longest_cols=("text",)
+        ).collect()
+    }
+    assert got[1]["lang"] == "a"  # 1-1 tie -> smallest value
+    assert got[3]["lang"] is None  # all-null mode column stays null
+    assert got[3]["canonical_text"] == "zz"

@@ -229,3 +229,23 @@ def test_edit_similarity_prefix_truncation_and_threshold(spark):
     assert got[(1, 5)] == (4, 0.0)
     kept = edit_similarity_pairs(pairs, docs, prefix_len=4, min_sim=0.5).collect()
     assert {(r["left_id"], r["right_id"]) for r in kept} == {(1, 2)}
+
+
+def test_mutual_best_match_chain_and_ties(spark):
+    from ditto_spark.operators.scoring import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9),   # mutual best -> kept
+            (2, 3, 0.8),   # 3's best is 2, but 2's best is 1 -> dropped
+            (3, 4, 0.8),   # tie for 3 (vs 2): smaller neighbor id 2 wins -> dropped
+            (4, 5, 0.7),   # 4's best is 3 -> dropped even though 5's best is 4
+            (6, 7, 0.5),   # isolated mutual pair -> kept
+        ],
+        "left_id long, right_id long, score double",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in mutual_best_match(pairs).collect()
+    }
+    assert got == {(1, 2): 0.9, (6, 7): 0.5}
