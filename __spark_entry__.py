@@ -1141,6 +1141,70 @@ _MUTUAL_BEST_ORACLE = _ORACLE_SHINGLE_CTE + """
 """
 
 
+_WINNOW_CTE = """
+    WITH g AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l) - 2)) u(i)
+      WHERE len(l) >= 3
+    ), kk AS (
+      SELECT doc_id, pos, h || printf('%09d', 999999999 - pos) AS key FROM g
+    ), m AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS cnt,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+      FROM kk
+    ), fps AS (
+      SELECT DISTINCT doc_id, substr(mk, 1, 32) AS fp,
+             999999999 - CAST(substr(mk, 33, 9) AS BIGINT) AS fp_pos
+      FROM m WHERE rn >= 4 OR (cnt < 4 AND rn = cnt)
+    )
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
+    token 3-gram md5 hashes, window w=4, min hash per window with
+    rightmost tie-break — encoded as a plain string min over a bounded
+    window frame so DuckDB reproduces the selection verbatim."""
+    from ditto_spark.operators.blocking import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _load(spark, sf_dir, "documents"), k=3, w=4
+    )
+
+
+_WINNOW_FP_ORACLE = _WINNOW_CTE + "    SELECT doc_id, fp, fp_pos FROM fps"
+
+
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidates: documents sharing ≥ 2 distinct
+    winnowed fingerprints, boilerplate fingerprints (df > 50) purged
+    before the self-join."""
+    from ditto_spark.operators.blocking import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(
+        _load(spark, sf_dir, "documents"), k=3, w=4, max_df=50, min_shared=2
+    )
+
+
+_WINNOW_PAIRS_ORACLE = _WINNOW_CTE + """
+    , fpd AS (SELECT DISTINCT doc_id, fp FROM fps
+    ), keep AS (
+      SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 50
+    ), f AS (
+      SELECT fpd.doc_id, fpd.fp FROM fpd JOIN keep USING (fp)
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(count(*) AS BIGINT) AS shared_fp
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -1681,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snb_edit_verify": q_snb_edit_verify,
         "golden_record": q_golden_record,
         "mutual_best_match": q_mutual_best_match,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dup": q_winnow_near_dup,
         "media_features": q_media_features,
     }
 
@@ -2077,6 +2143,8 @@ def oracle_sql() -> dict[str, str]:
         "meta_blocking": _META_BLOCKING_ORACLE,
         "snb_edit_verify": _SNB_EDIT_VERIFY_ORACLE,
         "mutual_best_match": _MUTUAL_BEST_ORACLE,
+        "winnow_fingerprints": _WINNOW_FP_ORACLE,
+        "winnow_near_dup": _WINNOW_PAIRS_ORACLE,
         "golden_record": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , clusters AS (
       SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node

@@ -626,3 +626,102 @@ def meta_blocking_wnp(
         )
         .select("left_id", "right_id", "weight")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS scheme — public): hash every token k-gram, slide a window of
+    w consecutive gram hashes, and in each window select the minimum hash
+    (ties → rightmost occurrence). Guarantees at least one fingerprint in
+    every w-gram window while keeping the fingerprint density ~2/(w+1) —
+    the standard robust alternative to fixed-stride sampling for
+    plagiarism/near-dup detection. Returns distinct (id, fp, fp_pos).
+
+    Implementation is a single JVM expression chain: positional grams via
+    transform+posexplode (NOT the dedup'd `shingle` array), md5 gram hash,
+    and the argmin-with-rightmost-tie-break encoded as the plain string
+    minimum of md5hex || zero-padded(MAXP − pos) over a bounded window
+    frame — portable to the DuckDB oracle verbatim. The only shuffle is
+    the per-document sort for the window, whose partitions are bounded by
+    document length (never a global window); documents shorter than w
+    grams keep their final window so nothing is silently dropped.
+    Position padding supports documents up to 10^9 grams."""
+    from pyspark.sql import Window
+
+    MAXP = 999_999_999
+    toks = F.col("tokens")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    g = (
+        tokenize(df, text_col)
+        .where(F.size(toks) >= k)  # <k tokens: no full gram, no fingerprint
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+    )
+    key = F.concat(F.md5("g"), F.format_string("%09d", MAXP - F.col("pos")))
+    order = Window.partitionBy(id_col).orderBy("pos")
+    frame = order.rowsBetween(-(w - 1), 0)
+    sel = (
+        g.select(
+            F.col(id_col),
+            F.row_number().over(order).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("cnt"),
+            F.min(key).over(frame).alias("mk"),
+        )
+        .where(
+            (F.col("rn") >= w) | ((F.col("cnt") < w) & (F.col("rn") == F.col("cnt")))
+        )
+        .select(
+            F.col(id_col),
+            F.substring("mk", 1, 32).alias("fp"),
+            (MAXP - F.substring("mk", 33, 9).cast("long")).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidates from shared winnowed fingerprints (the MOSS
+    match step): documents sharing ≥ min_shared distinct selected
+    fingerprints, with boilerplate fingerprints (document frequency >
+    max_df) purged before the quadratic step — the same
+    bound-before-self-join discipline as block purging / rare-shingle
+    blocking. Output (left_id, right_id, shared_fp)."""
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("nid"), "fp")
+        .distinct()
+    )
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .where(F.col("dfc") <= max_df)
+        .select("fp")
+    )
+    f = fp.join(keep, "fp")
+    return (
+        f.alias("l")
+        .join(f.alias("r"), "fp")
+        .where(F.col("l.nid") < F.col("r.nid"))
+        .groupBy(
+            F.col("l.nid").alias("left_id"), F.col("r.nid").alias("right_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )

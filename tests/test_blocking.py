@@ -268,3 +268,80 @@ def test_meta_blocking_wnp_duplicate_assignments_counted_once(spark):
     )
     rows = meta_blocking_wnp(blocks).collect()
     assert [(r["left_id"], r["right_id"], r["weight"]) for r in rows] == [(1, 2, 1)]
+
+
+def _winnow_py(text, k=3, w=4):
+    """Independent plain-Python winnowing (hashlib) for cross-checking."""
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    sel = set()
+    if len(hs) < w:
+        window = list(enumerate(hs))
+        best = min(window, key=lambda t: (t[1], -t[0]))
+        sel.add((best[1], best[0]))
+        return sel
+    for end in range(w - 1, len(hs)):
+        window = [(i, hs[i]) for i in range(end - w + 1, end + 1)]
+        best = min(window, key=lambda t: (t[1], -t[0]))  # rightmost min
+        sel.add((best[1], best[0]))
+    return sel
+
+
+def test_winnow_matches_independent_python(spark):
+    from ditto_spark.operators.blocking import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a b c a b c a b c a b c"),
+        (3, "one two three"),          # exactly k tokens -> 1 gram
+        (4, "just two"),               # < k tokens -> no fingerprints
+        (5, "alpha beta gamma delta"),  # 2 grams < w -> last-window min only
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["fp_pos"]))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _winnow_py(text), f"doc {doc_id}"
+
+
+def test_winnow_window_coverage_guarantee(spark):
+    from ditto_spark.operators.blocking import winnow_fingerprints
+
+    # winnowing guarantee: every window of w consecutive grams contains
+    # at least one selected fingerprint position
+    import random
+
+    rng = random.Random(7)
+    words = ["w%02d" % rng.randrange(30) for _ in range(200)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    pos = sorted(
+        r["fp_pos"] for r in winnow_fingerprints(df, k=3, w=4).collect()
+    )
+    n_grams = len(words) - 2
+    for start in range(0, n_grams - 4 + 1):
+        assert any(start <= p <= start + 3 for p in pos), f"window {start} uncovered"
+
+
+def test_winnow_near_dup_detects_shared_runs(spark):
+    from ditto_spark.operators.blocking import winnow_near_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " extra tail words here"),
+            (2, "prefix words first " + shared),
+            (3, "completely different content about spark catalyst plans"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]) for r in winnow_near_dup_pairs(df).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
