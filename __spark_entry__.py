@@ -1205,6 +1205,291 @@ _WINNOW_PAIRS_ORACLE = _WINNOW_CTE + """
 """
 
 
+# ------------------------------------------------ Fellegi-Sunter linkage
+#
+# Deterministic dirty-pair corpus derived from `documents` (portable to
+# SQL so every FS step is oracle-checked): table A = every document as a
+# record (title = first 4 tokens, src = source, ln = n_chars); table B =
+# every third document with deterministic corruptions (doc_id%7: title
+# loses its last char -> Levenshtein-1 fuzzy agree; doc_id%5: source
+# clobbered -> disagree; doc_id%4: length +30 -> loose numeric band).
+# Blocking key = first token (untouched by every corruption, so true
+# pairs are always co-blocked). Ground truth is doc_id equality, unused
+# by the unsupervised EM — it exists so tests can check the fit.
+
+_FS_CTE = """
+    WITH recs AS (
+      SELECT doc_id, split_part(text, ' ', 1) AS blk,
+             array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+               AS title,
+             source AS src, n_chars AS ln
+      FROM documents
+    ), fa AS (
+      SELECT doc_id AS left_id, blk, title, src, ln FROM recs
+    ), fb AS (
+      SELECT doc_id AS right_id, blk,
+             CASE WHEN doc_id % 7 = 0
+                  THEN substr(title, 1, length(title) - 1) ELSE title END
+               AS title,
+             CASE WHEN doc_id % 5 = 0 THEN 'srcX' ELSE src END AS src,
+             CASE WHEN doc_id % 4 = 0 THEN ln + 30 ELSE ln END AS ln
+      FROM recs WHERE doc_id % 3 = 0
+    ), gam AS (
+      SELECT fa.left_id, fb.right_id, fa.title AS title,
+             CASE WHEN fa.title = fb.title THEN 2
+                  WHEN levenshtein(fa.title, fb.title) <= 2 THEN 1
+                  ELSE 0 END AS gamma_title,
+             CASE WHEN fa.src = fb.src THEN 1 ELSE 0 END AS gamma_src,
+             CASE WHEN abs(fa.ln - fb.ln) <= 10 THEN 2
+                  WHEN abs(fa.ln - fb.ln) <= 50 THEN 1
+                  ELSE 0 END AS gamma_len
+      FROM fa JOIN fb USING (blk)
+    )
+"""
+
+_FS_FIELD_SPECS = [("title", 3), ("src", 2), ("len", 3)]
+_FS_EM_ITERS = 15
+_FS_SCORE_PRIOR = 0.05
+_FS_SCORE_PARAMS = {
+    "title": ([0.02, 0.18, 0.8], [0.95, 0.04, 0.01]),
+    "src": ([0.25, 0.75], [0.95, 0.05]),
+    "len": ([0.05, 0.25, 0.7], [0.6, 0.3, 0.1]),
+}
+
+
+def _fs_fields():
+    from ditto_spark.operators.fellegi import (
+        FieldComparison,
+        exact_fuzzy_gamma,
+        exact_gamma,
+        numeric_band_gamma,
+    )
+
+    return [
+        FieldComparison("title", 3, exact_fuzzy_gamma(max_dist=2)),
+        FieldComparison("src", 2, exact_gamma()),
+        FieldComparison("len", 3, numeric_band_gamma(tight=10, loose=50)),
+    ]
+
+
+def _fs_records(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    toks = F.split(F.col("text"), " ")
+    recs = docs.select(
+        F.col("doc_id"),
+        F.element_at(toks, 1).alias("blk"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("title"),
+        F.col("source").alias("src"),
+        F.col("n_chars").alias("len"),
+    )
+    a = recs.select(F.col("doc_id").alias("left_id"), "blk", "title", "src", "len")
+    b = recs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("right_id"),
+        F.col("blk"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("substring(title, 1, length(title) - 1)"),
+        )
+        .otherwise(F.col("title"))
+        .alias("title"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("srcX"))
+        .otherwise(F.col("src"))
+        .alias("src"),
+        F.when(F.col("doc_id") % 4 == 0, F.col("len") + 30)
+        .otherwise(F.col("len"))
+        .alias("len"),
+    )
+    return a, b
+
+
+def _fs_gammas(docs: DataFrame, keep_left: tuple[str, ...] = ()) -> DataFrame:
+    from ditto_spark.operators.fellegi import comparison_vectors
+
+    a, b = _fs_records(docs)
+    return comparison_vectors(a, b, "blk", _fs_fields(), keep_left=keep_left)
+
+
+def q_fs_comparison_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter gamma vectors (Fellegi & Sunter 1969; Splink-style
+    comparison levels) over blocked A×B candidate pairs — equality /
+    Levenshtein / numeric-band agreement levels, all Catalyst expressions
+    in one codegen span."""
+    return _fs_gammas(_load(spark, sf_dir, "documents"))
+
+
+_FS_VECTORS_ORACLE = _FS_CTE + """
+    SELECT left_id, right_id, gamma_title, gamma_src, gamma_len FROM gam
+"""
+
+
+def q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised EM estimation of the FS m/u probabilities and the
+    match prior lambda (15 fixed rounds). The data-sized work is ONE
+    groupBy producing the <=18-row gamma-pattern histogram; EM iterates
+    on that histogram, so the cost is independent of corpus size. The
+    DuckDB oracle unrolls the identical 15 update rounds as CTEs."""
+    from ditto_spark.operators.fellegi import estimate_fs
+
+    params = estimate_fs(
+        _fs_gammas(_load(spark, sf_dir, "documents")),
+        _fs_fields(),
+        iters=_FS_EM_ITERS,
+        prior=0.5,
+    )
+    return params.select(
+        "field",
+        "gamma_level",
+        F.round("m_prob", 6).alias("m_prob"),
+        F.round("u_prob", 6).alias("u_prob"),
+        F.round("match_weight", 4).alias("match_weight"),
+        F.round("prior_match", 6).alias("prior_match"),
+    )
+
+
+def _fs_em_oracle_sql() -> str:
+    """Unrolled-EM DuckDB oracle: mirrors estimate_fs (same init, same
+    update equations, same 15 rounds, same eps/rounding) in pure SQL."""
+    from ditto_spark.operators.fellegi import _default_init
+
+    fields = _FS_FIELD_SPECS
+    gcol = {"title": "gt", "src": "gs", "len": "gl"}
+
+    init_cols = ["0.5 AS lam"]
+    for name, lv in fields:
+        m0, u0 = _default_init(lv)
+        for lvl in range(lv):
+            init_cols.append(f"{m0[lvl]!r} AS m_{name}_{lvl}")
+            init_cols.append(f"{u0[lvl]!r} AS u_{name}_{lvl}")
+
+    sql = _FS_CTE + (
+        "    , pat AS (\n"
+        "      SELECT gamma_title AS gt, gamma_src AS gs, gamma_len AS gl,\n"
+        "             CAST(count(*) AS DOUBLE) AS c\n"
+        "      FROM gam GROUP BY 1, 2, 3\n"
+        "    )\n"
+    )
+    sql += f"    , p0 AS (SELECT {', '.join(init_cols)})\n"
+
+    def case_over(name: str, lv: int, kind: str) -> str:
+        whens = " ".join(
+            f"WHEN {lvl} THEN p.{kind}_{name}_{lvl}" for lvl in range(lv - 1)
+        )
+        return (
+            f"CASE pat.{gcol[name]} {whens} ELSE p.{kind}_{name}_{lv - 1} END"
+        )
+
+    for t in range(_FS_EM_ITERS):
+        mprod = " * ".join(case_over(n, lv, "m") for n, lv in fields)
+        uprod = " * ".join(case_over(n, lv, "u") for n, lv in fields)
+        sql += (
+            f"    , e{t} AS (SELECT pat.gt, pat.gs, pat.gl, pat.c,\n"
+            f"        (p.lam * {mprod}) AS num,\n"
+            f"        ((1 - p.lam) * {uprod}) AS den_u\n"
+            f"      FROM pat, p{t} p)\n"
+        )
+        upd = ["sum(w * c) / sum(c) AS lam"]
+        for name, lv in fields:
+            for lvl in range(lv):
+                g = gcol[name]
+                upd.append(
+                    f"sum(CASE WHEN {g} = {lvl} THEN w * c ELSE 0 END)"
+                    f" / sum(w * c) AS m_{name}_{lvl}"
+                )
+                upd.append(
+                    f"sum(CASE WHEN {g} = {lvl} THEN (1 - w) * c ELSE 0 END)"
+                    f" / sum((1 - w) * c) AS u_{name}_{lvl}"
+                )
+        sql += (
+            f"    , p{t + 1} AS (SELECT {', '.join(upd)}\n"
+            f"      FROM (SELECT e.*, num / (num + den_u) AS w"
+            f" FROM e{t} e) s)\n"
+        )
+
+    last = f"p{_FS_EM_ITERS}"
+    parts = []
+    for name, lv in fields:
+        for lvl in range(lv):
+            parts.append(
+                f"    SELECT '{name}' AS field, {lvl} AS gamma_level,\n"
+                f"      round(m_{name}_{lvl}, 6) AS m_prob,\n"
+                f"      round(u_{name}_{lvl}, 6) AS u_prob,\n"
+                f"      round(log2((m_{name}_{lvl} + 1e-9)"
+                f" / (u_{name}_{lvl} + 1e-9)), 4) AS match_weight,\n"
+                f"      round(lam, 6) AS prior_match FROM {last}\n"
+            )
+    return sql + "    UNION ALL\n".join(parts)
+
+
+def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS match weights + posteriors with fixed m/u parameters and a
+    Splink-style term-frequency adjustment on exact title agreement
+    (rare-value agreement outweighs common-value agreement). Per-level
+    log2 weights are Python-computed literals; the TF table is one row
+    per distinct title, broadcast-sized."""
+    from ditto_spark.operators.fellegi import fs_score
+
+    docs = _load(spark, sf_dir, "documents")
+    a, b = _fs_records(docs)
+    gam = _fs_gammas(docs, keep_left=("title",))
+    allr = a.select("title").unionAll(b.select("title"))
+    total = allr.count()
+    tf = allr.groupBy("title").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("tf")
+    )
+    scored = fs_score(
+        gam,
+        _fs_fields(),
+        _FS_SCORE_PARAMS,
+        prior=_FS_SCORE_PRIOR,
+        tf_field="title",
+        tf_df=tf,
+        tf_value_col="title",
+    )
+    return scored.select(
+        "left_id",
+        "right_id",
+        F.round("match_weight", 4).alias("match_weight"),
+        F.round("tf_adj", 4).alias("tf_adj"),
+        F.round("posterior", 6).alias("posterior"),
+    )
+
+
+def _fs_score_oracle_sql() -> str:
+    import math as _math
+
+    eps = 1e-9
+    prior_w = _math.log2(_FS_SCORE_PRIOR / (1 - _FS_SCORE_PRIOR))
+    gcolmap = {"title": "gamma_title", "src": "gamma_src", "len": "gamma_len"}
+    cases = []
+    for name, lv in _FS_FIELD_SPECS:
+        mv, uv = _FS_SCORE_PARAMS[name]
+        lvl_w = [_math.log2((mv[i] + eps) / (uv[i] + eps)) for i in range(lv)]
+        whens = " ".join(
+            f"WHEN {i} THEN {lvl_w[i]!r}" for i in range(1, lv)
+        )
+        cases.append(f"CASE g.{gcolmap[name]} {whens} ELSE {lvl_w[0]!r} END")
+    u_top = _FS_SCORE_PARAMS["title"][1][-1]
+    adj_base = _math.log2(u_top + eps)
+    return _FS_CTE + f"""
+    , allr AS (SELECT title FROM fa UNION ALL SELECT title FROM fb)
+    , tf AS (
+      SELECT title, CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM allr) AS tf
+      FROM allr GROUP BY 1
+    ), sc AS (
+      SELECT g.left_id, g.right_id,
+             ({prior_w!r} + {' + '.join(cases)}) AS mw,
+             CASE WHEN g.gamma_title = 2 AND t.tf IS NOT NULL
+                  THEN {adj_base!r} - log2(t.tf) ELSE 0.0 END AS adj
+      FROM gam g LEFT JOIN tf t ON g.title = t.title
+    )
+    SELECT left_id, right_id, round(mw, 4) AS match_weight,
+           round(adj, 4) AS tf_adj,
+           round(pow(2.0, mw + adj) / (pow(2.0, mw + adj) + 1.0), 6)
+             AS posterior
+    FROM sc
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -1747,6 +2032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_best_match": q_mutual_best_match,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "fs_comparison_vectors": q_fs_comparison_vectors,
+        "fs_em_params": q_fs_em_params,
+        "fs_match_scores": q_fs_match_scores,
         "media_features": q_media_features,
     }
 
@@ -2145,6 +2433,9 @@ def oracle_sql() -> dict[str, str]:
         "mutual_best_match": _MUTUAL_BEST_ORACLE,
         "winnow_fingerprints": _WINNOW_FP_ORACLE,
         "winnow_near_dup": _WINNOW_PAIRS_ORACLE,
+        "fs_comparison_vectors": _FS_VECTORS_ORACLE,
+        "fs_em_params": _fs_em_oracle_sql(),
+        "fs_match_scores": _fs_score_oracle_sql(),
         "golden_record": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , clusters AS (
       SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node

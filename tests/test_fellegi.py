@@ -1,0 +1,253 @@
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ditto_spark.operators.fellegi import (
+    FieldComparison,
+    comparison_vectors,
+    estimate_fs,
+    exact_fuzzy_gamma,
+    exact_gamma,
+    fs_score,
+    numeric_band_gamma,
+)
+
+
+def _em_py(patterns, fields, iters, prior, init):
+    """Independent plain-Python EM (dict/loop, no numpy) for cross-check."""
+    m = {n: list(init[n][0]) for n, _ in fields}
+    u = {n: list(init[n][1]) for n, _ in fields}
+    lam = prior
+    names = [n for n, _ in fields]
+    for _ in range(iters):
+        ws = []
+        for gam, c in patterns:
+            num = lam
+            den_u = 1.0 - lam
+            for i, n in enumerate(names):
+                num *= m[n][gam[i]]
+                den_u *= u[n][gam[i]]
+            ws.append(num / (num + den_u))
+        wm_tot = sum(w * c for w, (_, c) in zip(ws, patterns))
+        wu_tot = sum((1 - w) * c for w, (_, c) in zip(ws, patterns))
+        lam = wm_tot / sum(c for _, c in patterns)
+        for i, (n, lv) in enumerate(fields):
+            m[n] = [
+                sum(
+                    w * c
+                    for w, (gam, c) in zip(ws, patterns)
+                    if gam[i] == l
+                )
+                / wm_tot
+                for l in range(lv)
+            ]
+            u[n] = [
+                sum(
+                    (1 - w) * c
+                    for w, (gam, c) in zip(ws, patterns)
+                    if gam[i] == l
+                )
+                / wu_tot
+                for l in range(lv)
+            ]
+    return m, u, lam
+
+
+FIELDS2 = [
+    FieldComparison("x", 3, exact_fuzzy_gamma()),
+    FieldComparison("y", 2, exact_gamma()),
+]
+
+
+def test_em_matches_independent_python(spark):
+    rng = random.Random(11)
+    rows = [(rng.randrange(3), rng.randrange(2)) for _ in range(400)]
+    gammas = spark.createDataFrame(
+        [(i, i, gx, gy) for i, (gx, gy) in enumerate(rows)],
+        "left_id long, right_id long, gamma_x int, gamma_y int",
+    )
+    init = {"x": ([0.05, 0.15, 0.8], [0.8, 0.15, 0.05]), "y": ([0.2, 0.8], [0.8, 0.2])}
+    got = {
+        (r["field"], r["gamma_level"]): r
+        for r in estimate_fs(
+            gammas, FIELDS2, iters=7, prior=0.5, init=init
+        ).collect()
+    }
+
+    counts = {}
+    for gx, gy in rows:
+        counts[(gx, gy)] = counts.get((gx, gy), 0) + 1
+    patterns = [(k, float(c)) for k, c in counts.items()]
+    m, u, lam = _em_py(patterns, [("x", 3), ("y", 2)], 7, 0.5, init)
+
+    for n, lv in [("x", 3), ("y", 2)]:
+        for l in range(lv):
+            r = got[(n, l)]
+            assert r["m_prob"] == pytest.approx(m[n][l], abs=1e-9)
+            assert r["u_prob"] == pytest.approx(u[n][l], abs=1e-9)
+            assert r["prior_match"] == pytest.approx(lam, abs=1e-9)
+            assert r["match_weight"] == pytest.approx(
+                math.log2((m[n][l] + 1e-9) / (u[n][l] + 1e-9)), abs=1e-9
+            )
+
+
+def test_em_recovers_planted_parameters(spark):
+    """Gammas drawn from a known FS model with three conditionally
+    independent fields (the Fellegi-Sunter identifiability minimum): EM
+    should recover lambda and the m/u structure without labels."""
+    rng = random.Random(5)
+
+    def draw(p):
+        x = rng.random()
+        acc = 0.0
+        for i, pi in enumerate(p):
+            acc += pi
+            if x < acc:
+                return i
+        return len(p) - 1
+
+    true_lam = 0.1
+    m = {"x": [0.05, 0.15, 0.8], "y": [0.1, 0.9], "z": [0.1, 0.2, 0.7]}
+    u = {"x": [0.9, 0.08, 0.02], "y": [0.85, 0.15], "z": [0.7, 0.2, 0.1]}
+    rows = []
+    for i in range(6000):
+        src = m if rng.random() < true_lam else u
+        rows.append((i, i, draw(src["x"]), draw(src["y"]), draw(src["z"])))
+    gammas = spark.createDataFrame(
+        rows,
+        "left_id long, right_id long, gamma_x int, gamma_y int, gamma_z int",
+    )
+    fields3 = FIELDS2 + [FieldComparison("z", 3, exact_fuzzy_gamma())]
+    got = {
+        (r["field"], r["gamma_level"]): r
+        for r in estimate_fs(gammas, fields3, iters=40, prior=0.5).collect()
+    }
+    lam = got[("x", 0)]["prior_match"]
+    assert abs(lam - true_lam) < 0.03
+    assert got[("x", 2)]["m_prob"] > 0.6
+    assert got[("x", 2)]["u_prob"] < 0.1
+    assert got[("x", 0)]["u_prob"] > 0.7
+
+
+def test_fs_score_literal_weights(spark):
+    params = {"x": ([0.1, 0.2, 0.7], [0.7, 0.2, 0.1]), "y": ([0.2, 0.8], [0.9, 0.1])}
+    gammas = spark.createDataFrame(
+        [(1, 2, 2, 1), (3, 4, 0, 0)],
+        "left_id long, right_id long, gamma_x int, gamma_y int",
+    )
+    rows = {
+        (r["left_id"], r["right_id"]): r
+        for r in fs_score(gammas, FIELDS2, params, prior=0.2).collect()
+    }
+    eps = 1e-9
+    w_match = (
+        math.log2(0.2 / 0.8)
+        + math.log2((0.7 + eps) / (0.1 + eps))
+        + math.log2((0.8 + eps) / (0.1 + eps))
+    )
+    w_miss = (
+        math.log2(0.2 / 0.8)
+        + math.log2((0.1 + eps) / (0.7 + eps))
+        + math.log2((0.2 + eps) / (0.9 + eps))
+    )
+    assert rows[(1, 2)]["match_weight"] == pytest.approx(w_match, abs=1e-9)
+    assert rows[(3, 4)]["match_weight"] == pytest.approx(w_miss, abs=1e-9)
+    assert rows[(1, 2)]["posterior"] == pytest.approx(
+        2**w_match / (1 + 2**w_match), abs=1e-9
+    )
+    assert rows[(3, 4)]["tf_adj"] == 0.0
+
+
+def test_fs_tf_adjustment_rare_beats_common(spark):
+    """Splink-style TF adjustment: exact agreement on a rare value gets a
+    positive adjustment; on a very common value, a negative one."""
+    params = {"x": ([0.1, 0.2, 0.7], [0.7, 0.2, 0.1]), "y": ([0.2, 0.8], [0.9, 0.1])}
+    gammas = spark.createDataFrame(
+        [(1, 2, "rare", 2, 1), (3, 4, "common", 2, 1), (5, 6, "other", 1, 1)],
+        "left_id long, right_id long, x string, gamma_x int, gamma_y int",
+    )
+    tf = spark.createDataFrame(
+        [("rare", 0.01), ("common", 0.5), ("other", 0.2)], "val string, tf double"
+    )
+    rows = {
+        (r["left_id"], r["right_id"]): r
+        for r in fs_score(
+            gammas, FIELDS2, params, prior=0.2,
+            tf_field="x", tf_df=tf, tf_value_col="val",
+        ).collect()
+    }
+    # generic u for exact x-agreement is 0.1: rarer than that -> boost
+    assert rows[(1, 2)]["tf_adj"] == pytest.approx(
+        math.log2(0.1 + 1e-9) - math.log2(0.01), abs=1e-6
+    )
+    assert rows[(1, 2)]["tf_adj"] > 0 > rows[(3, 4)]["tf_adj"]
+    assert rows[(5, 6)]["tf_adj"] == 0.0  # non-exact agreement: no adjustment
+    assert rows[(1, 2)]["posterior"] > rows[(3, 4)]["posterior"]
+
+
+def test_fs_end_to_end_unsupervised_linkage(spark):
+    """Full FS flow on the deterministic dirty-pair corpus: block, gamma,
+    EM-fit, score with the fitted params, threshold at posterior 0.5 —
+    the unsupervised linkage should recover doc_id-equality truth with
+    high F1 (near-duplicate documents planted in the corpus make a
+    handful of extra true-ish matches, so the bar is 0.9, not 1.0)."""
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gam = E._fs_gammas(docs)
+    fields = E._fs_fields()
+    est = estimate_fs(gam, fields, iters=15, prior=0.5)
+    rows = est.collect()
+    lam = rows[0]["prior_match"]
+    params = {}
+    for f in fields:
+        mv = [0.0] * f.levels
+        uv = [0.0] * f.levels
+        for r in rows:
+            if r["field"] == f.name:
+                mv[r["gamma_level"]] = r["m_prob"]
+                uv[r["gamma_level"]] = r["u_prob"]
+        params[f.name] = (mv, uv)
+    scored = fs_score(gam, fields, params, prior=lam)
+    pred = scored.select(
+        "left_id", "right_id", (F.col("posterior") > 0.5).alias("pred")
+    )
+    stats = pred.select(
+        F.sum(
+            ((F.col("left_id") == F.col("right_id")) & F.col("pred")).cast("int")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("left_id") != F.col("right_id")) & F.col("pred")).cast("int")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("left_id") == F.col("right_id")) & ~F.col("pred")).cast("int")
+        ).alias("fn"),
+    ).collect()[0]
+    f1 = 2 * stats["tp"] / (2 * stats["tp"] + stats["fp"] + stats["fn"])
+    assert f1 >= 0.9, (stats, f1)
+
+
+def test_comparison_vectors_gamma_levels(spark):
+    a = spark.createDataFrame(
+        [(1, "k", "alpha beta", 100)], "left_id long, blk string, t string, n long"
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "k", "alpha beta", 100),   # exact / exact
+            (11, "k", "alpha betaX", 130),  # lev 1 / loose band
+            (12, "k", "zzz yyy", 500),      # disagree / disagree
+            (13, "other", "alpha beta", 100),  # different block: no pair
+        ],
+        "right_id long, blk string, t string, n long",
+    )
+    fields = [
+        FieldComparison("t", 3, exact_fuzzy_gamma(max_dist=2)),
+        FieldComparison("n", 3, numeric_band_gamma(tight=10, loose=50)),
+    ]
+    got = {
+        r["right_id"]: (r["gamma_t"], r["gamma_n"])
+        for r in comparison_vectors(a, b, "blk", fields).collect()
+    }
+    assert got == {10: (2, 2), 11: (1, 1), 12: (0, 0)}
