@@ -1827,6 +1827,73 @@ def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand / adjusted-Rand / NMI threshold-stability check: the near-dup
+    clustering at Jaccard >= 0.05 (loose: any 2-common-rare-shingle pair
+    with nontrivial overlap) vs the same pipeline at >= 0.9 (strict:
+    planted near-duplicates only) — the
+    partition-agreement complements to B-cubed, measuring how much the
+    clustering moves when the match threshold is tuned. All
+    contingency-side aggregates (pair counts via doubles: n(n-1)/2 at
+    10^12 rows overflows int64)."""
+    from ditto_spark.operators.evaluate import cluster_agreement
+
+    docs = _load(spark, sf_dir, "documents")
+    jp = _rare_shingle_pairs(docs)
+    nodes = docs.select(F.col("doc_id").alias("conv_id"))
+
+    def clusters(tau: float) -> DataFrame:
+        return assign_clusters(
+            nodes,
+            jp.where(F.col("jaccard") >= tau).select("left_id", "right_id"),
+        )
+
+    return cluster_agreement(clusters(0.05), clusters(0.9), ndigits=6)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity quality scores: train add-0.1
+    smoothed bigram counts on the even-doc_id half (the 'reference
+    corpus'), score every document — bits/token + perplexity. The model
+    is a DataFrame (bigram/context count tables joined at score time),
+    so it shards like any join side at scale."""
+    from ditto_spark.operators.textprep import ngram_lm_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_lm_score(
+        docs.where(F.col("doc_id") % 2 == 0), docs, alpha=0.1
+    )
+
+
+_LM_PERPLEXITY_ORACLE = """
+    WITH tt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tb AS (
+      SELECT l[i] AS w1, l[i+1] AS w2
+      FROM tt, unnest(generate_series(1, len(l) - 1)) u(i)
+      WHERE doc_id % 2 = 0 AND len(l) >= 2
+    ), cb AS (SELECT w1, w2, count(*) AS cb FROM tb GROUP BY 1, 2
+    ), cu AS (SELECT w1, count(*) AS cu FROM tb GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT w1 AS w FROM tb UNION ALL SELECT w2 FROM tb)
+    ), sb AS (
+      SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+      FROM tt, unnest(generate_series(1, len(l) - 1)) u(i)
+      WHERE len(l) >= 2
+    ), sc AS (
+      SELECT s.doc_id,
+             -log2((coalesce(cb.cb, 0) + 0.1)
+                   / (coalesce(cu.cu, 0) + 0.1 * v.v)) AS bits
+      FROM sb s LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(bits), 6) AS bits_per_token,
+           round(pow(2.0, avg(bits)), 4) AS perplexity
+    FROM sc GROUP BY doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a parity split of documents (even
     doc_id = training corpus, odd = benchmark set): GPT-3-style n-gram
@@ -2035,6 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_comparison_vectors": q_fs_comparison_vectors,
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
+        "cluster_agreement": q_cluster_agreement,
+        "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
     }
 
@@ -2436,6 +2505,62 @@ def oracle_sql() -> dict[str, str]:
         "fs_comparison_vectors": _FS_VECTORS_ORACLE,
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),
+        "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "cluster_agreement": _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1) + """
+    , edges05 AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.05
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.05
+    ), walk05(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk05 w JOIN edges05 e ON e.a = w.node
+    ), edges07 AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.9
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.9
+    ), walk07(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk07 w JOIN edges07 e ON e.a = w.node
+    ), pred AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk05 GROUP BY node
+    ), truth AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk07 GROUP BY node
+    ), j AS (
+      SELECT p.cluster_id AS pc, t.cluster_id AS tc
+      FROM pred p JOIN truth t USING (doc_id)
+    ), inter AS (
+      SELECT pc, tc, CAST(count(*) AS DOUBLE) AS n FROM j GROUP BY 1, 2
+    ), psz AS (SELECT pc, sum(n) AS np FROM inter GROUP BY 1
+    ), tsz AS (SELECT tc, sum(n) AS nt FROM inter GROUP BY 1
+    ), s AS (
+      SELECT sum(n * (n - 1) / 2.0) AS s_ij, sum(n) AS n_rec FROM inter
+    ), sa AS (SELECT sum(np * (np - 1) / 2.0) AS s_a FROM psz
+    ), sb2 AS (SELECT sum(nt * (nt - 1) / 2.0) AS s_b FROM tsz
+    ), mi AS (
+      SELECT sum((i.n / s.n_rec)
+                 * log2(s.n_rec * i.n / (p.np * t.nt))) AS mi
+      FROM inter i JOIN psz p USING (pc) JOIN tsz t USING (tc), s
+    ), hp AS (
+      SELECT -sum((np / s.n_rec) * log2(np / s.n_rec)) AS h_p FROM psz, s
+    ), ht AS (
+      SELECT -sum((nt / s.n_rec) * log2(nt / s.n_rec)) AS h_t FROM tsz, s
+    )
+    SELECT
+      round((n_rec * (n_rec - 1) / 2.0 + 2 * s_ij - s_a - s_b)
+            / (n_rec * (n_rec - 1) / 2.0), 6) AS rand_index,
+      round(CASE WHEN (s_a + s_b) / 2.0
+                      - s_a * s_b / (n_rec * (n_rec - 1) / 2.0) = 0
+                 THEN 1.0
+                 ELSE (s_ij - s_a * s_b / (n_rec * (n_rec - 1) / 2.0))
+                      / ((s_a + s_b) / 2.0
+                         - s_a * s_b / (n_rec * (n_rec - 1) / 2.0))
+            END, 6) AS adjusted_rand,
+      round(CASE WHEN sqrt(h_p * h_t) = 0 THEN 0.0
+                 ELSE mi / sqrt(h_p * h_t) END, 6) AS nmi
+    FROM s, sa, sb2, mi, hp, ht
+""",
         "golden_record": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , clusters AS (
       SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node

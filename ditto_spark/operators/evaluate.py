@@ -244,3 +244,74 @@ def blocking_metrics(
             ).otherwise(F.lit(0.0)).alias("pairs_quality"),
         )
     )
+
+
+def cluster_agreement(
+    predicted: DataFrame, truth: DataFrame, ndigits: int = 6
+) -> DataFrame:
+    """Partition-agreement metrics between two clusterings: Rand index,
+    adjusted Rand index (Hubert & Arabie 1985) and sqrt-normalized mutual
+    information — the standard label-free complements to B-cubed for
+    judging ER cluster stability (e.g. two thresholds, two blockers, or
+    pred vs truth). Input: (conv_id, cluster_id) on both sides.
+
+    Shape: one join + the contingency groupBy; every Σ is over
+    contingency cells / marginals (O(#clusters) rows, never pairs), so
+    the metric costs one shuffle more than the clustering itself. All
+    pair counts go through doubles before ratios — n(n-1)/2 at 10^12
+    records overflows int64, so no bigint pair arithmetic anywhere.
+    Conventions: ARI = 1 when the expected-index denominator is 0 (both
+    partitions trivial); NMI = 0 when either entropy is 0."""
+    joined = (
+        predicted.select("conv_id", F.col("cluster_id").alias("pc"))
+        .join(truth.select("conv_id", F.col("cluster_id").alias("tc")), "conv_id")
+    )
+    inter = joined.groupBy("pc", "tc").agg(F.count(F.lit(1)).alias("n"))
+    psz = inter.groupBy("pc").agg(F.sum("n").alias("np"))
+    tsz = inter.groupBy("tc").agg(F.sum("n").alias("nt"))
+
+    def c2(col):  # pair count as double (int64-overflow-safe at 10^12 rows)
+        d = F.col(col).cast("double")
+        return d * (d - F.lit(1.0)) / F.lit(2.0)
+
+    s_ij = inter.agg(
+        F.sum(c2("n")).alias("s_ij"), F.sum("n").cast("double").alias("n_rec")
+    )
+    s_a = psz.agg(F.sum(c2("np")).alias("s_a"))
+    s_b = tsz.agg(F.sum(c2("nt")).alias("s_b"))
+
+    nc = F.col("n_rec")
+    mi_h = (
+        inter.join(psz, "pc")
+        .join(tsz, "tc")
+        .crossJoin(s_ij.select("n_rec"))
+        .agg(
+            F.sum(
+                (F.col("n") / nc)
+                * F.log2(nc * F.col("n") / (F.col("np") * F.col("nt")))
+            ).alias("mi")
+        )
+    )
+    h_p = s_ij.select("n_rec").crossJoin(psz).agg(
+        (-F.sum((F.col("np") / nc) * F.log2(F.col("np") / nc))).alias("h_p")
+    )
+    h_t = s_ij.select("n_rec").crossJoin(tsz).agg(
+        (-F.sum((F.col("nt") / nc) * F.log2(F.col("nt") / nc))).alias("h_t")
+    )
+
+    agg = s_ij.crossJoin(s_a).crossJoin(s_b).crossJoin(mi_h).crossJoin(h_p).crossJoin(h_t)
+    total = c2("n_rec")
+    expected = F.col("s_a") * F.col("s_b") / total
+    max_idx = (F.col("s_a") + F.col("s_b")) / F.lit(2.0)
+    ari_den = max_idx - expected
+    ari = F.when(ari_den == 0, F.lit(1.0)).otherwise(
+        (F.col("s_ij") - expected) / ari_den
+    )
+    ri = (total + 2 * F.col("s_ij") - F.col("s_a") - F.col("s_b")) / total
+    nmi_den = F.sqrt(F.col("h_p") * F.col("h_t"))
+    nmi = F.when(nmi_den == 0, F.lit(0.0)).otherwise(F.col("mi") / nmi_den)
+    return agg.select(
+        F.round(ri, ndigits).alias("rand_index"),
+        F.round(ari, ndigits).alias("adjusted_rand"),
+        F.round(nmi, ndigits).alias("nmi"),
+    )

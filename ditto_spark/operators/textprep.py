@@ -573,3 +573,70 @@ def duplicated_span_stats(
             F.round(F.coalesce("covered", F.lit(0)) / F.col("n_tokens"), 9),
         ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
     )
+
+
+def ngram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet-style quality signal
+    (Wenzek et al. 2020 score documents with a reference-corpus LM and
+    filter by perplexity; public method). Train = add-alpha-smoothed
+    bigram counts over the reference corpus; score = per-document mean
+    negative log2 probability (bits per token) and perplexity = 2^bits.
+    Out-of-vocabulary bigrams/contexts fall back to the smoothed floor
+    alpha / (alpha * V).
+
+    Shape: counts are two map-side-combinable groupBys over exploded
+    bigrams; vocabulary size is a single-row aggregate cross-joined in
+    (1 row, no movement); scoring is one hash join on the bigram key +
+    one on the context key, then a per-document aggregate. No Python,
+    no windows, no driver state — the model IS a DataFrame, so at 100 TB
+    the bigram table shards across executors like any other join side.
+    Documents with fewer than 2 tokens have no bigram and are excluded
+    (mirrored by the oracle's length filter)."""
+    def bigrams(df: DataFrame, keep_id: bool) -> DataFrame:
+        l = F.split(F.col(text_col), " ")
+        pairs = F.transform(
+            F.slice(l, 1, F.size(l) - 1),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(l, i + F.lit(2)).alias("w2")
+            ),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return (
+            df.where(F.size(l) >= 2)
+            .select(*cols, F.explode(pairs).alias("b"))
+            .select(*cols, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        )
+
+    tb = bigrams(train, keep_id=False)
+    cb = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        tb.select(F.col("w1").alias("w"))
+        .unionAll(tb.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+
+    sb = bigrams(score, keep_id=True)
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("cu"), F.lit(0)) + F.lit(alpha) * F.col("v")
+    )
+    bits = F.avg(-F.log2(p)).alias("_bits")
+    return (
+        sb.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .crossJoin(vocab)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), bits)
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round("_bits", 6).alias("bits_per_token"),
+            F.round(F.pow(F.lit(2.0), F.col("_bits")), 4).alias("perplexity"),
+        )
+    )

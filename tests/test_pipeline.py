@@ -3,6 +3,7 @@ pairwise F1 >= 0.99 vs planted golden pairs at identical blocking keys;
 cluster pairwise F1 vs planted clusters; determinism across runs."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from ditto_spark.pipeline import PipelineConfig, dedup_transcripts
 from ditto_spark.operators.evaluate import confusion_f1, cluster_pairwise_f1
@@ -128,3 +129,52 @@ def test_blocking_metrics_empty_truth(spark):
     truth = spark.createDataFrame([], "left_id long, right_id long")
     row = blocking_metrics(cand, truth, n_records=3).collect()[0]
     assert row["pairs_completeness"] == 0.0 and row["n_covered"] == 0
+
+
+def test_cluster_agreement_hand_computed(spark):
+    from ditto_spark.operators.evaluate import cluster_agreement
+
+    # pred {1,2},{3}; truth {1},{2,3} — classic small case
+    pred = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30)], "conv_id long, cluster_id long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2)], "conv_id long, cluster_id long"
+    )
+    row = cluster_agreement(pred, truth).collect()[0]
+    # contingency: n=[[1,0],[0? ...]] pred10={1,2} truth1={1} truth2={2};
+    # pred30={3} truth2={3}. s_ij=0, s_a=1, s_b=1, total=3.
+    # RI = (3 + 0 - 1 - 1)/3 = 1/3; ARI = (0 - 1/3)/(1 - 1/3) = -0.5
+    assert row["rand_index"] == pytest.approx(1 / 3, abs=1e-6)
+    assert row["adjusted_rand"] == pytest.approx(-0.5, abs=1e-6)
+
+    # perfect agreement (same partition, different labels)
+    truth2 = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "conv_id long, cluster_id long"
+    )
+    row2 = cluster_agreement(pred, truth2).collect()[0]
+    assert row2["rand_index"] == 1.0
+    assert row2["adjusted_rand"] == 1.0
+    assert row2["nmi"] == 1.0
+
+
+def test_cluster_agreement_trivial_partitions(spark):
+    from ditto_spark.operators.evaluate import cluster_agreement
+
+    # both all-singletons: expected-index denominator is 0 -> ARI = 1
+    pred = spark.createDataFrame(
+        [(i, i) for i in range(4)], "conv_id long, cluster_id long"
+    )
+    row = cluster_agreement(pred, pred).collect()[0]
+    assert row["adjusted_rand"] == 1.0
+    assert row["rand_index"] == 1.0
+    assert row["nmi"] == 1.0  # identical non-trivial partitions
+
+    # everything in ONE cluster on both sides: zero entropy -> NMI = 0,
+    # and the expected-index denominator is 0 -> ARI = 1 by convention
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(4)], "conv_id long, cluster_id long"
+    )
+    row1 = cluster_agreement(one, one).collect()[0]
+    assert row1["adjusted_rand"] == 1.0
+    assert row1["nmi"] == 0.0

@@ -1,4 +1,5 @@
 import pyspark.sql.functions as F
+import pytest
 
 from ditto_spark.operators.textprep import (
     token_document_frequency,
@@ -316,3 +317,46 @@ def test_duplicated_span_stats_partition_invariant(spark):
     a = sorted(map(tuple, duplicated_span_stats(df, l=4).collect()))
     b = sorted(map(tuple, duplicated_span_stats(df.repartition(5), l=4).collect()))
     assert a == b
+
+
+def test_ngram_lm_score_matches_independent_python(spark):
+    import math as _math
+
+    from ditto_spark.operators.textprep import ngram_lm_score
+
+    train_rows = [(0, "a b a b a c"), (2, "a b c d")]
+    score_rows = [(0, "a b a b a c"), (1, "z z z"), (3, "x")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in ngram_lm_score(train, score, alpha=0.1).collect()
+    }
+    assert 3 not in got  # single-token doc has no bigram
+
+    # independent python
+    cb, cu, vocab = {}, {}, set()
+    for _, t in train_rows:
+        toks = t.split(" ")
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            cb[(w1, w2)] = cb.get((w1, w2), 0) + 1
+            cu[w1] = cu.get(w1, 0) + 1
+    V = len(vocab)
+    for doc_id, t in score_rows:
+        toks = t.split(" ")
+        if len(toks) < 2:
+            continue
+        bits = [
+            -_math.log2(
+                (cb.get((w1, w2), 0) + 0.1) / (cu.get(w1, 0) + 0.1 * V)
+            )
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        avg = sum(bits) / len(bits)
+        assert got[doc_id]["n_bigrams"] == len(bits)
+        assert got[doc_id]["bits_per_token"] == pytest.approx(avg, abs=1e-6)
+        assert got[doc_id]["perplexity"] == pytest.approx(2**avg, abs=1e-3)
+
+    # in-domain text scores lower perplexity than OOV text
+    assert got[0]["perplexity"] < got[1]["perplexity"]
