@@ -1827,6 +1827,57 @@ def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle-set Jaccard >= 0.5 via lossless prefix
+    filtering (Bayardo et al. WWW'07) + PPJoin length filter — the
+    threshold similarity join without the rare-shingle variant's
+    frequent-shingle recall loss (max_df pruning) or LSH approximation.
+    Set elements are token 3-gram shingles: the synthetic corpus's token
+    vocabulary is tiny, so raw token sets saturate (92k of 125k pairs
+    over 0.5) while shingle sets separate planted near-dups cleanly."""
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    return allpairs_jaccard_join(
+        _load(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
+
+
+_ALLPAIRS_ORACLE = """
+    WITH tk AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+      WHERE len(l) >= 3
+    ), dfreq AS (SELECT tok, count(*) AS dfc FROM tk GROUP BY 1
+    ), ranked AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rnk,
+             count(*) OVER (PARTITION BY doc_id) AS lng
+      FROM tk JOIN dfreq USING (tok)
+    ), pfx AS (
+      SELECT doc_id, tok, lng FROM ranked
+      WHERE rnk <= lng - ceil(0.5 * lng) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+      FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE b.lng * 0.5 <= a.lng AND a.lng * 0.5 <= b.lng
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1
+    ), inter AS (
+      SELECT c.left_id, c.right_id, count(*) AS i
+      FROM cand c
+      JOIN tk x ON x.doc_id = c.left_id
+      JOIN tk y ON y.doc_id = c.right_id AND y.tok = x.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.left_id, i.right_id,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.left_id
+    JOIN sizes sb ON sb.doc_id = i.right_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+"""
+
+
 def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rand / adjusted-Rand / NMI threshold-stability check: the near-dup
     clustering at Jaccard >= 0.05 (loose: any 2-common-rare-shingle pair
@@ -2102,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_comparison_vectors": q_fs_comparison_vectors,
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
+        "allpairs_jaccard": q_allpairs_jaccard,
         "cluster_agreement": q_cluster_agreement,
         "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
@@ -2506,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "allpairs_jaccard": _ALLPAIRS_ORACLE,
         "cluster_agreement": _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1) + """
     , edges05 AS (
       SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.05

@@ -725,3 +725,105 @@ def winnow_near_dup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
         .where(F.col("shared_fp") >= min_shared)
     )
+
+
+def allpairs_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact all-pairs Jaccard threshold self-join via prefix filtering
+    (Bayardo, Ma & Srikant WWW'07 "Scaling Up All Pairs Similarity
+    Search" / Xiao et al. PPJoin — public algorithms). Unlike the
+    rare-shingle join (`shingle`/max_df pruning, which silently loses
+    pairs that share only frequent tokens), the prefix filter is
+    LOSSLESS for the given threshold: tokens are globally ordered by
+    (document frequency asc, token), and a pair with J >= t must share
+    at least one token inside each side's first len - ceil(t*len) + 1
+    tokens of that order — so joining prefix-to-prefix finds every
+    qualifying pair, and an exact set-intersection verify removes the
+    rest. Output (left_id, right_id, jaccard) over distinct token sets.
+
+    Scale shape: the inverted index holds PREFIX tokens only — each
+    document contributes its (1-t)-fraction rarest tokens, so the join
+    key distribution is biased away from hot tokens by construction
+    (the skew-prone frequent tokens sit in suffixes and never enter the
+    index). The PPJoin length filter (t*|A| <= |B| <= |A|/t) prunes
+    candidates inside the join before the verify attach. Verification
+    joins the full sorted-token arrays once per surviving candidate and
+    computes F.size(array_intersect) in the JVM — no Python, no
+    re-shuffle of the corpus. The per-doc rank window is partitioned by
+    document (bounded by document length, never global)."""
+    from pyspark.sql import Window
+
+    t = float(threshold)
+
+    def elements(d: DataFrame) -> DataFrame:
+        """Distinct set elements per doc: tokens (shingle_n=1) or token
+        n-gram shingles — shingles are the discriminative choice when
+        the token vocabulary is small relative to document length."""
+        tk = tokenize(d, text_col)
+        if shingle_n > 1:
+            tk = (
+                shingle(tk, n=shingle_n)
+                .where(F.size("tokens") >= shingle_n)
+                .select(F.col(id_col), F.col("shingles").alias("el"))
+            )
+        else:
+            tk = tk.select(
+                F.col(id_col), F.array_distinct("tokens").alias("el")
+            )
+        return tk
+
+    toks = elements(df).select(F.col(id_col), F.explode("el").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("dfc", "tok")
+            ),
+        )
+        .withColumn(
+            "len", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("len") - F.ceil(F.lit(t) * F.col("len")) + 1
+    ).select(id_col, "tok", "len")
+
+    l = prefix.select(
+        F.col(id_col).alias("left_id"), "tok", F.col("len").alias("la")
+    )
+    r = prefix.select(
+        F.col(id_col).alias("right_id"), "tok", F.col("len").alias("lb")
+    )
+    cand = (
+        l.join(r, "tok")
+        .where(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.col("lb") * F.lit(t) <= F.col("la"))
+            & (F.col("la") * F.lit(t) <= F.col("lb"))
+        )
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+    sets = elements(df).select(
+        F.col(id_col), F.array_sort(F.array_distinct("el")).alias("ts")
+    )
+    la = sets.select(F.col(id_col).alias("left_id"), F.col("ts").alias("ta"))
+    rb = sets.select(F.col(id_col).alias("right_id"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size("ta") + F.size("tb")).cast("double") - inter
+    return (
+        cand.join(la, "left_id")
+        .join(rb, "right_id")
+        .select(
+            "left_id", "right_id", (inter / union).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= t)
+    )

@@ -345,3 +345,72 @@ def test_winnow_near_dup_detects_shared_runs(spark):
     }
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_allpairs_jaccard_lossless_vs_bruteforce(spark):
+    """Prefix filter must be LOSSLESS: equals the exact crossJoin jaccard
+    join on a random corpus (both token and shingle element modes)."""
+    import itertools
+    import random
+
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    rng = random.Random(13)
+    vocab = ["w%02d" % i for i in range(40)]
+    docs = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randrange(5, 15))
+        docs.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dup: small edit
+            docs.append((i + 1000, " ".join(base[:-1] + [rng.choice(vocab)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for n, thresh in [(1, 0.6), (3, 0.4)]:
+        got = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in allpairs_jaccard_join(
+                df, threshold=thresh, shingle_n=n
+            ).collect()
+        }
+        # brute force in python
+        sets = {}
+        for i, t in docs:
+            toks = t.split()
+            if n == 1:
+                sets[i] = set(toks)
+            elif len(toks) >= n:
+                sets[i] = {
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= thresh:
+                    want[(a, b)] = j
+        assert set(got) == set(want), f"n={n}"
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12
+
+
+def test_allpairs_finds_frequent_shingle_pairs_rare_join_drops(spark):
+    """The losslessness that motivates AllPairs: duplicates built ONLY of
+    corpus-frequent shingles (df > max_df) are invisible to the
+    rare-shingle join but found exactly by the prefix-filter join."""
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(60)]
+        + [(100 + i, f"unique{i} filler{i} other{i} stuff{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = allpairs_jaccard_join(df, threshold=0.9, shingle_n=3).collect()
+    assert len(got) == 60 * 59 // 2
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+    # same corpus through the rare-shingle path (max_df=50): zero pairs
+    import __spark_entry__ as E
+
+    assert E._rare_shingle_pairs(df).count() == 0
