@@ -447,3 +447,77 @@ def cluster_representatives(
         )
         out = out.join(top, cluster_col, "left")
     return out
+
+
+def merge_edge_batch(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of new
+    match edges into an existing (conv_id, cluster_id) assignment WITHOUT
+    re-running CC over the corpus — the streaming-ER primitive (wire it
+    into `foreachBatch`: score the micro-batch, threshold, then merge the
+    surviving edges into the persisted assignment table).
+
+    How: new edges are mapped into CLUSTER space (two joins against the
+    assignment; endpoints never seen before seed their own id), and CC
+    runs on the contracted meta-graph only — its size is bounded by the
+    batch's edge count, not the corpus, so the iterative part stays tiny
+    no matter how large the accumulated assignment is. The corpus-sized
+    work is exactly one remap join on cluster_id at the end. Because
+    cluster ids are min-ids and the meta-CC takes mins of mins, the
+    result is IDENTICAL to re-running full CC over all edges seen so far
+    (tested against the from-scratch run), so checkpoints stay
+    deterministic across batch boundaries.
+
+    Nodes that appear only in `new_edges` are appended to the assignment.
+    """
+    a = assignments.select(
+        F.col(id_col).alias("__n"), F.col("cluster_id").alias("__c")
+    )
+    e = (
+        new_edges.select(
+            F.col("left_id").alias("__l"), F.col("right_id").alias("__r")
+        )
+        .join(a.withColumnRenamed("__n", "__l").withColumnRenamed("__c", "__cl"),
+              "__l", "left")
+        .join(a.withColumnRenamed("__n", "__r").withColumnRenamed("__c", "__cr"),
+              "__r", "left")
+        .select(
+            F.coalesce("__cl", "__l").alias("left_id"),
+            F.coalesce("__cr", "__r").alias("right_id"),
+        )
+        .where(F.col("left_id") != F.col("right_id"))
+        .distinct()
+    )
+    meta = connected_components(e, assume_unique=True)
+
+    merged = (
+        assignments.join(
+            meta.select(
+                F.col("conv_id").alias("cluster_id"),
+                F.col("cluster_id").alias("__new"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("__new", "cluster_id").alias("cluster_id"),
+        )
+    )
+    fresh = (
+        new_edges.select(F.explode(F.array("left_id", "right_id")).alias(id_col))
+        .distinct()
+        .join(assignments.select(id_col), id_col, "left_anti")
+    )
+    fresh_assigned = (
+        fresh.join(
+            meta.select(F.col("conv_id").alias(id_col), F.col("cluster_id")),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    return merged.unionByName(fresh_assigned)

@@ -150,3 +150,57 @@ def test_cluster_representatives_mode_tie_breaks_to_smallest_value(spark):
     assert got[1]["lang"] == "a"  # 1-1 tie -> smallest value
     assert got[3]["lang"] is None  # all-null mode column stays null
     assert got[3]["canonical_text"] == "zz"
+
+
+def test_merge_edge_batch_equals_full_recompute(spark):
+    """Incremental CC over random edge batches must equal from-scratch CC
+    on all edges seen so far, at every batch boundary."""
+    import random
+
+    from ditto_spark.operators.cluster import assign_clusters, merge_edge_batch
+
+    rng = random.Random(17)
+    nodes = list(range(100))
+    edges = [
+        (a, b)
+        for a, b in (
+            (rng.randrange(100), rng.randrange(100)) for _ in range(120)
+        )
+        if a != b
+    ]
+    batches = [edges[:40], edges[40:45], edges[45:]]  # incl. a tiny batch
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "conv_id long")
+    assign = assign_clusters(
+        nodes_df, spark.createDataFrame([], "left_id long, right_id long")
+    )
+    seen: list[tuple[int, int]] = []
+    for batch in batches:
+        seen.extend(batch)
+        bdf = spark.createDataFrame(batch, "left_id long, right_id long")
+        assign = merge_edge_batch(assign, bdf)
+        full = assign_clusters(
+            nodes_df, spark.createDataFrame(seen, "left_id long, right_id long")
+        )
+        got = {(r["conv_id"], r["cluster_id"]) for r in assign.collect()}
+        want = {(r["conv_id"], r["cluster_id"]) for r in full.collect()}
+        assert got == want
+
+
+def test_merge_edge_batch_fresh_nodes_and_intra_cluster_edges(spark):
+    from ditto_spark.operators.cluster import assign_clusters, merge_edge_batch
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "conv_id long")
+    assign = assign_clusters(
+        nodes, spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    )
+    # batch: an intra-cluster edge (no-op), a fresh-to-old edge, and a
+    # fresh-to-fresh edge
+    batch = spark.createDataFrame(
+        [(2, 1), (9, 3), (10, 11)], "left_id long, right_id long"
+    )
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in merge_edge_batch(assign, batch).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (9, 3), (10, 10), (11, 10)}
