@@ -280,3 +280,63 @@ def streaming_window_stats(
             ).alias("dup_rate"),
         )
     )
+
+
+def make_cluster_maintainer(assignment_path: str, id_col: str = "conv_id"):
+    """foreachBatch sink for streamed linkage: each micro-batch of match
+    edges (left_id, right_id) is folded into the persisted assignment
+    table with `cluster.merge_edge_batch` — the iterative CC runs on the
+    batch-bounded meta-graph only; the corpus-sized work per batch is one
+    remap join + the assignment rewrite.
+
+    Usage:
+        matches.writeStream.foreachBatch(
+            make_cluster_maintainer("/path/assignment")
+        ).option("checkpointLocation", ckpt).start()
+
+    The assignment parquet is the stream's state; because merge results
+    are bit-identical to a full recompute over all edges seen (min-id
+    composition), a replayed batch after a failure converges to the same
+    table — the sink is idempotent, which is what foreachBatch's
+    at-least-once contract needs. (Sandbox: parquet overwrite via a
+    staging-then-swap write; on a cluster the same function targets an
+    Iceberg table and gains atomic snapshot commits for free.)"""
+    from ditto_spark.operators.cluster import merge_edge_batch
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        edges = batch_df.select("left_id", "right_id")
+        if not edges.take(1):
+            return
+        import os as _os
+
+        # local-FS existence probe (a cluster deployment would ask the
+        # Hadoop FileSystem / Iceberg catalog instead)
+        has_state = _os.path.exists(assignment_path)
+        if has_state:
+            assign = spark.read.parquet(assignment_path)
+            merged = merge_edge_batch(assign, edges, id_col=id_col)
+        else:
+            from ditto_spark.operators.cluster import assign_clusters
+
+            nodes = edges.select(
+                F.explode(F.array("left_id", "right_id")).alias(id_col)
+            ).distinct()
+            merged = assign_clusters(nodes, edges, id_col=id_col).withColumnRenamed(
+                "conv_id", id_col
+            )
+        # stage-then-swap: never read and overwrite the same files in one job
+        tmp = assignment_path.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        final_tmp = assignment_path.rstrip("/") + "._old"
+        shutil.rmtree(final_tmp, ignore_errors=True)
+        import os as _os
+
+        if _os.path.exists(assignment_path):
+            _os.rename(assignment_path, final_tmp)
+        _os.rename(tmp, assignment_path)
+        shutil.rmtree(final_tmp, ignore_errors=True)
+
+    return apply

@@ -194,3 +194,49 @@ def test_streaming_window_stats_late_data_dropped(spark, tmp_path):
     assert got[("2025-01-01 10:40:00", "user")].n_turns == 2
     # the late row's text never appears in any emitted window
     assert all(r.n_turns <= 2 for r in got.values())
+
+
+def test_foreachbatch_cluster_maintainer_matches_full_cc(spark, tmp_path):
+    """Streamed match edges through make_cluster_maintainer: the persisted
+    assignment after the stream drains equals full CC over all edges."""
+    from ditto_spark.operators.cluster import assign_clusters
+    from ditto_spark.streaming.incremental import make_cluster_maintainer
+
+    edges = [
+        ("e1", "e2"), ("e2", "e3"), ("e4", "e5"),
+        ("e6", "e7"), ("e3", "e4"),  # merges {e1..e3} with {e4,e5}
+        ("e8", "e9"),
+    ]
+    src = str(tmp_path / "edges_src")
+    # three files -> micro-batches (maxFilesPerTrigger=1)
+    for i, chunk in enumerate([edges[:2], edges[2:5], edges[5:]]):
+        spark.createDataFrame(chunk, "left_id string, right_id string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    assignment = str(tmp_path / "assignment")
+    stream = (
+        spark.readStream.schema("left_id string, right_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_cluster_maintainer(assignment))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in spark.read.parquet(assignment).collect()
+    }
+    nodes = spark.createDataFrame(
+        [(n,) for n in sorted({x for e in edges for x in e})], "conv_id string"
+    )
+    full = assign_clusters(
+        nodes, spark.createDataFrame(edges, "left_id string, right_id string")
+    )
+    want = {(r["conv_id"], r["cluster_id"]) for r in full.collect()}
+    assert got == want
