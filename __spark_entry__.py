@@ -1308,6 +1308,26 @@ def _fs_gammas(docs: DataFrame, keep_left: tuple[str, ...] = ()) -> DataFrame:
     return comparison_vectors(a, b, "blk", _fs_fields(), keep_left=keep_left)
 
 
+def q_union_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rule blocking union (Splink's prediction blocking-rules
+    semantics) over the FS record pair: candidates = (first-token key
+    equi-join) ∪ (source equi-join), deduped on the id pair — each rule
+    an independent equi-join, never an OR-join."""
+    from ditto_spark.operators.fellegi import union_blocking
+
+    a, b = _fs_records(_load(spark, sf_dir, "documents"))
+    return union_blocking(a, b, [F.col("blk"), F.col("src")], mode="link")
+
+
+_UNION_BLOCKING_ORACLE = _FS_CTE + """
+    SELECT DISTINCT left_id, right_id FROM (
+      SELECT a.left_id, b.right_id FROM fa a JOIN fb b ON a.blk = b.blk
+      UNION ALL
+      SELECT a.left_id, b.right_id FROM fa a JOIN fb b ON a.src = b.src
+    )
+"""
+
+
 def q_fs_comparison_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter gamma vectors (Fellegi & Sunter 1969; Splink-style
     comparison levels) over blocked A×B candidate pairs — equality /
@@ -2150,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_best_match": q_mutual_best_match,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "union_blocking": q_union_blocking,
         "fs_comparison_vectors": q_fs_comparison_vectors,
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
@@ -2554,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_best_match": _MUTUAL_BEST_ORACLE,
         "winnow_fingerprints": _WINNOW_FP_ORACLE,
         "winnow_near_dup": _WINNOW_PAIRS_ORACLE,
+        "union_blocking": _UNION_BLOCKING_ORACLE,
         "fs_comparison_vectors": _FS_VECTORS_ORACLE,
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),

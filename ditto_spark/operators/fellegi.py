@@ -295,3 +295,48 @@ def fs_score(
         "tf_adj",
         (odds / (odds + F.lit(1.0))).alias("posterior"),
     )
+
+
+def union_blocking(
+    a: DataFrame,
+    b: DataFrame,
+    rules: list[Column | str],
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    mode: str = "link",
+) -> DataFrame:
+    """Multi-rule blocking union (Splink's `blocking_rules_to_generate_
+    predictions` semantics): each rule is a join-key expression evaluated
+    on both sides; candidate pairs are the UNION of the per-rule
+    equi-joins, deduplicated on the id pair, so a pair is scored once no
+    matter how many rules fire. Rules with null keys on either side
+    never join (SQL equi-join null semantics), which is how Splink
+    excludes records missing the blocking field.
+
+    ``mode``: "link" (two distinct tables — keep every cross pair, ids
+    live in separate namespaces) or "dedupe" (self-join — keep one
+    orientation, ``left_id < right_id``, dropping self pairs).
+
+    Scale: each rule is an independent equi-join (no OR-join, which
+    Spark would execute as a cartesian + filter); the dedup shuffles
+    bare id pairs only. Skewed rule keys get the same treatment as any
+    blocker output — purge/salt before the quadratic step, or feed the
+    result through meta_blocking_wnp."""
+    if mode not in ("link", "dedupe"):
+        raise ValueError(f"union_blocking: unknown mode {mode!r}")
+    outs = []
+    for i, rule in enumerate(rules):
+        k = F.expr(rule) if isinstance(rule, str) else rule
+        la = a.select(F.col(left_id), k.alias("__k")).where(
+            F.col("__k").isNotNull()
+        )
+        rb = b.select(F.col(right_id), k.alias("__k")).where(
+            F.col("__k").isNotNull()
+        )
+        outs.append(la.join(rb, "__k").select(left_id, right_id))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    if mode == "dedupe":
+        out = out.where(F.col(left_id) < F.col(right_id))
+    return out.dropDuplicates([left_id, right_id])

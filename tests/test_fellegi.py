@@ -251,3 +251,43 @@ def test_comparison_vectors_gamma_levels(spark):
         for r in comparison_vectors(a, b, "blk", fields).collect()
     }
     assert got == {10: (2, 2), 11: (1, 1), 12: (0, 0)}
+
+
+def test_union_blocking_modes_and_null_keys(spark):
+    from ditto_spark.operators.fellegi import union_blocking
+
+    a = spark.createDataFrame(
+        [(1, "k1", "s1"), (2, "k2", None), (3, None, "s2")],
+        "left_id long, blk string, src string",
+    )
+    b = spark.createDataFrame(
+        [(1, "k1", "s9"), (5, "k2", None), (6, "zz", "s2"), (7, None, "s1")],
+        "right_id long, blk string, src string",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in union_blocking(a, b, ["blk", "src"], mode="link").collect()
+    }
+    # blk rule: (1,1) k1, (2,5) k2; src rule: (1,7) s1, (3,6) s2.
+    # null keys never join (2-null src, 3-null blk); (1,1) kept in link mode
+    assert got == {(1, 1), (2, 5), (1, 7), (3, 6)}
+
+    # dedupe mode on a self-join: one orientation, no self pairs
+    recs = spark.createDataFrame(
+        [(1, "k"), (2, "k"), (3, "k")], "left_id long, blk string"
+    )
+    recs_r = recs.withColumnRenamed("left_id", "right_id")
+    got2 = {
+        (r["left_id"], r["right_id"])
+        for r in union_blocking(recs, recs_r, ["blk"], mode="dedupe").collect()
+    }
+    assert got2 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_union_blocking_pair_scored_once_across_rules(spark):
+    from ditto_spark.operators.fellegi import union_blocking
+
+    a = spark.createDataFrame([(1, "k", "s")], "left_id long, blk string, src string")
+    b = spark.createDataFrame([(2, "k", "s")], "right_id long, blk string, src string")
+    rows = union_blocking(a, b, ["blk", "src"], mode="link").collect()
+    assert len(rows) == 1  # both rules fire; pair emitted once
