@@ -1791,6 +1791,22 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the 80/10/10 md5 split keyed by
+    near-dup CLUSTER id instead of document id, so near-duplicates can
+    never straddle train and eval — the dedup-aware split a training
+    pipeline needs (splitting by doc id leaks paraphrases of training
+    docs into the test set). Same hash_split operator, id_col swapped to
+    the clustering output; per-row assignment is oracle-exact through
+    the composed recursive-CTE CC."""
+    from ditto_spark.operators.packing import hash_split
+
+    clusters = q_doc_dedup_clusters(spark, sf_dir)
+    return hash_split(
+        clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="cluster_id"
+    ).select("doc_id", "cluster_id", "split")
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (k=9) by deterministic md5 rank —
     sampling.quota_sample's skew-bounded prefilter+window path run as-is;
@@ -2130,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
         "hash_split": q_hash_split,
+        "leakage_safe_split": q_leakage_safe_split,
         "quota_sample": q_quota_sample,
         "strip_boilerplate": q_strip_boilerplate,
         "frame_sample": q_frame_sample,
@@ -2880,6 +2897,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "leakage_safe_split": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
+    , cl AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5('17:' || cluster_id), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM cl
+    )
+""",
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN u < 0.8 THEN 'train'

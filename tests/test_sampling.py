@@ -138,3 +138,28 @@ def test_quota_sample_null_group_parity(spark):
     exact = sorted((r["doc_id"], r["src"]) for r in got_exact.collect())
     assert pre == exact
     assert sum(1 for _, s in pre if s is None) == 2  # NULL group kept its quota
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Split keyed by cluster id: every member of a near-dup cluster lands
+    in the same split, and split fractions stay near the weights."""
+    import __spark_entry__ as E
+    import pyspark.sql.functions as F
+
+    out = E.q_leakage_safe_split(spark, "/root/testdata/sf0.001").cache()
+    # co-cluster co-assignment
+    viol = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert viol == 0
+    # at least one non-singleton cluster exercises the property
+    assert (
+        out.groupBy("cluster_id").count().where(F.col("count") > 1).count() > 0
+    )
+    fr = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    n = sum(fr.values())
+    assert 0.6 < fr.get("train", 0) / n < 0.95
+    out.unpersist()
