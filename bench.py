@@ -235,6 +235,8 @@ def main() -> None:
         timed("serialize_events", E.q_serialize_events(spark, sf_dir))
         timed("embedding_cosine_topk", E.q_embedding_cosine_topk(spark, sf_dir))
         timed("ngram_jaccard_pairs", E.q_ngram_jaccard_pairs(spark, sf_dir))
+        timed("allpairs_jaccard", E.q_allpairs_jaccard(spark, sf_dir))
+        timed("fs_match_scores", E.q_fs_match_scores(spark, sf_dir))
 
     transcripts.unpersist()
     total = round(sum(timings.values()), 3)

@@ -97,3 +97,59 @@ def test_scorer_stage_single_explicit_repartition(spark, tiny_transcripts):
     # the round-robin exchange's own header is the final token before the
     # split point; no additional Exchange may appear in between
     assert seg.count("Exchange") == 1, plan
+
+
+def test_fs_gamma_plan_single_join_no_python(spark):
+    """FS comparison vectors: one block-key equi-join, no cartesian, no
+    Python eval nodes — the gamma math stays in codegen."""
+    import __spark_entry__ as E
+
+    gam = E.q_fs_comparison_vectors(spark, SF_DIR)
+    plan = _initial_plan(gam)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_fs_score_weights_are_literals(spark):
+    """fs_score embeds Python-computed log2 weights as CASE literals: the
+    plan must contain no runtime LOG over the weight path (only the TF
+    adjustment's log2(tf) survives) and no params-table join beyond the
+    single TF join."""
+    import __spark_entry__ as E
+
+    scored = E.q_fs_match_scores(spark, SF_DIR)
+    plan = _initial_plan(scored)
+    assert "EvalPython" not in plan
+    assert plan.upper().count("LOG") <= 2, plan.upper().count("LOG")
+
+
+def test_allpairs_prefix_index_excludes_suffix_tokens(spark):
+    """AllPairs: the join-side index carries prefix rows only — the plan
+    filters on the rank bound before the self-join, and there is no
+    cartesian fallback."""
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pairs = allpairs_jaccard_join(docs, threshold=0.5, shingle_n=3)
+    plan = _initial_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_merge_edge_batch_meta_graph_only_iterates_batch(spark):
+    """Incremental CC: the corpus-sized assignment appears in exactly the
+    two edge-mapping joins and the final remap — the iterative CC input
+    is the batch-bounded meta edge set."""
+    from ditto_spark.operators.cluster import assign_clusters, merge_edge_batch
+
+    nodes = spark.range(1000).select(F.col("id").alias("conv_id"))
+    assign = assign_clusters(
+        nodes, spark.createDataFrame([(0, 1)], "left_id long, right_id long")
+    ).cache()
+    assign.count()
+    batch = spark.createDataFrame([(5, 6), (6, 7)], "left_id long, right_id long")
+    merged = merge_edge_batch(assign, batch)
+    plan = _initial_plan(merged)
+    assert "CartesianProduct" not in plan
+    assign.unpersist()
