@@ -1892,7 +1892,7 @@ _ALLPAIRS_ORACLE = """
       FROM tk JOIN dfreq USING (tok)
     ), pfx AS (
       SELECT doc_id, tok, lng FROM ranked
-      WHERE rnk <= lng - ceil(0.5 * lng) + 1
+      WHERE rnk <= lng - ceil(0.5 * lng - 1e-9) + 1
     ), cand AS (
       SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
       FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -1953,7 +1953,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LM_PERPLEXITY_ORACLE = """
-    WITH tt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    WITH tt AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents),
     tb AS (
       SELECT l[i] AS w1, l[i+1] AS w2
       FROM tt, unnest(generate_series(1, len(l) - 1)) u(i)

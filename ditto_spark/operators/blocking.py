@@ -791,8 +791,15 @@ def allpairs_jaccard_join(
             "len", F.count(F.lit(1)).over(Window.partitionBy(id_col))
         )
     )
+    # ceil over a float product is UNSAFE for losslessness: 0.56*25 is
+    # 14.000000000000002 in doubles, so a bare ceil shortens the prefix by
+    # one and drops qualifying pairs. Biasing down by 1e-9 before the ceil
+    # errs on the long-prefix side (still lossless, at worst one extra
+    # candidate element) for any threshold not itself within 1e-9 of a
+    # rational boundary. The oracle carries the identical expression.
     prefix = ranked.where(
-        F.col("rnk") <= F.col("len") - F.ceil(F.lit(t) * F.col("len")) + 1
+        F.col("rnk")
+        <= F.col("len") - F.ceil(F.lit(t) * F.col("len") - F.lit(1e-9)) + 1
     ).select(id_col, "tok", "len")
 
     l = prefix.select(

@@ -261,11 +261,20 @@ def cluster_agreement(
     pair counts go through doubles before ratios — n(n-1)/2 at 10^12
     records overflows int64, so no bigint pair arithmetic anywhere.
     Conventions: ARI = 1 when the expected-index denominator is 0 (both
-    partitions trivial); NMI = 0 when either entropy is 0."""
+    partitions trivial); NMI = 0 when either entropy is 0. Raises
+    ValueError when the clusterings share fewer than 2 conv_ids (the
+    metrics are undefined there; silent nulls would hide e.g. comparing
+    clusterings of two different corpora) — the eager guard is one
+    limit-2 probe job on the joined ids."""
     joined = (
         predicted.select("conv_id", F.col("cluster_id").alias("pc"))
         .join(truth.select("conv_id", F.col("cluster_id").alias("tc")), "conv_id")
     )
+    if len(joined.select("conv_id").limit(2).take(2)) < 2:
+        raise ValueError(
+            "cluster_agreement: inputs share fewer than 2 conv_ids — "
+            "partition-agreement metrics are undefined"
+        )
     inter = joined.groupBy("pc", "tc").agg(F.count(F.lit(1)).alias("n"))
     psz = inter.groupBy("pc").agg(F.sum("n").alias("np"))
     tsz = inter.groupBy("tc").agg(F.sum("n").alias("nt"))
@@ -288,7 +297,13 @@ def cluster_agreement(
         .agg(
             F.sum(
                 (F.col("n") / nc)
-                * F.log2(nc * F.col("n") / (F.col("np") * F.col("nt")))
+                * F.log2(
+                    nc
+                    * F.col("n")
+                    # marginals as doubles: a long*long np*nt overflows
+                    # int64 once clusters pass ~3e9 members
+                    / (F.col("np").cast("double") * F.col("nt").cast("double"))
+                )
             ).alias("mi")
         )
     )

@@ -116,10 +116,13 @@ def comparison_vectors(
     gamma is a pure JVM expression. Output: (left_id, right_id,
     *keep_left, gamma_<field> ...).
     """
+    fnames = {f.name for f in fields}
     la = a.select(
         F.col(block_col).alias("__blk"),
         F.col(left_id),
         *[F.col(f.name).alias(f"__l_{f.name}") for f in fields],
+        # keep_left columns that are not compared fields still come from a
+        *[F.col(k).alias(f"__l_{k}") for k in keep_left if k not in fnames],
     )
     rb = b.select(
         F.col(block_col).alias("__blk"),
@@ -324,6 +327,8 @@ def union_blocking(
     result through meta_blocking_wnp."""
     if mode not in ("link", "dedupe"):
         raise ValueError(f"union_blocking: unknown mode {mode!r}")
+    if not rules:
+        raise ValueError("union_blocking: at least one blocking rule required")
     outs = []
     for i, rule in enumerate(rules):
         k = F.expr(rule) if isinstance(rule, str) else rule

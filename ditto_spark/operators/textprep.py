@@ -599,7 +599,10 @@ def ngram_lm_score(
     Documents with fewer than 2 tokens have no bigram and are excluded
     (mirrored by the oracle's length filter)."""
     def bigrams(df: DataFrame, keep_id: bool) -> DataFrame:
-        l = F.split(F.col(text_col), " ")
+        # drop empty tokens from repeated/leading/trailing spaces — they
+        # would otherwise enter the vocabulary and bigram counts (the
+        # same guard every other tokenizer in this module applies)
+        l = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
         pairs = F.transform(
             F.slice(l, 1, F.size(l) - 1),
             lambda x, i: F.struct(

@@ -309,6 +309,16 @@ def make_cluster_maintainer(assignment_path: str, id_col: str = "conv_id"):
         if not edges.take(1):
             return
         import os as _os
+        import shutil
+
+        # Crash recovery BEFORE the existence probe: a driver death inside
+        # the swap below can leave assignment_path missing while '._old'
+        # still holds the previous state. Without this restore, the replayed
+        # batch would re-seed from its own edges alone and the next swap
+        # would delete '._old' — silent loss of every prior cluster.
+        old = assignment_path.rstrip("/") + "._old"
+        if not _os.path.exists(assignment_path) and _os.path.exists(old):
+            _os.rename(old, assignment_path)
 
         # local-FS existence probe (a cluster deployment would ask the
         # Hadoop FileSystem / Iceberg catalog instead)
@@ -325,18 +335,18 @@ def make_cluster_maintainer(assignment_path: str, id_col: str = "conv_id"):
             merged = assign_clusters(nodes, edges, id_col=id_col).withColumnRenamed(
                 "conv_id", id_col
             )
-        # stage-then-swap: never read and overwrite the same files in one job
+        # stage-then-swap: never read and overwrite the same files in one
+        # job. Crash windows: after the first rename, assignment_path is
+        # missing but '._old' survives (restored above on replay); after
+        # the second, both exist until the cleanup — the replayed batch
+        # merges idempotently against the NEW state and the stale '._old'
+        # is simply removed here.
         tmp = assignment_path.rstrip("/") + f"._staging_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        final_tmp = assignment_path.rstrip("/") + "._old"
-        shutil.rmtree(final_tmp, ignore_errors=True)
-        import os as _os
-
+        shutil.rmtree(old, ignore_errors=True)
         if _os.path.exists(assignment_path):
-            _os.rename(assignment_path, final_tmp)
+            _os.rename(assignment_path, old)
         _os.rename(tmp, assignment_path)
-        shutil.rmtree(final_tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     return apply

@@ -414,3 +414,38 @@ def test_allpairs_finds_frequent_shingle_pairs_rare_join_drops(spark):
     import __spark_entry__ as E
 
     assert E._rare_shingle_pairs(df).count() == 0
+
+
+def test_allpairs_prefix_ceil_float_boundary_lossless(spark):
+    """threshold*len landing a hair above an exact integer in doubles
+    (0.56*25 = 14.000000000000002) must not shorten the prefix: the
+    biased ceil keeps the join lossless at rational boundaries."""
+    import itertools
+    import random
+
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    rng = random.Random(23)
+    vocab = ["t%02d" % i for i in range(60)]
+    docs = []
+    for i in range(40):
+        base = rng.sample(vocab, 25)  # 25 distinct tokens -> 0.56*25 boundary
+        docs.append((i, " ".join(base)))
+        if i % 3 == 0:
+            mutated = base[:]
+            for j in rng.sample(range(25), 5):
+                mutated[j] = rng.choice(vocab)
+            docs.append((i + 100, " ".join(dict.fromkeys(mutated))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in allpairs_jaccard_join(df, threshold=0.56, shingle_n=1).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if sets[a] & sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.56
+    }
+    assert got == want

@@ -291,3 +291,32 @@ def test_union_blocking_pair_scored_once_across_rules(spark):
     b = spark.createDataFrame([(2, "k", "s")], "right_id long, blk string, src string")
     rows = union_blocking(a, b, ["blk", "src"], mode="link").collect()
     assert len(rows) == 1  # both rules fire; pair emitted once
+
+
+def test_union_blocking_empty_rules_raises(spark):
+    from ditto_spark.operators.fellegi import union_blocking
+
+    a = spark.createDataFrame([(1, "k")], "left_id long, blk string")
+    b = spark.createDataFrame([(2, "k")], "right_id long, blk string")
+    with pytest.raises(ValueError, match="blocking rule"):
+        union_blocking(a, b, [])
+
+
+def test_comparison_vectors_keep_left_non_field_column(spark):
+    from ditto_spark.operators.fellegi import (
+        FieldComparison,
+        comparison_vectors,
+        exact_gamma,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "k", "x", "extra-a")], "left_id long, blk string, f string, note string"
+    )
+    b = spark.createDataFrame(
+        [(2, "k", "x", "extra-b")], "right_id long, blk string, f string, note string"
+    )
+    rows = comparison_vectors(
+        a, b, "blk", [FieldComparison("f", 2, exact_gamma())], keep_left=("note",)
+    ).collect()
+    assert rows[0]["note"] == "extra-a"
+    assert rows[0]["gamma_f"] == 1

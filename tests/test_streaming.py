@@ -240,3 +240,26 @@ def test_foreachbatch_cluster_maintainer_matches_full_cc(spark, tmp_path):
     )
     want = {(r["conv_id"], r["cluster_id"]) for r in full.collect()}
     assert got == want
+
+
+def test_cluster_maintainer_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Simulated driver death between the two swap renames: assignment dir
+    missing, '._old' holding the prior state. The replayed batch must
+    restore and merge, not re-seed from its own edges."""
+    import os
+
+    from ditto_spark.streaming.incremental import make_cluster_maintainer
+
+    assignment = str(tmp_path / "assign")
+    sink = make_cluster_maintainer(assignment)
+    b1 = spark.createDataFrame([("a", "b")], "left_id string, right_id string")
+    sink(b1, 0)
+    # crash simulation: state renamed away, new state never landed
+    os.rename(assignment, assignment + "._old")
+    b2 = spark.createDataFrame([("c", "d")], "left_id string, right_id string")
+    sink(b2, 1)
+    got = {
+        (r["conv_id"], r["cluster_id"])
+        for r in spark.read.parquet(assignment).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")}

@@ -360,3 +360,14 @@ def test_ngram_lm_score_matches_independent_python(spark):
 
     # in-domain text scores lower perplexity than OOV text
     assert got[0]["perplexity"] < got[1]["perplexity"]
+
+
+def test_ngram_lm_score_ignores_empty_tokens(spark):
+    from ditto_spark.operators.textprep import ngram_lm_score
+
+    clean = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    dirty = spark.createDataFrame([(0, " a  b   c ")], "doc_id long, text string")
+    r_clean = ngram_lm_score(clean, clean).collect()[0]
+    r_dirty = ngram_lm_score(dirty, dirty).collect()[0]
+    assert r_clean["n_bigrams"] == r_dirty["n_bigrams"] == 2
+    assert r_clean["bits_per_token"] == r_dirty["bits_per_token"]
