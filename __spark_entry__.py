@@ -1510,6 +1510,43 @@ def _fs_score_oracle_sql() -> str:
 """
 
 
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FS linkage (block → gamma → TF-adjusted score →
+    bipartite 1:1 constraint): scored pairs with posterior >= 0.9, kept
+    only when the pair is simultaneously its left and right record's
+    best edge. Ranking uses the 6-dp ROUNDED posterior so the rank order
+    — not just the values — is engine-portable (raw float ordering could
+    flip on last-ulp log2/pow differences)."""
+    from ditto_spark.operators.scoring import bipartite_best_match
+
+    scored = q_fs_match_scores(spark, sf_dir).where(F.col("posterior") >= 0.9)
+    return bipartite_best_match(
+        scored.select("left_id", "right_id", "posterior"), score_col="posterior"
+    )
+
+
+def _fs_linkage_oracle_sql() -> str:
+    return f"""
+    WITH scored AS ({_fs_score_oracle_sql()}),
+    flt AS (
+      SELECT left_id, right_id, posterior FROM scored WHERE posterior >= 0.9
+    ),
+    rl AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY left_id ORDER BY posterior DESC, right_id ASC) AS rn
+      FROM flt
+    ),
+    rr AS (
+      SELECT left_id, right_id, row_number() OVER (
+        PARTITION BY right_id ORDER BY posterior DESC, left_id ASC) AS rn
+      FROM flt
+    )
+    SELECT rl.left_id, rl.right_id, rl.posterior
+    FROM rl JOIN rr ON rl.left_id = rr.left_id AND rl.right_id = rr.right_id
+    WHERE rl.rn = 1 AND rr.rn = 1
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -2193,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_comparison_vectors": q_fs_comparison_vectors,
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
+        "fs_linkage": q_fs_linkage,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cluster_agreement": q_cluster_agreement,
         "lm_perplexity": q_lm_perplexity,
@@ -2598,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_comparison_vectors": _FS_VECTORS_ORACLE,
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),
+        "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "allpairs_jaccard": _ALLPAIRS_ORACLE,
         "cluster_agreement": _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1) + """

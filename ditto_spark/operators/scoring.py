@@ -528,3 +528,42 @@ def mutual_best_match(
             F.col("x.s").alias(score_col),
         )
     )
+
+
+def bipartite_best_match(
+    pairs: DataFrame,
+    score_col: str = "score",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """One-to-one constraint for TWO-TABLE linkage (bipartite form of
+    mutual_best_match, which symmetrizes and is meant for within-corpus
+    dedup): keep a pair only if it is simultaneously the best-scoring
+    edge of its left record and of its right record. Ties break by the
+    smallest partner id, so rank order — and therefore the output — is
+    deterministic as long as the caller ranks on a value both engines
+    agree on bit-for-bit (rounded scores; see q_fs_linkage).
+
+    Scale shape: two ranking windows partitioned by the respective id
+    (edge lists are blocker-bounded) + one equi-join of the two rank-1
+    sets on the id pair. Output ≤ min(|A|, |B|) rows, no collect."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy(left_col).orderBy(
+        F.col(score_col).desc(), F.col(right_col).asc()
+    )
+    wr = Window.partitionBy(right_col).orderBy(
+        F.col(score_col).desc(), F.col(left_col).asc()
+    )
+    best_l = (
+        pairs.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    best_r = (
+        pairs.select(left_col, right_col, score_col)
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(left_col, right_col)
+    )
+    return best_l.join(best_r, [left_col, right_col])

@@ -249,3 +249,35 @@ def test_mutual_best_match_chain_and_ties(spark):
         for r in mutual_best_match(pairs).collect()
     }
     assert got == {(1, 2): 0.9, (6, 7): 0.5}
+
+
+def test_bipartite_best_match_one_to_one(spark):
+    from ditto_spark.operators.scoring import bipartite_best_match
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, 0.9),  # 1's best and 10's best -> kept
+            (1, 11, 0.8),
+            (2, 10, 0.7),  # 10 prefers 1 -> dropped
+            (2, 11, 0.6),  # 2's best after 10; 11's best after 1? 11: (1,0.8) wins -> dropped
+            (3, 12, 0.5),
+            (4, 12, 0.5),  # tie on 12: smaller left_id (3) wins
+        ],
+        "left_id long, right_id long, score double",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in bipartite_best_match(pairs).collect()
+    }
+    assert got == {(1, 10), (3, 12)}
+
+
+def test_fs_linkage_precision_against_truth(spark):
+    """The composed FS 1:1 linkage: links are overwhelmingly the true
+    (left_id == right_id) pairs at posterior >= 0.9."""
+    import __spark_entry__ as E
+
+    rows = E.q_fs_linkage(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 50
+    correct = sum(1 for r in rows if r["left_id"] == r["right_id"])
+    assert correct / len(rows) >= 0.95
