@@ -112,3 +112,61 @@ def test_minhash_estimate_tracks_true_jaccard(spark, seed):
     sa, sb = shingles(base), shingles(other)
     true_j = len(sa & sb) / len(sa | sb)
     assert abs(est - true_j) <= 0.25, (est, true_j)
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0.3, 0.42, 0.5, 0.56, 0.6, 0.66, 0.75, 0.8]),
+)
+def test_allpairs_jaccard_lossless_property(spark, seed, threshold):
+    """AllPairs prefix-filter join == brute-force jaccard join for random
+    corpora and thresholds (incl. rational-boundary thresholds like 0.56
+    where a naive float ceil silently drops pairs)."""
+    import itertools
+
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    rng = random.Random(seed)
+    vocab = ["v%02d" % i for i in range(25)]
+    docs = []
+    for i in range(25):
+        toks = rng.sample(vocab, rng.randrange(3, 15))
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in allpairs_jaccard_join(df, threshold=threshold).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if sets[a] & sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 10_000), w=st.sampled_from([2, 3, 4, 6]))
+def test_winnow_coverage_and_density_property(spark, seed, w):
+    """Winnowing guarantees: every w-window of grams holds >= 1 selected
+    fingerprint position, and selection matches the independent Python
+    reference for random texts and window sizes."""
+    from ditto_spark.operators.blocking import winnow_fingerprints
+    from tests.test_blocking import _winnow_py
+
+    rng = random.Random(seed)
+    words = ["w%d" % rng.randrange(12) for _ in range(rng.randrange(10, 80))]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["fp"], r["fp_pos"])
+        for r in winnow_fingerprints(df, k=3, w=w).collect()
+    }
+    assert got == _winnow_py(text, k=3, w=w)
+    n_grams = len(words) - 2
+    pos = sorted(p for _, p in got)
+    for start in range(0, n_grams - w + 1):
+        assert any(start <= p <= start + w - 1 for p in pos)
