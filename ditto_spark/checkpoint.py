@@ -231,3 +231,38 @@ def dedup_transcripts_checkpointed(
         ["matches", "serialized"],
     )
     return PipelineResult(serialized, candidates, scored, matches, clusters)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int,
+) -> DataFrame:
+    """Persist a stage as a BUCKETED table (hash-partitioned into fixed
+    buckets on `key`, sorted within buckets) and return the re-read
+    table. Two stages bucketed the same way join on the key with ZERO
+    exchange (a bucket-local sort may remain when a bucket spans several
+    files — cheap; the shuffle is the scale cost) — the co-located-join
+    tool for stages that
+    are joined repeatedly on the same key at 100 TB (e.g. candidates ⨝
+    serialized text on conv_id across scorer re-runs): the shuffle is
+    paid once at write, not on every downstream join (asserted by
+    `tests/test_plans.py::test_bucketed_stage_join_is_exchange_free`).
+
+    Sandbox note: Spark bucketing metadata lives in the session catalog
+    (`saveAsTable`); with the default in-memory catalog the bucket info
+    survives for the session, on a cluster the Hive/Iceberg catalog
+    makes it durable. `path` keeps the data external so files land next
+    to the other stage tables."""
+    (
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table)

@@ -153,3 +153,36 @@ def test_merge_edge_batch_meta_graph_only_iterates_batch(spark):
     plan = _initial_plan(merged)
     assert "CartesianProduct" not in plan
     assign.unpersist()
+
+
+def test_bucketed_stage_join_is_exchange_free(spark, tmp_path):
+    """Two stages bucketed on the same key join with ZERO Exchange — the
+    write-once-shuffle-never-again contract bucketing buys for
+    repeatedly-joined stage tables. (Bucket-local sorts may remain when
+    a bucket spans multiple files; the shuffle is the 100 TB cost.)"""
+    from ditto_spark.checkpoint import write_bucketed
+
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("conv_id"), (F.col("id") % 7).alias("x")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("conv_id"), (F.col("id") % 11).alias("y")
+    )
+    lt = write_bucketed(left, "bk_left", str(tmp_path / "bk_left"), "conv_id", 8)
+    rt = write_bucketed(right, "bk_right", str(tmp_path / "bk_right"), "conv_id", 8)
+    # tiny test tables would broadcast (which also skips the exchange, but
+    # proves nothing about bucketing); force the shuffle-join path the way
+    # a 100 TB join would take it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(rt, "conv_id")
+        assert joined.count() == 5000
+        plan = _initial_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
