@@ -169,5 +169,150 @@ def main() -> None:
     spark.stop()
 
 
+
+
+# --------------------------------------------------------------- FS eval
+#
+# Unsupervised Fellegi-Sunter on the reference's own labeled pairs: parse
+# the COL/VAL attributes back out of the serialized entries, build 4-level
+# gamma vectors per attribute (3 exact / 2 fuzzy token-jaccard / 1
+# disagree / 0 missing — EM learns m≈u for the missing level, so absent
+# attributes carry ~zero weight), fit EM on valid+test gammas WITHOUT
+# looking at labels, score, threshold at posterior 0.5, report test F1.
+# This is the classical-baseline column next to the lexical surrogate and
+# the reference's fine-tuned LM.
+
+import re as _re
+
+
+def _dataset_attributes(df, max_attrs: int = 5) -> list[str]:
+    """Most frequent COL names across left entries (driver-side: the name
+    set is schema-sized, not data-sized)."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        df.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(left_txt, 'COL (\\S+) VAL', 1)")
+            ).alias("a")
+        )
+        .groupBy("a")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("a"))
+        .take(max_attrs)
+    )
+    return [r["a"] for r in rows]
+
+
+def _attr_gammas(df, attrs: list[str]):
+    """4-level gamma per attribute, all Catalyst expressions."""
+    import pyspark.sql.functions as F
+
+    out = df
+    for a in attrs:
+        pat = f"COL {_re.escape(a)} VAL (.*?)(?= COL \\S+ VAL|$)"
+        lv = F.trim(F.regexp_extract("left_txt", pat, 1))
+        rv = F.trim(F.regexp_extract("right_txt", pat, 1))
+        lt = F.array_distinct(F.filter(F.split(lv, " "), lambda x: x != ""))
+        rt = F.array_distinct(F.filter(F.split(rv, " "), lambda x: x != ""))
+        inter = F.size(F.array_intersect(lt, rt)).cast("double")
+        union = (F.size(lt) + F.size(rt)).cast("double") - inter
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        gamma = (
+            F.when((lv == "") | (rv == ""), F.lit(0))
+            .when(lv == rv, F.lit(3))
+            .when(jac >= 0.5, F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        out = out.withColumn(f"gamma_a{attrs.index(a)}", gamma.cast("int"))
+    return out
+
+
+def fs_evaluate_dataset(spark, name: str, iters: int = 25) -> dict:
+    import pyspark.sql.functions as F
+    from ditto_spark.operators.evaluate import confusion_f1
+    from ditto_spark.operators.fellegi import (
+        FieldComparison,
+        estimate_fs,
+        fs_score,
+    )
+    from ditto_spark.sources import read_pairs_tsv
+    from pyspark.sql import Window
+
+    def load(split):
+        df = read_pairs_tsv(spark, f"{REF}/{name}/{split}.txt")
+        w = Window.orderBy("left_txt", "right_txt", "label")
+        rn = F.row_number().over(w).cast("string")
+        return df.withColumn("left_id", rn).withColumn(
+            "right_id", F.concat(F.lit("r"), rn)
+        )
+
+    valid = load("valid")
+    test = load("test").persist()
+    attrs = _dataset_attributes(valid)
+    fields = [
+        FieldComparison(f"a{i}", 4, lambda l, r: F.lit(0))  # gamma precomputed
+        for i in range(len(attrs))
+    ]
+    gam_all = _attr_gammas(valid.unionByName(test), attrs).select(
+        "left_id", "right_id", *[f"gamma_a{i}" for i in range(len(attrs))]
+    )
+    est = estimate_fs(gam_all, fields, iters=iters, prior=0.1)
+    rows = est.collect()
+    lam = rows[0]["prior_match"]
+    params = {
+        f.name: (
+            [r["m_prob"] for r in rows if r["field"] == f.name],
+            [r["u_prob"] for r in rows if r["field"] == f.name],
+        )
+        for f in fields
+    }
+    gam_test = _attr_gammas(test, attrs).select(
+        "left_id", "right_id", "label",
+        *[f"gamma_a{i}" for i in range(len(attrs))],
+    )
+    scored = fs_score(gam_test, fields, params, prior=lam)
+    decided = scored.join(
+        gam_test.select("left_id", "right_id", "label"), ["left_id", "right_id"]
+    ).withColumn("match", (F.col("posterior") > 0.5).cast("int"))
+    m = confusion_f1(decided).collect()[0]
+    test.unpersist()
+    return {
+        "dataset": name,
+        "fs_f1": round(m["f1"], 4),
+        "fs_precision": round(m["precision"], 4),
+        "fs_recall": round(m["recall"], 4),
+        "fs_lambda": round(lam, 4),
+        "attrs": attrs,
+        "reference_lm_f1": REFERENCE_LM_F1.get(name),
+    }
+
+
+def fs_main() -> None:
+    from ditto_spark.session import get_spark
+
+    spark = get_spark("reference_eval_fs")
+    datasets = [
+        d for d in sorted(REFERENCE_LM_F1)
+        if os.path.exists(f"{REF}/{d}/valid.txt")
+    ]
+    results = []
+    for name in datasets:
+        r = fs_evaluate_dataset(spark, name)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    print("\n| dataset | FS F1 (unsupervised) | lambda | reference LM F1 |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['dataset']} | {r['fs_f1']} | {r['fs_lambda']} "
+            f"| {r['reference_lm_f1']} |"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--fs" in sys.argv:
+        fs_main()
+    else:
+        main()

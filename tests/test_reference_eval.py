@@ -63,3 +63,21 @@ def test_reference_beer_relational_idf_identical_to_dict(spark):
     assert rel["f1"] == dct["f1"], (rel, dct)
     assert rel["tau"] == dct["tau"]
     assert (rel["tp"], rel["fp"], rel["fn"]) == (dct["tp"], dct["fp"], dct["fn"])
+
+
+def test_fs_unsupervised_beats_floor_on_beer(spark):
+    """Unsupervised FS (no labels) on the reference's Beer benchmark:
+    F1 >= 0.7 — above the measured 0.80 minus slack; the reference's
+    fine-tuned LM scores 0.7928 on the same split."""
+    import os
+
+    import pytest
+
+    if not os.path.exists(
+        "/root/reference/data/er_magellan/Structured/Beer/valid.txt"
+    ):
+        pytest.skip("reference fixtures unavailable")
+    from scripts.run_reference_eval import fs_evaluate_dataset
+
+    r = fs_evaluate_dataset(spark, "Structured/Beer")
+    assert r["fs_f1"] >= 0.7, r
