@@ -257,7 +257,21 @@ def fs_evaluate_dataset(spark, name: str, iters: int = 25) -> dict:
     gam_all = _attr_gammas(valid.unionByName(test), attrs).select(
         "left_id", "right_id", *[f"gamma_a{i}" for i in range(len(attrs))]
     )
-    est = estimate_fs(gam_all, fields, iters=iters, prior=0.1)
+    # u-init from the empirical gamma marginals — the analogue of Splink's
+    # estimate_u_using_random_sampling (most pairs are non-matches, so the
+    # pooled marginal approximates the non-match distribution); keeps EM
+    # out of the degenerate lambda≈0.5 mode on the dirty product datasets.
+    init = {}
+    for i in range(len(attrs)):
+        cnts = {
+            r[0]: r[1]
+            for r in gam_all.groupBy(f"gamma_a{i}").count().collect()
+        }
+        tot = sum(cnts.values())
+        u0 = [max(cnts.get(lvl, 0) / tot, 1e-4) for lvl in range(4)]
+        s = sum(u0)
+        init[f"a{i}"] = ([0.05, 0.1, 0.15, 0.7], [x / s for x in u0])
+    est = estimate_fs(gam_all, fields, iters=iters, prior=0.1, init=init)
     rows = est.collect()
     lam = rows[0]["prior_match"]
     params = {
