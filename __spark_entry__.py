@@ -1451,9 +1451,14 @@ def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _fs_records(docs)
     gam = _fs_gammas(docs, keep_left=("title",))
     allr = a.select("title").unionAll(b.select("title"))
-    total = allr.count()
-    tf = allr.groupBy("title").agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("tf")
+    # denominator stays relational (single-row crossJoin, no eager count):
+    # keeps the query lazy end to end, so benchmarks time the WHOLE plan
+    total_df = allr.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
+    tf = (
+        allr.groupBy("title")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .crossJoin(total_df)
+        .select("title", (F.col("__c") / F.col("__tot")).alias("tf"))
     )
     scored = fs_score(
         gam,
@@ -1933,7 +1938,7 @@ _ALLPAIRS_ORACLE = """
     ), cand AS (
       SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
       FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      WHERE b.lng * 0.5 <= a.lng AND a.lng * 0.5 <= b.lng
+      WHERE b.lng * 0.5 - 1e-9 <= a.lng AND a.lng * 0.5 - 1e-9 <= b.lng
     ), sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1
     ), inter AS (
       SELECT c.left_id, c.right_id, count(*) AS i

@@ -812,8 +812,11 @@ def allpairs_jaccard_join(
         l.join(r, "tok")
         .where(
             (F.col("left_id") < F.col("right_id"))
-            & (F.col("lb") * F.lit(t) <= F.col("la"))
-            & (F.col("la") * F.lit(t) <= F.col("lb"))
+            # same float-boundary bias as the prefix ceil: t*len can land a
+            # hair ABOVE an exact integer (0.56*25 = 14.000000000000002) and
+            # reject a pair with J exactly = t
+            & (F.col("lb") * F.lit(t) - F.lit(1e-9) <= F.col("la"))
+            & (F.col("la") * F.lit(t) - F.lit(1e-9) <= F.col("lb"))
         )
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])

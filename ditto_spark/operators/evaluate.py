@@ -270,7 +270,7 @@ def cluster_agreement(
         predicted.select("conv_id", F.col("cluster_id").alias("pc"))
         .join(truth.select("conv_id", F.col("cluster_id").alias("tc")), "conv_id")
     )
-    if len(joined.select("conv_id").limit(2).take(2)) < 2:
+    if len(joined.select("conv_id").distinct().limit(2).take(2)) < 2:
         raise ValueError(
             "cluster_agreement: inputs share fewer than 2 conv_ids — "
             "partition-agreement metrics are undefined"

@@ -261,17 +261,27 @@ def fs_evaluate_dataset(spark, name: str, iters: int = 25) -> dict:
     # estimate_u_using_random_sampling (most pairs are non-matches, so the
     # pooled marginal approximates the non-match distribution); keeps EM
     # out of the degenerate lambda≈0.5 mode on the dirty product datasets.
+    # ALL marginals come from ONE aggregate over the persisted gammas —
+    # a per-attribute groupBy loop would recompute the regexp extraction
+    # pipeline once per attribute.
+    gam_all = gam_all.persist()
+    k = len(attrs)
+    row = gam_all.agg(
+        *[
+            F.count(F.when(F.col(f"gamma_a{i}") == lvl, 1)).alias(f"c_{i}_{lvl}")
+            for i in range(k)
+            for lvl in range(4)
+        ]
+    ).collect()[0]
     init = {}
-    for i in range(len(attrs)):
-        cnts = {
-            r[0]: r[1]
-            for r in gam_all.groupBy(f"gamma_a{i}").count().collect()
-        }
-        tot = sum(cnts.values())
-        u0 = [max(cnts.get(lvl, 0) / tot, 1e-4) for lvl in range(4)]
+    for i in range(k):
+        cnts = [row[f"c_{i}_{lvl}"] for lvl in range(4)]
+        tot = sum(cnts)
+        u0 = [max(c / tot, 1e-4) for c in cnts]
         s = sum(u0)
         init[f"a{i}"] = ([0.05, 0.1, 0.15, 0.7], [x / s for x in u0])
     est = estimate_fs(gam_all, fields, iters=iters, prior=0.1, init=init)
+    gam_all.unpersist()  # estimate_fs collected its histogram eagerly
     rows = est.collect()
     lam = rows[0]["prior_match"]
     params = {
