@@ -777,7 +777,13 @@ def allpairs_jaccard_join(
             )
         return tk
 
-    toks = elements(df).select(F.col(id_col), F.explode("el").alias("tok"))
+    # the exploded element table feeds BOTH the df counts and the ranked
+    # index — persist it or the tokenize/shingle projection runs twice
+    toks = (
+        elements(df)
+        .select(F.col(id_col), F.explode("el").alias("tok"))
+        .persist()
+    )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     ranked = (
         toks.join(dfreq, "tok")
@@ -822,7 +828,14 @@ def allpairs_jaccard_join(
         .dropDuplicates(["left_id", "right_id"])
     )
 
-    sets = elements(df).select(
+    # verify-side sets only for docs that actually appear in a candidate —
+    # the verify cost scales with the candidate set, not the corpus
+    cand_ids = (
+        cand.select(F.col("left_id").alias(id_col))
+        .unionAll(cand.select(F.col("right_id").alias(id_col)))
+        .distinct()
+    )
+    sets = elements(df.join(cand_ids, id_col, "left_semi")).select(
         F.col(id_col), F.array_sort(F.array_distinct("el")).alias("ts")
     )
     la = sets.select(F.col(id_col).alias("left_id"), F.col("ts").alias("ta"))
