@@ -2170,6 +2170,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 
+def _hll_oracle() -> str:
+    """DuckDB replica of sketch.hll_registers + hll_estimate at p=9 over
+    documents.text grouped by source. Same md5-derived registers, same
+    integer harmonic sum, same double constants (Python-interpolated so both
+    engines use the identical literal)."""
+    p, hash_bits = 9, 32
+    m, wbits = 1 << p, hash_bits - p
+    maxrho = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c_raw = alpha * m * m * float(1 << maxrho)
+    return f"""
+    WITH h AS (
+      SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+      FROM documents WHERE text IS NOT NULL
+    ), reg AS (
+      SELECT source, (h // {1 << wbits})::INT AS idx,
+             (CASE WHEN h % {1 << wbits} = 0 THEN {maxrho}
+                   ELSE {maxrho} - length(bin(h % {1 << wbits})) END)::INT AS rho
+      FROM h
+    ), r AS (
+      SELECT source, idx, max(rho) AS rho FROM reg GROUP BY 1, 2
+    ), agg AS (
+      SELECT source, count(*)::INT AS n_registers,
+             sum(1::BIGINT << ({maxrho} - rho))::BIGINT AS sum_scaled
+      FROM r GROUP BY 1
+    )
+    SELECT source, n_registers, sum_scaled,
+           round(CASE WHEN {c_raw!r} / (sum_scaled + ({m} - n_registers)::BIGINT * {1 << maxrho})::DOUBLE <= {2.5 * m!r}
+                       AND n_registers < {m}
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_registers)::DOUBLE)
+                      ELSE {c_raw!r} / (sum_scaled + ({m} - n_registers)::BIGINT * {1 << maxrho})::DOUBLE
+                 END, 4) AS est_distinct
+    FROM agg
+"""
+
+
+_HLL_ORACLE = _hll_oracle()
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct sketch (p=9, 512 registers) of
+    distinct document texts per source. Unlike Spark's built-in
+    `approx_count_distinct`, the register state is plain md5 arithmetic, so
+    it persists to stage tables, merges across engines/batches (union+max),
+    and the DuckDB oracle reproduces registers AND estimate bit-for-bit
+    (`sum_scaled` is an exact integer invariant; rho derives from binary
+    string length, never float log2). The register shuffle carries <= 512
+    rows per group regardless of input size — the scale story for distinct
+    counts over 10^12 rows."""
+    from ditto_spark.operators.sketch import hll_distinct
+
+    docs = _load(spark, sf_dir, "documents")
+    return hll_distinct(docs, "text", ["source"], p=9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "serialize_events": q_serialize_events,
@@ -2240,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_agreement": q_cluster_agreement,
         "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3113,4 +3169,5 @@ def oracle_sql() -> dict[str, str]:
                    d.width, d.height, round(b.mean_byte, 6) AS mean_byte
             FROM dims d JOIN body b USING (doc_id)
         """,
+        "hll_distinct": _HLL_ORACLE,
     }
