@@ -2170,6 +2170,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink-style column profiling (null rate / cardinality / top-value
+    concentration) over the attributes a linkage model would compare —
+    the statistics that decide blocking keys and TF-adjustment (see
+    operators/fellegi.py). Deterministic top-value tie-break (ties ->
+    smallest value) keeps the whole profile oracle-checkable."""
+    from ditto_spark.operators.profile import profile_columns
+
+    docs = _load(spark, sf_dir, "documents")
+    return profile_columns(docs, ["lang", "source", "n_chars"])
+
+
+def _profile_oracle() -> str:
+    per_col = []
+    for c in ["lang", "source", "n_chars"]:
+        per_col.append(f"""
+      SELECT '{c}' AS attr, cast({c} AS VARCHAR) AS value FROM documents""")
+    unioned = " UNION ALL ".join(per_col)
+    return f"""
+    WITH long AS ({unioned}),
+    counts AS (
+      SELECT attr, value, count(*) AS cnt FROM long GROUP BY 1, 2
+    ), per_attr AS (
+      SELECT attr, sum(cnt) AS n_rows,
+             sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS n_null,
+             count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct,
+             sum(CASE WHEN value IS NOT NULL THEN length(value) * cnt END)::DOUBLE
+               / sum(CASE WHEN value IS NOT NULL THEN cnt END) AS avg_len_raw
+      FROM counts GROUP BY 1
+    ), top AS (
+      SELECT attr, value AS top_value, cnt AS top_count
+      FROM (SELECT attr, value, cnt,
+                   row_number() OVER (PARTITION BY attr ORDER BY cnt DESC, value ASC) AS rk
+            FROM counts WHERE value IS NOT NULL)
+      WHERE rk = 1
+    )
+    SELECT p.attr, p.n_rows, p.n_null,
+           round(p.n_null / p.n_rows::DOUBLE, 4) AS null_frac,
+           p.n_distinct, round(p.avg_len_raw, 4) AS avg_len,
+           t.top_value, t.top_count
+    FROM per_attr p LEFT JOIN top t USING (attr)
+"""
+
+
 def _hll_oracle() -> str:
     """DuckDB replica of sketch.hll_registers + hll_estimate at p=9 over
     documents.text grouped by source. Same md5-derived registers, same
@@ -2296,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
+        "profile_columns": q_profile_columns,
     }
 
 
@@ -3170,4 +3215,5 @@ def oracle_sql() -> dict[str, str]:
             FROM dims d JOIN body b USING (doc_id)
         """,
         "hll_distinct": _HLL_ORACLE,
+        "profile_columns": _profile_oracle(),
     }

@@ -1,0 +1,46 @@
+"""Column profiler: known values, null handling, tie-break determinism."""
+
+import pyspark.sql.functions as F
+
+from ditto_spark.operators.profile import profile_columns
+
+
+def test_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, None),
+            ("b", 1, "x"),
+            ("b", 2, "x"),
+            (None, 2, "yy"),
+        ],
+        ["s", "i", "t"],
+    )
+    out = {r["attr"]: r for r in profile_columns(df, ["s", "i", "t"]).collect()}
+    assert out["s"]["n_rows"] == 4 and out["s"]["n_null"] == 1
+    assert out["s"]["null_frac"] == 0.25
+    assert out["s"]["n_distinct"] == 2
+    assert out["s"]["top_value"] == "b" and out["s"]["top_count"] == 2
+    # int column stringified; 1 and 2 tie at 2 -> smallest value wins
+    assert out["i"]["top_value"] == "1" and out["i"]["top_count"] == 2
+    assert out["i"]["n_null"] == 0
+    # avg_len weighted by count: ('x' x2, 'yy' x1) -> (1+1+2)/3
+    assert out["t"]["avg_len"] == round(4 / 3, 4)
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b string")
+    out = {r["attr"]: r for r in profile_columns(df, ["b"]).collect()}
+    assert out["b"]["n_null"] == 2
+    assert out["b"]["n_distinct"] == 0
+    assert out["b"]["top_value"] is None
+    assert out["b"]["avg_len"] is None
+
+
+def test_profile_partition_invariant(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    a = sorted(map(tuple, profile_columns(df, ["k", "v"]).collect()))
+    b = sorted(map(tuple, profile_columns(df.repartition(23), ["k", "v"]).collect()))
+    assert a == b
