@@ -2170,6 +2170,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 
+def q_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster graph-quality metrics over the doc near-dup clustering
+    (Splink cluster-metrics counterpart): density + weakest/strongest edge
+    per cluster — transitive closure links records never directly compared,
+    and a low-density cluster is the standard chained-false-merge signal;
+    its min-score edge is the bridge a reviewer cuts. Composed end-to-end on
+    the oracle-checked blocking → Jaccard ≥ 0.5 → CC pipeline."""
+    from ditto_spark.operators.cluster import assign_clusters, cluster_graph_metrics
+
+    docs = _load(spark, sf_dir, "documents")
+    matches = _rare_shingle_pairs(docs).where(F.col("jaccard") >= 0.5)
+    assignment = assign_clusters(
+        docs.select(F.col("doc_id").alias("conv_id")),
+        matches.select("left_id", "right_id"),
+    )
+    return cluster_graph_metrics(
+        assignment,
+        matches.select("left_id", "right_id", "jaccard"),
+        score_col="jaccard",
+    )
+
+
+_CLUSTER_METRICS_ORACLE = (
+    _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.5
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ), clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), csizes AS (
+      SELECT cluster_id, count(*) AS n_nodes FROM clusters
+      GROUP BY 1 HAVING count(*) >= 2
+    ), within AS (
+      SELECT ca.cluster_id, count(*) AS n_edges,
+             round(min(jp.jaccard), 4) AS min_score,
+             round(max(jp.jaccard), 4) AS max_score
+      FROM jp
+      JOIN clusters ca ON ca.doc_id = jp.left_id
+      JOIN clusters cb ON cb.doc_id = jp.right_id
+       AND cb.cluster_id = ca.cluster_id
+      WHERE jp.jaccard >= 0.5
+      GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_nodes, coalesce(w.n_edges, 0) AS n_edges,
+           round(2.0 * coalesce(w.n_edges, 0) / (s.n_nodes * (s.n_nodes - 1)), 4)
+             AS density,
+           w.min_score, w.max_score
+    FROM csizes s LEFT JOIN within w USING (cluster_id)
+"""
+)
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2341,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
         "profile_columns": q_profile_columns,
+        "cluster_metrics": q_cluster_metrics,
     }
 
 
@@ -3216,4 +3275,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _HLL_ORACLE,
         "profile_columns": _profile_oracle(),
+        "cluster_metrics": _CLUSTER_METRICS_ORACLE,
     }

@@ -521,3 +521,68 @@ def merge_edge_batch(
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
     )
     return merged.unionByName(fresh_assigned)
+
+
+def cluster_graph_metrics(
+    assignments: DataFrame,
+    edges: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+    score_col: str | None = None,
+    min_nodes: int = 2,
+) -> DataFrame:
+    """Per-cluster graph-quality metrics (Splink's cluster-metrics
+    counterpart): transitive closure links records that were never directly
+    compared, so a low-density cluster — few within-cluster match edges
+    relative to n(n-1)/2 — is the standard signal for a chained false merge,
+    and its weakest edge (min score) is the bridge a reviewer should cut.
+
+    Inputs: `assignments` (id_col, cluster_col) from assign_clusters;
+    `edges` (left_id, right_id[, score_col]) — the thresholded match pairs
+    the clustering consumed. Output per cluster with >= min_nodes members:
+    cluster_id, n_nodes, n_edges, density (2E/(n(n-1)), 4 dp), and when
+    score_col is given min_score / max_score (4 dp; order-free aggregates —
+    an avg would be addition-order-nondeterministic across engines).
+
+    Shape: two node-keyed hash joins attach cluster ids to edge endpoints,
+    then one per-cluster partial aggregation each side; nothing holds a
+    cluster's member list in a row, so a 10^8-member degenerate cluster is
+    just a big group, not an OOM. Edges whose endpoints landed in different
+    clusters (possible when `edges` is a superset of the thresholded match
+    set) are dropped rather than miscounted.
+    """
+    a = assignments.select(
+        F.col(id_col).alias("__n"), F.col(cluster_col).alias("__c")
+    )
+    score_aggs = []
+    if score_col is not None:
+        score_aggs = [
+            F.round(F.min(score_col), 4).alias("min_score"),
+            F.round(F.max(score_col), 4).alias("max_score"),
+        ]
+    sizes = (
+        assignments.groupBy(F.col(cluster_col).alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .where(F.col("n_nodes") >= min_nodes)
+    )
+    e = (
+        edges.join(a.withColumnRenamed("__n", "left_id"), "left_id")
+        .withColumnRenamed("__c", "__cl")
+        .join(a.withColumnRenamed("__n", "right_id"), "right_id")
+        .withColumnRenamed("__c", "__cr")
+        .where(F.col("__cl") == F.col("__cr"))
+    )
+    edge_stats = e.groupBy(F.col("__cl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_edges"), *score_aggs
+    )
+    out = sizes.join(edge_stats, "cluster_id", "left").withColumn(
+        "n_edges", F.coalesce("n_edges", F.lit(0))
+    )
+    density = F.round(
+        F.lit(2.0) * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+        4,
+    )
+    cols = ["cluster_id", "n_nodes", "n_edges", density.alias("density")]
+    if score_col is not None:
+        cols += ["min_score", "max_score"]
+    return out.select(*cols)

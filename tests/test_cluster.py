@@ -204,3 +204,45 @@ def test_merge_edge_batch_fresh_nodes_and_intra_cluster_edges(spark):
         for r in merge_edge_batch(assign, batch).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 3), (9, 3), (10, 10), (11, 10)}
+
+
+def test_cluster_graph_metrics_density_and_scores(spark):
+    from ditto_spark.operators.cluster import assign_clusters, cluster_graph_metrics
+
+    # triangle {1,2,3} (dense) + chain {4,5,6} (sparse) + singleton 7
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.9),
+            (2, 3, 0.8),
+            (1, 3, 0.7),
+            (4, 5, 0.6),
+            (5, 6, 0.55),
+        ],
+        "left_id long, right_id long, score double",
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "conv_id long")
+    a = assign_clusters(ids, edges.select("left_id", "right_id"))
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_graph_metrics(a, edges, score_col="score").collect()
+    }
+    tri, chain = out[1], out[4]
+    assert tri["n_nodes"] == 3 and tri["n_edges"] == 3 and tri["density"] == 1.0
+    assert tri["min_score"] == 0.7 and tri["max_score"] == 0.9
+    assert chain["n_nodes"] == 3 and chain["n_edges"] == 2
+    assert chain["density"] == round(2 * 2 / (3 * 2), 4)
+    assert 7 not in out  # singleton filtered at min_nodes=2
+
+
+def test_cluster_graph_metrics_cross_cluster_edges_dropped(spark):
+    from ditto_spark.operators.cluster import cluster_graph_metrics
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "conv_id long, cluster_id long"
+    )
+    # edge (2,3) straddles clusters: must not count anywhere
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 3)], "left_id long, right_id long"
+    )
+    out = {r["cluster_id"]: r for r in cluster_graph_metrics(a, edges).collect()}
+    assert out[1]["n_edges"] == 1 and out[3]["n_edges"] == 1
