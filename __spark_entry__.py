@@ -2228,6 +2228,46 @@ _CLUSTER_METRICS_ORACLE = (
 )
 
 
+def q_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified clerical-review worklist: rare-shingle
+    Jaccard pairs near the 0.5 decision boundary, bucketed into 0.05-wide
+    score strata, 5 pairs per stratum by md5 rank (sampling.
+    clerical_review_sample over quota_sample's skew-bounded path). A rerun
+    ships the identical worklist — reviewable sampling is reproducible
+    sampling."""
+    from ditto_spark.operators.sampling import clerical_review_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = _rare_shingle_pairs(docs)
+    return clerical_review_sample(
+        pairs.select("left_id", "right_id", F.col("jaccard").alias("score")),
+        threshold=0.5,
+        width=0.25,
+        bucket_width=0.05,
+        per_bucket=5,
+    )
+
+
+_REVIEW_SAMPLE_ORACLE = _ORACLE_SHINGLE_CTE + """
+    , windowed AS (
+      SELECT left_id, right_id, jaccard AS score,
+             floor((jaccard - 0.25) / 0.05)::INT AS bucket
+      FROM jp WHERE jaccard >= 0.25 AND jaccard <= 0.75
+    ), ranked AS (
+      SELECT bucket, left_id, right_id, score,
+             row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5('17:' || left_id || '|' || right_id),
+                        left_id || '|' || right_id
+             ) AS smp_rank
+      FROM windowed
+    )
+    SELECT bucket, round(0.25 + bucket * 0.05, 4) AS bucket_lo,
+           left_id, right_id, score, smp_rank
+    FROM ranked WHERE smp_rank <= 5
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2400,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
+        "review_sample": q_review_sample,
     }
 
 
@@ -3276,4 +3317,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_ORACLE,
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
+        "review_sample": _REVIEW_SAMPLE_ORACLE,
     }

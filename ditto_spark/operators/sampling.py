@@ -199,3 +199,52 @@ def strip_boilerplate_lines(
             (F.col("_n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def clerical_review_sample(
+    pairs: DataFrame,
+    score_col: str = "score",
+    threshold: float = 0.5,
+    width: float = 0.25,
+    bucket_width: float = 0.05,
+    per_bucket: int = 10,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic stratified sample of scored pairs near the decision
+    boundary for human clerical review (the manual step every production
+    linkage loop has; Splink's waterfall/comparison-viewer workflow). Pairs
+    with |score - threshold| <= width are bucketed into fixed-width score
+    strata and each stratum keeps `per_bucket` pairs by md5 rank — so
+    reviewers see the full ambiguity gradient, not whatever the optimizer
+    scheduled first, and a rerun ships the identical worklist.
+
+    Composes `quota_sample`, inheriting its skew bound: a stratum with 10^9
+    pairs costs a count-aggregate + a k+O(sqrt(k))-row window, never a
+    full-stratum sort. Output: bucket (int), bucket_lo (4 dp), both pair
+    ids, the score, and smp_rank (1-based within the bucket).
+    """
+    lo = threshold - width
+    w = (
+        pairs.where(
+            (F.col(score_col) >= F.lit(lo))
+            & (F.col(score_col) <= F.lit(threshold + width))
+        )
+        .withColumn(
+            "bucket",
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(bucket_width)).cast("int"),
+        )
+        .withColumn(
+            "__pair", F.concat_ws("|", F.col(left_col), F.col(right_col))
+        )
+    )
+    out = quota_sample(w, "bucket", per_bucket, id_col="__pair", seed=seed)
+    return out.select(
+        "bucket",
+        F.round(F.lit(lo) + F.col("bucket") * F.lit(bucket_width), 4).alias("bucket_lo"),
+        left_col,
+        right_col,
+        score_col,
+        "smp_rank",
+    )

@@ -163,3 +163,41 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     n = sum(fr.values())
     assert 0.6 < fr.get("train", 0) / n < 0.95
     out.unpersist()
+
+
+def test_clerical_review_sample_strata_and_determinism(spark):
+    from ditto_spark.operators.sampling import clerical_review_sample
+
+    import pyspark.sql.functions as F
+
+    pairs = spark.range(2000).select(
+        F.col("id").alias("left_id"),
+        (F.col("id") + 10000).alias("right_id"),
+        ((F.col("id") % 100) / 100.0).alias("score"),
+    )
+    out = clerical_review_sample(
+        pairs, threshold=0.5, width=0.2, bucket_width=0.1, per_bucket=3
+    )
+    rows = out.collect()
+    # window [0.3, 0.7] -> 4 full buckets of width .1 (+ boundary bucket 4)
+    assert all(0.3 <= r["score"] <= 0.7 for r in rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert all(len(v) <= 3 for v in by_bucket.values())
+    assert all(
+        sorted(x["smp_rank"] for x in v) == list(range(1, len(v) + 1))
+        for v in by_bucket.values()
+    )
+    # bucket_lo consistent with the bucket index
+    for r in rows:
+        assert r["bucket_lo"] == round(0.3 + r["bucket"] * 0.1, 4)
+        assert r["bucket_lo"] - 1e-9 <= r["score"]
+    # deterministic under repartition
+    again = sorted(
+        map(tuple, clerical_review_sample(
+            pairs.repartition(13), threshold=0.5, width=0.2,
+            bucket_width=0.1, per_bucket=3,
+        ).collect())
+    )
+    assert again == sorted(map(tuple, rows))
