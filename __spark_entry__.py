@@ -2268,6 +2268,38 @@ _REVIEW_SAMPLE_ORACLE = _ORACLE_SHINGLE_CTE + """
 """
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (Achlioptas ±1) 64→16 dim reduction of the
+    embedding table, long-form (vec_id, j, y) rounded to 6 dp — the
+    JL payload-shrink step ahead of ANN banding (4x fewer vector bytes in
+    every downstream shuffle); zero-exchange Catalyst projection."""
+    from ditto_spark.operators.ann import rp_project
+
+    emb = _load(spark, sf_dir, "embeddings")
+    proj = rp_project(emb, 64, 16)
+    return proj.select(
+        "vec_id", F.posexplode("rp").alias("j", "y")
+    ).select("vec_id", "j", F.round("y", 6).alias("y"))
+
+
+def _rp_oracle() -> str:
+    return """
+    WITH vecs AS (
+      SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS val
+      FROM embeddings, unnest(generate_series(1, 64)) u(i)
+    ), signs AS (
+      SELECT j.i AS j, d.i AS d,
+             CASE WHEN ('0x' || substr(md5('29:' || j.i || ':' || d.i), 1, 8))::BIGINT
+                       >= 2147483648 THEN 1.0 ELSE -1.0 END AS s
+      FROM unnest(generate_series(0, 15)) j(i),
+           unnest(generate_series(0, 63)) d(i)
+    )
+    SELECT v.vec_id, s.j, round(sum(v.val * s.s) / sqrt(16.0), 6) AS y
+    FROM vecs v JOIN signs s ON s.d = v.d
+    GROUP BY 1, 2
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2441,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "review_sample": q_review_sample,
+        "rp_project": q_rp_project,
     }
 
 
@@ -3318,4 +3351,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "review_sample": _REVIEW_SAMPLE_ORACLE,
+        "rp_project": _rp_oracle(),
     }

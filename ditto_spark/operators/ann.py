@@ -562,3 +562,53 @@ def semantic_dedup(
         F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
         F.col("dup_of").isNull().cast("int").alias("is_kept"),
     )
+
+
+def sign_matrix(in_dim: int, out_dim: int, seed: int = 29) -> "np.ndarray":
+    """Deterministic (out_dim, in_dim) ±1 sign matrix, engine-portable:
+    +1 iff the first 8 md5 hex chars of f"{seed}:{j}:{d}" parse >= 2^31
+    (DuckDB: ('0x' || substr(md5(...), 1, 8))::BIGINT >= 2147483648)."""
+    s = np.empty((out_dim, in_dim), dtype=np.float64)
+    for j in range(out_dim):
+        for d in range(in_dim):
+            h = int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16)
+            s[j, d] = 1.0 if h >= (1 << 31) else -1.0
+    return s
+
+
+def rp_project(
+    vectors: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Achlioptas 2003 dense
+    sign variant): y = (1/sqrt(k)) S x with S ∈ {±1}^(k×d) md5-derived —
+    the Johnson-Lindenstrauss preprocessing step that shrinks embedding
+    payloads before ANN banding / brute-force rerank (a 4x dim cut is a 4x
+    cut in every downstream shuffle's vector bytes).
+
+    ZERO-shuffle Catalyst projection: the sign matrix inlines as array
+    literals and each output component is a zip_with + sequential aggregate
+    fold over the input array — whole-stage codegen, no Python, no join
+    against a matrix table (the explode+join formulation this replaces
+    shuffles n*d rows). Deterministic: same input row -> same output on any
+    partitioning/engine (the fold order is fixed d=0..in_dim-1)."""
+    signs = sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for j in range(out_dim):
+        srow = F.array(*[F.lit(float(v)) for v in signs[j]])
+        comps.append(
+            F.aggregate(
+                F.zip_with(vec, srow, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * F.lit(scale)
+        )
+    return vectors.select(F.col(id_col), F.array(*comps).alias(out_col))

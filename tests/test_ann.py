@@ -291,3 +291,43 @@ def test_semantic_dedup_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_rp_project_matches_numpy_and_preserves_distances(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+    from ditto_spark.operators.ann import rp_project, sign_matrix
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["embedding"].values).astype(np.float64)
+    S = sign_matrix(64, 16)
+    expect = (X @ S.T) / np.sqrt(16.0)
+    got = (
+        rp_project(emb, 64, 16)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    Y = np.stack(got["rp"].values)
+    assert np.allclose(Y, expect, atol=1e-9)
+    # Johnson-Lindenstrauss: pairwise distances preserved in expectation
+    d_orig = np.linalg.norm(X[:30, None, :] - X[None, :30, :], axis=2)
+    d_proj = np.linalg.norm(Y[:30, None, :] - Y[None, :30, :], axis=2)
+    iu = np.triu_indices(30, 1)
+    ratio = d_proj[iu] / d_orig[iu]
+    assert 0.9 < ratio.mean() < 1.1
+    assert ratio.min() > 0.4 and ratio.max() < 1.9
+
+
+def test_rp_project_zero_exchange_plan(spark):
+    from ditto_spark.operators.ann import rp_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        rp_project(emb, 64, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
