@@ -2300,6 +2300,63 @@ def _rp_oracle() -> str:
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event log (30-min inactivity gap) +
+    per-session aggregates — the backfill counterpart of the streaming
+    `applyInPandasWithState` sessionizer, one actor-keyed exchange total.
+    Exact integer-microsecond time arithmetic (unix_micros / epoch_us)."""
+    from ditto_spark.operators.sessions import session_stats
+
+    ev = _load(spark, sf_dir, "events")
+    return session_stats(ev, gap_sec=1800).select(
+        "user_id", "session_idx", "n_events", "duration_us"
+    )
+
+
+_SESSION_STATS_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), s AS (
+      SELECT user_id, us,
+             sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           max(us) - min(us) AS duration_us
+    FROM s GROUP BY 1, 2
+"""
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation (here: per-user event stream) shape profile —
+    turn count, distinct types, span, max inter-turn gap — the triage
+    stats a transcript corpus health check starts from."""
+    from ditto_spark.operators.sessions import conversation_stats
+
+    ev = _load(spark, sf_dir, "events")
+    return conversation_stats(ev, conv_col="user_id")
+
+
+_CONV_STATS_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, count(*) AS n_turns,
+           count(DISTINCT event_type) AS n_types,
+           max(us) - min(us) AS span_us,
+           max(gap) AS max_gap_us
+    FROM o GROUP BY 1
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2474,6 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_metrics": q_cluster_metrics,
         "review_sample": q_review_sample,
         "rp_project": q_rp_project,
+        "session_stats": q_session_stats,
+        "conversation_stats": q_conversation_stats,
     }
 
 
@@ -3352,4 +3411,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "review_sample": _REVIEW_SAMPLE_ORACLE,
         "rp_project": _rp_oracle(),
+        "session_stats": _SESSION_STATS_ORACLE,
+        "conversation_stats": _CONV_STATS_ORACLE,
     }

@@ -57,6 +57,9 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin wall-clock interpretation: NTZ->instant casts (sessionize's
+        # microsecond arithmetic) must not depend on host tz or DST.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
