@@ -2357,6 +2357,32 @@ _CONV_STATS_ORACLE = """
 """
 
 
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex phonetic blocking keys (operators/phonetic.py) over
+    the first word of part names — the classic spelling-variant blocker
+    (Robert/Rupert → R163). Zero-shuffle regex-chain projection; the oracle
+    runs the literally identical algorithm via phonetic.soundex_sql."""
+    from ditto_spark.operators.phonetic import soundex_key
+
+    part = _load(spark, sf_dir, "part")
+    word = F.split(F.col("p_name"), " ")[0]
+    return part.select(
+        "p_partkey",
+        word.alias("word"),
+        soundex_key(word).alias("soundex"),
+    )
+
+
+def _soundex_oracle() -> str:
+    from ditto_spark.operators.phonetic import soundex_sql
+
+    return f"""
+    SELECT p_partkey, string_split(p_name, ' ')[1] AS word,
+           {soundex_sql("string_split(p_name, ' ')[1]")} AS soundex
+    FROM part
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2533,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "session_stats": q_session_stats,
         "conversation_stats": q_conversation_stats,
+        "soundex_keys": q_soundex_keys,
     }
 
 
@@ -3413,4 +3440,5 @@ def oracle_sql() -> dict[str, str]:
         "rp_project": _rp_oracle(),
         "session_stats": _SESSION_STATS_ORACLE,
         "conversation_stats": _CONV_STATS_ORACLE,
+        "soundex_keys": _soundex_oracle(),
     }
