@@ -2383,6 +2383,48 @@ def _soundex_oracle() -> str:
 """
 
 
+def q_soundex_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classical name-linkage composition: Soundex phonetic blocking →
+    Jaro-Winkler verify (Splink's default comparator) over the distinct
+    first words of part names. Pairs only form inside a soundex bucket
+    (equi-join, never a cross join); the Arrow-batched JW UDF scores the
+    bounded post-blocking volume. Oracle: DuckDB's builtin
+    jaro_winkler_similarity — bit-identical to the textbook variant our UDF
+    implements — over the identical soundex_sql buckets."""
+    from ditto_spark.operators.phonetic import jaro_winkler_udf, soundex_key
+
+    part = _load(spark, sf_dir, "part")
+    words = (
+        part.select(F.split(F.col("p_name"), " ")[0].alias("w"))
+        .distinct()
+        .withColumn("sx", soundex_key(F.col("w")))
+        .where(F.col("sx").isNotNull())
+    )
+    a = words.select(F.col("w").alias("w1"), "sx")
+    b = words.select(F.col("w").alias("w2"), "sx")
+    pairs = a.join(b, "sx").where(F.col("w1") < F.col("w2"))
+    jw = jaro_winkler_udf()
+    return pairs.select(
+        "sx", "w1", "w2", F.round(jw(F.col("w1"), F.col("w2")), 6).alias("jw")
+    )
+
+
+def _soundex_jw_oracle() -> str:
+    from ditto_spark.operators.phonetic import soundex_sql
+
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT string_split(p_name, ' ')[1] AS w FROM part
+    ), keyed AS (
+      SELECT w, {soundex_sql('w')} AS sx FROM words
+    )
+    SELECT a.sx, a.w AS w1, b.w AS w2,
+           round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+    FROM keyed a JOIN keyed b ON a.sx = b.sx AND a.w < b.w
+    WHERE a.sx IS NOT NULL
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2560,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "conversation_stats": q_conversation_stats,
         "soundex_keys": q_soundex_keys,
+        "soundex_jw_pairs": q_soundex_jw_pairs,
     }
 
 
@@ -3441,4 +3484,5 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _SESSION_STATS_ORACLE,
         "conversation_stats": _CONV_STATS_ORACLE,
         "soundex_keys": _soundex_oracle(),
+        "soundex_jw_pairs": _soundex_jw_oracle(),
     }

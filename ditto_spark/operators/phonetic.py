@@ -23,6 +23,8 @@ Algorithm (American Soundex, h/w collapse rule):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
@@ -79,3 +81,71 @@ def soundex_sql(expr: str) -> str:
         f"CASE WHEN length({s}) > 0 "
         f"THEN {first} || rpad(substr({body}, 1, 3), 3, '0') END"
     )
+
+
+def jaro_winkler_udf():
+    """Jaro-Winkler similarity (Winkler boost p=0.1, prefix<=4, boost only
+    when jaro > 0.7 — the textbook variant; DuckDB's builtin
+    jaro_winkler_similarity reproduces it bit-for-bit, which is what makes
+    the oracle exact) as an Arrow-batched pandas UDF — the comparator
+    Splink defaults to for name columns, slotting into the same
+    post-blocking verify position as scoring.edit_similarity_pairs.
+
+    The per-pair matching loop is inherently sequential (window-bounded
+    transpositions), so this is honest batched-Python, not a Catalyst
+    expression; pairs reaching it are post-blocking (bounded volume). Nulls
+    propagate as null."""
+    def _jaro(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        md = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        matches = 0
+        for i, c in enumerate(s1):
+            lo, hi = max(0, i - md), min(l2, i + md + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if matches == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+    def _jw(s1, s2):
+        j = _jaro(s1, s2)
+        if j > 0.7:
+            l = 0
+            for a, b in zip(s1[:4], s2[:4]):
+                if a != b:
+                    break
+                l += 1
+            return j + l * 0.1 * (1.0 - j)
+        return j
+
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        mask = a.isna() | b.isna()
+        out[mask.values] = np.nan
+        av, bv = a.values, b.values
+        for i in range(len(a)):
+            if not mask.iat[i]:
+                out[i] = _jw(av[i], bv[i])
+        return pd.Series(out)
+
+    return jw

@@ -64,3 +64,35 @@ def test_soundex_zero_exchange_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_jaro_winkler_canonical_values(spark):
+    from ditto_spark.operators.phonetic import jaro_winkler_udf
+
+    cases = [
+        ("martha", "marhta", 0.9611111111),
+        ("dixon", "dicksonx", 0.8133333333),
+        ("jellyfish", "smellyfish", 0.8962962963),  # jaro <= 0.7? no: no boost (prefix 0)
+        ("duane", "dwayne", 0.84),
+        ("crate", "trace", 0.7333333333),  # jaro > 0.7 but prefix 0
+        ("ab", "ba", 0.0),  # match window 0
+        ("abc", "abc", 1.0),
+        ("abc", "", 0.0),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string, expect double")
+    jw = jaro_winkler_udf()
+    import pyspark.sql.functions as F
+
+    rows = df.select("a", "b", "expect", jw(F.col("a"), F.col("b")).alias("got")).collect()
+    for r in rows:
+        assert abs(r["got"] - r["expect"]) < 1e-9, (r["a"], r["b"], r["got"])
+
+
+def test_jaro_winkler_nulls_propagate(spark):
+    from ditto_spark.operators.phonetic import jaro_winkler_udf
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("a", None), (None, "b"), ("x", "x")], "a string, b string")
+    jw = jaro_winkler_udf()
+    got = [r["j"] for r in df.select(jw(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert got[0] is None and got[1] is None and got[2] == 1.0
