@@ -2425,6 +2425,50 @@ def _soundex_jw_oracle() -> str:
 """
 
 
+def q_blocking_rule_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink-style cumulative-comparisons profile of the two union_blocking
+    rules (first-token key, source): per rule n_pairs / n_new (marginal
+    after earlier rules) / n_exclusive (recall lost by dropping it)."""
+    from ditto_spark.operators.fellegi import blocking_rule_profile
+
+    a, b = _fs_records(_load(spark, sf_dir, "documents"))
+    return blocking_rule_profile(
+        a, b, [F.col("blk"), F.col("src")], ["blk", "src"], mode="link"
+    )
+
+
+_BLOCKING_RULE_PROFILE_ORACLE = _FS_CTE + """
+    , tagged AS (
+      SELECT DISTINCT a.left_id, b.right_id, 0 AS rule_idx
+      FROM fa a JOIN fb b ON a.blk = b.blk
+      UNION ALL
+      SELECT DISTINCT a.left_id, b.right_id, 1 AS rule_idx
+      FROM fa a JOIN fb b ON a.src = b.src
+    ), totals AS (
+      SELECT rule_idx, count(*) AS n_pairs FROM tagged GROUP BY 1
+    ), pair_level AS (
+      SELECT left_id, right_id, min(rule_idx) AS first_rule,
+             count(*) AS n_rules
+      FROM tagged GROUP BY 1, 2
+    ), new AS (
+      SELECT first_rule AS rule_idx, count(*) AS n_new
+      FROM pair_level GROUP BY 1
+    ), excl AS (
+      SELECT t.rule_idx, count(*) AS n_exclusive
+      FROM tagged t JOIN pair_level p
+        ON p.left_id = t.left_id AND p.right_id = t.right_id
+       AND p.n_rules = 1
+      GROUP BY 1
+    )
+    SELECT t.rule_idx,
+           CASE t.rule_idx WHEN 0 THEN 'blk' ELSE 'src' END AS rule_name,
+           t.n_pairs, coalesce(n.n_new, 0) AS n_new,
+           coalesce(e.n_exclusive, 0) AS n_exclusive
+    FROM totals t LEFT JOIN new n USING (rule_idx)
+    LEFT JOIN excl e USING (rule_idx)
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2603,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "soundex_keys": q_soundex_keys,
         "soundex_jw_pairs": q_soundex_jw_pairs,
+        "blocking_rule_profile": q_blocking_rule_profile,
     }
 
 
@@ -3485,4 +3530,5 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": _CONV_STATS_ORACLE,
         "soundex_keys": _soundex_oracle(),
         "soundex_jw_pairs": _soundex_jw_oracle(),
+        "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
     }

@@ -345,3 +345,69 @@ def union_blocking(
     if mode == "dedupe":
         out = out.where(F.col(left_id) < F.col(right_id))
     return out.dropDuplicates([left_id, right_id])
+
+
+def blocking_rule_profile(
+    a: DataFrame,
+    b: DataFrame,
+    rules: list[Column | str],
+    rule_names: list[str] | None = None,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    mode: str = "link",
+) -> DataFrame:
+    """Per-rule blocking profile (Splink's cumulative-comparisons analysis,
+    the tuning loop for `union_blocking`): for each rule, how many candidate
+    pairs it generates (n_pairs), how many are NEW after all earlier rules
+    (n_new — order-dependent, the marginal cost of adding the rule), and how
+    many NO other rule finds (n_exclusive — the recall lost by dropping it).
+
+    One tagged union of per-rule distinct pairs feeds all three statistics:
+    per-rule totals from one groupBy(rule); n_new from the pair-level MIN
+    rule index; n_exclusive from pairs with exactly one firing rule. Only
+    bare (id, id, rule_idx) rows ever shuffle.
+    """
+    if rule_names is None:
+        rule_names = [f"rule_{i}" for i in range(len(rules))]
+    if len(rule_names) != len(rules):
+        raise ValueError("rule_names must match rules")
+    if mode not in ("link", "dedupe"):
+        raise ValueError(f"blocking_rule_profile: unknown mode {mode!r}")
+    tagged = None
+    for i, rule in enumerate(rules):
+        k = F.expr(rule) if isinstance(rule, str) else rule
+        la = a.select(F.col(left_id), k.alias("__k")).where(F.col("__k").isNotNull())
+        rb = b.select(F.col(right_id), k.alias("__k")).where(F.col("__k").isNotNull())
+        p = la.join(rb, "__k").select(left_id, right_id)
+        if mode == "dedupe":
+            p = p.where(F.col(left_id) < F.col(right_id))
+        p = p.distinct().withColumn("rule_idx", F.lit(i))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    totals = tagged.groupBy("rule_idx").agg(F.count(F.lit(1)).alias("n_pairs"))
+    pair_level = tagged.groupBy(left_id, right_id).agg(
+        F.min("rule_idx").alias("first_rule"),
+        F.count(F.lit(1)).alias("n_rules"),
+    )
+    new = pair_level.groupBy(F.col("first_rule").alias("rule_idx")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    excl = (
+        tagged.join(
+            pair_level.where(F.col("n_rules") == 1).select(left_id, right_id),
+            [left_id, right_id],
+        )
+        .groupBy("rule_idx")
+        .agg(F.count(F.lit(1)).alias("n_exclusive"))
+    )
+    names = F.array(*[F.lit(n) for n in rule_names])
+    return (
+        totals.join(new, "rule_idx", "left")
+        .join(excl, "rule_idx", "left")
+        .select(
+            "rule_idx",
+            F.element_at(names, F.col("rule_idx") + 1).alias("rule_name"),
+            "n_pairs",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_exclusive", F.lit(0)).alias("n_exclusive"),
+        )
+    )

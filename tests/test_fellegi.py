@@ -320,3 +320,38 @@ def test_comparison_vectors_keep_left_non_field_column(spark):
     ).collect()
     assert rows[0]["note"] == "extra-a"
     assert rows[0]["gamma_f"] == 1
+
+
+def test_blocking_rule_profile_counts(spark):
+    import pyspark.sql.functions as F
+    from ditto_spark.operators.fellegi import blocking_rule_profile
+
+    a = spark.createDataFrame(
+        [(1, "x", "p"), (2, "y", "p"), (3, "z", "q")],
+        "left_id long, k1 string, k2 string",
+    )
+    b = spark.createDataFrame(
+        [(10, "x", "p"), (11, "y", "r"), (12, "w", "q")],
+        "right_id long, k1 string, k2 string",
+    )
+    # rule0 (k1): (1,10), (2,11); rule1 (k2): (1,10), (2,10), (3,12)
+    out = {
+        r["rule_name"]: r
+        for r in blocking_rule_profile(
+            a, b, [F.col("k1"), F.col("k2")], ["k1", "k2"]
+        ).collect()
+    }
+    assert out["k1"]["n_pairs"] == 2 and out["k1"]["n_new"] == 2
+    assert out["k1"]["n_exclusive"] == 1  # (2,11) only via k1
+    assert out["k2"]["n_pairs"] == 3
+    assert out["k2"]["n_new"] == 2  # (2,10), (3,12); (1,10) already via k1
+    assert out["k2"]["n_exclusive"] == 2
+
+
+def test_blocking_rule_profile_null_keys_never_join(spark):
+    import pyspark.sql.functions as F
+    from ditto_spark.operators.fellegi import blocking_rule_profile
+
+    a = spark.createDataFrame([(1, None)], "left_id long, k string")
+    b = spark.createDataFrame([(2, None)], "right_id long, k string")
+    assert blocking_rule_profile(a, b, [F.col("k")]).count() == 0
