@@ -2469,6 +2469,29 @@ _BLOCKING_RULE_PROFILE_ORACLE = _FS_CTE + """
 """
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of document length WITHOUT a single-partition
+    global sort: two-phase global rank (range repartition + offset collect)
+    + broadcast join of the 3 target ranks — approx_percentile is
+    engine-specific estimation; this is the deterministic exact path that
+    survives 10^12 rows."""
+    from ditto_spark.operators.profile import exact_quantiles
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "n_chars", [0.5, 0.9, 0.99], tie_cols=["doc_id"])
+
+
+_EXACT_QUANTILES_ORACLE = """
+    SELECT t.prob, r.n_chars AS value
+    FROM (VALUES (0.5), (0.9), (0.99)) t(prob),
+         (SELECT count(*) AS c FROM documents WHERE n_chars IS NOT NULL) n,
+         (SELECT n_chars, doc_id,
+                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+          FROM documents WHERE n_chars IS NOT NULL) r
+    WHERE r.rk = greatest(cast(ceil(t.prob * n.c) AS BIGINT) - 1, 0)
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2648,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_keys": q_soundex_keys,
         "soundex_jw_pairs": q_soundex_jw_pairs,
         "blocking_rule_profile": q_blocking_rule_profile,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -3531,4 +3555,5 @@ def oracle_sql() -> dict[str, str]:
         "soundex_keys": _soundex_oracle(),
         "soundex_jw_pairs": _soundex_jw_oracle(),
         "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
+        "exact_quantiles": _EXACT_QUANTILES_ORACLE,
     }

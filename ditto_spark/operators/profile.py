@@ -70,3 +70,48 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "top_count",
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact distributed quantiles (percentile_disc / type-1 semantics: the
+    value at 1-based rank ceil(p*n)) without a single-partition global sort
+    — `approx_percentile` is estimation and engine-specific, and a plain
+    `ORDER BY` window funnels the corpus through one task. Built on
+    `blocking.global_rank` (range-repartition + per-partition offsets from
+    a tiny count collect + zero-exchange local positions); the quantile
+    lookup is then a broadcast semi-join of |probs| target ranks against
+    the ranked table. Null values are excluded (SQL percentile semantics).
+
+    `tie_cols` must make (value_col, *tie_cols) a total order so ranks are
+    deterministic. Output: (prob double, value) one row per prob, sorted
+    by prob.
+    """
+    from ditto_spark.operators.blocking import global_rank
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    import math
+
+    tie_cols = list(tie_cols or [])
+    vals = df.where(F.col(value_col).isNotNull())
+    n = vals.count()
+    if n == 0:
+        raise ValueError("exact_quantiles: no non-null values")
+    ranked = global_rank(vals, [value_col] + tie_cols, out_col="__rank")
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(float(p), max(int(math.ceil(p * n)) - 1, 0)) for p in sorted(set(probs))],
+        "prob double, __rank long",
+    )
+    return (
+        ranked.join(F.broadcast(targets), "__rank")
+        .select("prob", F.col(value_col).alias("value"))
+        .orderBy("prob")
+    )

@@ -44,3 +44,35 @@ def test_profile_partition_invariant(spark):
     a = sorted(map(tuple, profile_columns(df, ["k", "v"]).collect()))
     b = sorted(map(tuple, profile_columns(df.repartition(23), ["k", "v"]).collect()))
     assert a == b
+
+
+def test_exact_quantiles_known_values(spark):
+    from ditto_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 101)], "id long, v long")
+    out = {r["prob"]: r["value"] for r in exact_quantiles(df, "v", [0.5, 0.9, 1.0], ["id"]).collect()}
+    # type-1/percentile_disc: rank ceil(p*100)
+    assert out[0.5] == 500 and out[0.9] == 900 and out[1.0] == 1000
+
+
+def test_exact_quantiles_nulls_excluded_and_min_prob(spark):
+    from ditto_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 7)], "id long, v long"
+    )
+    out = {r["prob"]: r["value"] for r in exact_quantiles(df, "v", [0.01, 1.0], ["id"]).collect()}
+    assert out[0.01] == 5 and out[1.0] == 7
+
+
+def test_exact_quantiles_partition_invariant(spark):
+    from ditto_spark.operators.profile import exact_quantiles
+
+    df = spark.range(997).select(
+        F.col("id"), ((F.col("id") * 37) % 1000).alias("v")
+    )
+    a = sorted(map(tuple, exact_quantiles(df, "v", [0.25, 0.75], ["id"]).collect()))
+    b = sorted(
+        map(tuple, exact_quantiles(df.repartition(19), "v", [0.25, 0.75], ["id"]).collect())
+    )
+    assert a == b
