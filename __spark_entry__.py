@@ -2492,6 +2492,63 @@ _EXACT_QUANTILES_ORACLE = """
 """
 
 
+def q_idf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale RELATIONAL TF-IDF cosine scorer
+    (scoring.score_pairs_tfidf_relational — idf = ln(1 + N/df), broadcast
+    token index, no driver-side vocabulary) run end-to-end on the
+    rare-shingle candidates, now fully oracle-checked (previously only
+    F1-parity-tested against the dict-path surrogate)."""
+    from ditto_spark.operators.scoring import build_idf_df, score_pairs_tfidf_relational
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = _rare_shingle_pairs(docs).select("left_id", "right_id")
+    pt = pairs.join(
+        docs.select(F.col("doc_id").alias("left_id"), F.col("text").alias("left_txt")),
+        "left_id",
+    ).join(
+        docs.select(F.col("doc_id").alias("right_id"), F.col("text").alias("right_txt")),
+        "right_id",
+    )
+    idf = build_idf_df(docs.select(F.col("text").alias("txt")))
+    scored = score_pairs_tfidf_relational(pt, idf)
+    return scored.select(
+        "left_id", "right_id", F.round("prob", 6).alias("idf_cosine")
+    )
+
+
+_IDF_COSINE_ORACLE = _ORACLE_SHINGLE_CTE + r"""
+    , tokc AS (
+      SELECT doc_id, t AS token, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+            FROM documents)
+      WHERE t <> '' GROUP BY 1, 2
+    ), idf AS (
+      SELECT token,
+             ln(1.0 + (SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+      FROM tokc GROUP BY token
+    ), sq AS (
+      SELECT t.doc_id, sum(t.cnt * i.idf * t.cnt * i.idf) AS s
+      FROM tokc t JOIN idf i USING (token) GROUP BY 1
+    ), dots AS (
+      SELECT p.left_id, p.right_id,
+             sum(a.cnt * i.idf * b.cnt * i.idf) AS dot
+      FROM jp p
+      JOIN tokc a ON a.doc_id = p.left_id
+      JOIN tokc b ON b.doc_id = p.right_id AND b.token = a.token
+      JOIN idf i ON i.token = a.token
+      GROUP BY 1, 2
+    )
+    SELECT p.left_id, p.right_id,
+           round(CASE WHEN sa.s > 0 AND sb.s > 0
+                      THEN coalesce(d.dot, 0.0) / (sqrt(sa.s) * sqrt(sb.s))
+                      ELSE 0.0 END, 6) AS idf_cosine
+    FROM jp p
+    JOIN sq sa ON sa.doc_id = p.left_id
+    JOIN sq sb ON sb.doc_id = p.right_id
+    LEFT JOIN dots d ON d.left_id = p.left_id AND d.right_id = p.right_id
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2672,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_jw_pairs": q_soundex_jw_pairs,
         "blocking_rule_profile": q_blocking_rule_profile,
         "exact_quantiles": q_exact_quantiles,
+        "idf_cosine_pairs": q_idf_cosine_pairs,
     }
 
 
@@ -3556,4 +3614,5 @@ def oracle_sql() -> dict[str, str]:
         "soundex_jw_pairs": _soundex_jw_oracle(),
         "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
         "exact_quantiles": _EXACT_QUANTILES_ORACLE,
+        "idf_cosine_pairs": _IDF_COSINE_ORACLE,
     }
