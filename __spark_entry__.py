@@ -2321,9 +2321,9 @@ _SESSION_STATS_ORACLE = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), s AS (
       SELECT user_id, us,
-             sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+             (sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-                     ROWS UNBOUNDED PRECEDING) AS session_idx
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
       FROM o
     )
     SELECT user_id, session_idx, count(*) AS n_events,
@@ -2549,6 +2549,69 @@ _IDF_COSINE_ORACLE = _ORACLE_SHINGLE_CTE + r"""
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle CONTAINMENT c = |A∩B|/|A| alongside Jaccard —
+    the asymmetric near-dup signal Jaccard misses: a short doc quoted
+    wholesale inside a long one has tiny Jaccard but containment ≈ 1
+    (the decontamination/quote-detection measure; cf. Broder's
+    containment sketches). Same rare-shingle join as the Jaccard path —
+    containment is a projection over (common, na, nb), no extra shuffle."""
+    docs = _load(spark, sf_dir, "documents")
+    p = _rare_shingle_pairs(docs)
+    return p.select(
+        "left_id",
+        "right_id",
+        "jaccard",
+        (F.col("common_shingles") / F.col("na")).alias("containment_left"),
+        (F.col("common_shingles") / F.col("nb")).alias("containment_right"),
+    )
+
+
+_CONTAINMENT_ORACLE = _ORACLE_SHINGLE_CTE + """
+    SELECT p.left_id, p.right_id, p.jaccard,
+           p.common_shingles / sa.n_sh AS containment_left,
+           p.common_shingles / sb.n_sh AS containment_right
+    FROM jp p
+    JOIN sizes sa ON sa.doc_id = p.left_id
+    JOIN sizes sb ON sb.doc_id = p.right_id
+"""
+
+
+def q_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH (bands, rows) design curve: detection probability
+    1-(1-s^r)^b over a similarity grid for the pipeline's banding configs —
+    the planner table that justifies the chosen (b=16, r=4) production
+    banding and the portable (b=4, r=4) oracle variant. Pure arithmetic
+    projection, rounded to 6 dp (pow last-ulp differences absorb)."""
+    grid = spark.range(1, 20).select((F.col("id") / F.lit(20.0)).alias("s"))
+    rows = []
+    for b, r in [(4, 4), (8, 8), (16, 4)]:
+        rows.append(
+            grid.select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "s",
+                F.round(
+                    F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"), F.lit(r)), F.lit(b)),
+                    6,
+                ).alias("p_detect"),
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+_LSH_POWER_ORACLE = """
+    SELECT c.bands, c.rows_per_band, g.i / 20.0 AS s,
+           round(1.0 - pow(1.0 - pow(g.i / 20.0, c.rows_per_band), c.bands), 6)
+             AS p_detect
+    FROM (VALUES (4, 4), (8, 8), (16, 4)) c(bands, rows_per_band),
+         unnest(generate_series(1, 19)) g(i)
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style column profiling (null rate / cardinality / top-value
     concentration) over the attributes a linkage model would compare —
@@ -2572,8 +2635,8 @@ def _profile_oracle() -> str:
     counts AS (
       SELECT attr, value, count(*) AS cnt FROM long GROUP BY 1, 2
     ), per_attr AS (
-      SELECT attr, sum(cnt) AS n_rows,
-             sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS n_null,
+      SELECT attr, sum(cnt)::BIGINT AS n_rows,
+             sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END)::BIGINT AS n_null,
              count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct,
              sum(CASE WHEN value IS NOT NULL THEN length(value) * cnt END)::DOUBLE
                / sum(CASE WHEN value IS NOT NULL THEN cnt END) AS avg_len_raw
@@ -2730,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_rule_profile": q_blocking_rule_profile,
         "exact_quantiles": q_exact_quantiles,
         "idf_cosine_pairs": q_idf_cosine_pairs,
+        "containment_pairs": q_containment_pairs,
+        "lsh_power_curve": q_lsh_power_curve,
     }
 
 
@@ -3615,4 +3680,6 @@ def oracle_sql() -> dict[str, str]:
         "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
         "exact_quantiles": _EXACT_QUANTILES_ORACLE,
         "idf_cosine_pairs": _IDF_COSINE_ORACLE,
+        "containment_pairs": _CONTAINMENT_ORACLE,
+        "lsh_power_curve": _LSH_POWER_ORACLE,
     }

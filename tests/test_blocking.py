@@ -449,3 +449,30 @@ def test_allpairs_prefix_ceil_float_boundary_lossless(spark):
         and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.56
     }
     assert got == want
+
+
+def test_containment_asymmetry_on_planted_quote(spark):
+    """A short doc fully quoted inside a long one: low Jaccard, high
+    one-sided containment — the signal the containment query adds."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    rows = m._rare_shingle_pairs(docs).select(
+        "left_id", "right_id", "jaccard",
+        (F.col("common_shingles") / F.col("na")).alias("cl"),
+        (F.col("common_shingles") / F.col("nb")).alias("cr"),
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cl"] == 1.0  # every shingle of the short doc is contained
+    assert r["jaccard"] < 0.1  # Jaccard misses it
+    assert r["cr"] < 0.1
