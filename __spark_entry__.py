@@ -409,6 +409,37 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer token counting (the build brief's 'BPE-ish
+    regex' complement to whitespace token_stats): contraction suffixes,
+    space-prefixed letter runs, digit runs, punctuation runs — the RE2-safe
+    subset of the GPT-2 pattern (no lookahead), identical across Java regex
+    and DuckDB/RE2 (leftmost-first alternation both). Plus the ceil(len/4)
+    budget estimate the TF-IDF summarizer uses, for calibration against the
+    regex count."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, \"{_BPE_PATTERN}\", 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_tokens_len4"),
+    )
+
+
+def _bpe_oracle() -> str:
+    pat = _BPE_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
+           cast(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_len4
+    FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality heuristics: stopword ratio, duplicate-token ratio."""
     docs = _load(spark, sf_dir, "documents")
@@ -2795,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_cosine_pairs": q_idf_cosine_pairs,
         "containment_pairs": q_containment_pairs,
         "lsh_power_curve": q_lsh_power_curve,
+        "bpe_token_stats": q_bpe_token_stats,
     }
 
 
@@ -3682,4 +3714,5 @@ def oracle_sql() -> dict[str, str]:
         "idf_cosine_pairs": _IDF_COSINE_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
         "lsh_power_curve": _LSH_POWER_ORACLE,
+        "bpe_token_stats": _bpe_oracle(),
     }

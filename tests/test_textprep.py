@@ -371,3 +371,36 @@ def test_ngram_lm_score_ignores_empty_tokens(spark):
     r_dirty = ngram_lm_score(dirty, dirty).collect()[0]
     assert r_clean["n_bigrams"] == r_dirty["n_bigrams"] == 2
     assert r_clean["bits_per_token"] == r_dirty["bits_per_token"]
+
+
+def test_bpe_token_stats_pattern(spark):
+    """GPT-2-ish pre-tokenizer counts: contractions split, punctuation runs
+    grouped, space-prefixed words single tokens."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_bpe", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's here"),     # it + 's + ' here' -> 3
+            (2, "hello, world!"), # hello + ',' + ' world' + '!' -> 4
+            (3, "a1b2"),          # a + 1 + b + 2 -> 4
+            (4, ""),              # 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.size(
+                F.expr(f'regexp_extract_all(text, "{m._BPE_PATTERN}", 0)')
+            ).alias("n"),
+        ).collect()
+    }
+    assert out == {1: 3, 2: 4, 3: 4, 4: 0}
