@@ -738,6 +738,79 @@ def q_worker_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crowd_ds_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 Dawid-Skene, one EM step of the fully-relational formulation
+    (crowd.dawid_skene_relational, n_iter=1): vote-mean init → eps-smoothed
+    per-worker confusion weights → clamped empirical prior → log-likelihood
+    E-step. Every stage is a keyed join/aggregate, so this path scales to
+    vote tables that no longer fit one worker's memory — and one step is
+    plain SQL, giving the iterative EM family a full DuckDB value-check of
+    its step semantics (the k-step loop is pytest-checked against the
+    applyInPandas solver)."""
+    from ditto_spark.operators.crowd import dawid_skene_relational
+
+    votes = _event_votes(spark, sf_dir).withColumn(
+        "dataset", (F.col("task") % 4).cast("string")
+    )
+    out = dawid_skene_relational(votes, n_iter=1)
+    return out.select(
+        "dataset", "task", "crowd_label", F.round("p1", 9).alias("p1")
+    )
+
+
+_DS_EM_STEP_ORACLE = """
+WITH votes AS (
+  SELECT CAST((event_id % 500) % 4 AS VARCHAR) AS dataset,
+         CAST(event_id % 500 AS VARCHAR) AS task,
+         CAST(user_id % 7 AS VARCHAR) AS worker,
+         CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+  FROM events
+),
+p1 AS (
+  SELECT dataset, task, avg(label) AS p1 FROM votes GROUP BY dataset, task
+),
+w AS (
+  SELECT v.dataset, v.worker,
+         sum(p.p1 * v.label)             AS n11,
+         sum(p.p1 * (1 - v.label))       AS n10,
+         sum((1 - p.p1) * v.label)       AS n01,
+         sum((1 - p.p1) * (1 - v.label)) AS n00
+  FROM votes v JOIN p1 p ON v.dataset = p.dataset AND v.task = p.task
+  GROUP BY v.dataset, v.worker
+),
+prior AS (
+  SELECT dataset, least(greatest(avg(p1), 1e-9), 1 - 1e-9) AS prior1
+  FROM p1 GROUP BY dataset
+),
+e AS (
+  SELECT v.dataset, v.task,
+         sum(ln((CASE WHEN v.label = 1 THEN w.n11 ELSE w.n10 END + 1e-9)
+                / (w.n11 + w.n10 + 2e-9))) AS s1,
+         sum(ln((CASE WHEN v.label = 1 THEN w.n01 ELSE w.n00 END + 1e-9)
+                / (w.n01 + w.n00 + 2e-9))) AS s0
+  FROM votes v JOIN w ON v.dataset = w.dataset AND v.worker = w.worker
+  GROUP BY v.dataset, v.task
+),
+ll AS (
+  SELECT e.dataset, e.task,
+         ln(p.prior1) + e.s1     AS ll1,
+         ln(1 - p.prior1) + e.s0 AS ll0
+  FROM e JOIN prior p ON e.dataset = p.dataset
+),
+post AS (
+  SELECT dataset, task,
+         exp(ll1 - greatest(ll1, ll0))
+           / (exp(ll1 - greatest(ll1, ll0)) + exp(ll0 - greatest(ll1, ll0)))
+           AS p1
+  FROM ll
+)
+SELECT dataset, task,
+       CAST(CASE WHEN p1 > 0.5 THEN 1 ELSE 0 END AS INTEGER) AS crowd_label,
+       round(p1, 9) AS p1
+FROM post
+"""
+
+
 # ------------------------------------------- non-SQL (rows-only checked)
 
 
@@ -2778,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompt_render": q_prompt_render,
         "detect_language": q_detect_language,
         "crowd_wawa": q_crowd_wawa,
+        "crowd_ds_em_step": q_crowd_ds_em_step,
         "worker_pivot": q_worker_pivot,
         "crowd_glad": q_crowd_glad,
         "crowd_gold": q_crowd_gold,
@@ -3099,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cleaned
         """,
         "detect_language": _detect_language_sql(),
+        "crowd_ds_em_step": _DS_EM_STEP_ORACLE,
         "crowd_wawa": """
             WITH votes AS (
               SELECT event_id % 500 AS task, user_id % 7 AS worker,

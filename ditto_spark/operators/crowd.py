@@ -508,6 +508,97 @@ def dawid_skene(
     )
 
 
+def dawid_skene_relational(
+    votes: DataFrame,
+    dataset_col: str = "dataset",
+    task_col: str = "task",
+    worker_col: str = "worker",
+    label_col: str = "label",
+    n_iter: int = 20,
+    eps: float = 1e-9,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Binary Dawid-Skene EM expressed entirely in relational DataFrame ops
+    — the web-scale twin of `dawid_skene`.
+
+    `dawid_skene` (applyInPandas, matching the reference's driver-side numpy
+    solve at /root/reference/analyze_gpt.py:155-166) needs each dataset
+    group's full vote matrix inside one Python worker; at 10^9+ votes per
+    dataset that group no longer fits. This variant keeps every step as a
+    keyed join/aggregate — per iteration: one (dataset, task) join to attach
+    the current posterior to each vote, one (dataset, worker) aggregate for
+    the confusion-matrix weights, one (dataset) aggregate for the class
+    prior, one (dataset, worker) join + (dataset, task) aggregate for the
+    E-step log-likelihoods — so map-side partial aggregation and AQE handle
+    arbitrarily large vote tables, and no step ever materializes a matrix.
+    Lineage is cut with a lazy localCheckpoint every `checkpoint_every`
+    iterations (a persisted round table on a real cluster).
+
+    The math is identical to `dawid_skene`'s numpy EM (same vote-mean init,
+    eps-smoothed confusion rates pi[w,y,l] = (eps + n_yl)/(2*eps + n_y·),
+    clamped empirical prior, max-subtracted softmax posterior), so the two
+    agree to float tolerance; a single step (n_iter=1) is plain SQL and is
+    DuckDB-oracle-checked end-to-end (`crowd_ds_em_step`)."""
+    v = votes.select(
+        F.col(dataset_col).cast("string").alias("dataset"),
+        F.col(task_col).cast("string").alias("task"),
+        F.col(worker_col).cast("string").alias("worker"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    p1 = v.groupBy("dataset", "task").agg(F.avg("label").alias("p1"))
+    lab = F.col("label").cast("double")
+    for i in range(n_iter):
+        # M-step: eps-smoothed per-worker confusion-rate weights n[y, l]
+        w = (
+            v.join(p1, ["dataset", "task"])
+            .groupBy("dataset", "worker")
+            .agg(
+                F.sum(F.col("p1") * lab).alias("n11"),
+                F.sum(F.col("p1") * (1.0 - lab)).alias("n10"),
+                F.sum((1.0 - F.col("p1")) * lab).alias("n01"),
+                F.sum((1.0 - F.col("p1")) * (1.0 - lab)).alias("n00"),
+            )
+        )
+        prior = p1.groupBy("dataset").agg(
+            F.least(
+                F.greatest(F.avg("p1"), F.lit(eps)), F.lit(1.0 - eps)
+            ).alias("prior1")
+        )
+        # E-step: per-vote log pi[w, y, label], summed per task
+        num1 = F.when(F.col("label") == 1, F.col("n11")).otherwise(F.col("n10"))
+        num0 = F.when(F.col("label") == 1, F.col("n01")).otherwise(F.col("n00"))
+        e = (
+            v.join(w, ["dataset", "worker"])
+            .groupBy("dataset", "task")
+            .agg(
+                F.sum(
+                    F.log((num1 + eps) / (F.col("n11") + F.col("n10") + 2 * eps))
+                ).alias("s1"),
+                F.sum(
+                    F.log((num0 + eps) / (F.col("n01") + F.col("n00") + 2 * eps))
+                ).alias("s0"),
+            )
+        )
+        ll = e.join(prior, "dataset").select(
+            "dataset",
+            "task",
+            (F.log("prior1") + F.col("s1")).alias("ll1"),
+            (F.log(1.0 - F.col("prior1")) + F.col("s0")).alias("ll0"),
+        )
+        m = F.greatest("ll1", "ll0")
+        e1 = F.exp(F.col("ll1") - m)
+        e0 = F.exp(F.col("ll0") - m)
+        p1 = ll.select("dataset", "task", (e1 / (e1 + e0)).alias("p1"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            p1 = p1.localCheckpoint(eager=False)
+    return p1.select(
+        "dataset",
+        "task",
+        (F.col("p1") > 0.5).cast("int").alias("crowd_label"),
+        "p1",
+    )
+
+
 BWA_SCHEMA = "dataset string, task string, crowd_label int, z0 double, z1 double"
 
 

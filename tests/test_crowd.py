@@ -60,6 +60,55 @@ def test_dawid_skene_multiple_datasets_parallel(spark):
     assert ds == {"d1", "d2"}
 
 
+def test_dawid_skene_relational_matches_applyinpandas(spark):
+    """The relational EM and the per-group numpy EM implement the same
+    math, so at the same iteration count they agree to float tolerance —
+    on a richer corpus than _votes: 2 datasets × 40 tasks × 9 workers of
+    mixed reliability, including a noisy coin-flip worker."""
+    from ditto_spark.operators.crowd import dawid_skene_relational
+
+    rows = []
+    for d in ("d1", "d2"):
+        for t in range(40):
+            y = (t * 7 + (0 if d == "d1" else 3)) % 2
+            for w in range(9):
+                if w < 5:  # reliable
+                    lab = y
+                elif w < 7:  # adversarial
+                    lab = 1 - y
+                else:  # noisy, deterministic pseudo-coin
+                    lab = (t * 13 + w * 31) % 2
+                rows.append((d, f"t{t}", f"w{w}", lab))
+    votes = spark.createDataFrame(
+        rows, "dataset string, task string, worker string, label int"
+    )
+    a = {
+        (r["dataset"], r["task"]): (r["crowd_label"], r["p1"])
+        for r in dawid_skene(votes, n_iter=20).collect()
+    }
+    b = {
+        (r["dataset"], r["task"]): (r["crowd_label"], r["p1"])
+        for r in dawid_skene_relational(votes, n_iter=20).collect()
+    }
+    assert a.keys() == b.keys() and len(a) == 80
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert abs(a[k][1] - b[k][1]) < 1e-6, (k, a[k], b[k])
+
+
+def test_dawid_skene_relational_one_step_vote_mean_monotone(spark):
+    """After one relational EM step the reliable-majority tasks keep their
+    majority label (sanity for the oracle-checked single step)."""
+    from ditto_spark.operators.crowd import dawid_skene_relational
+
+    votes, truth = _votes(spark)
+    out = {
+        r["task"]: r["crowd_label"]
+        for r in dawid_skene_relational(votes, n_iter=1).collect()
+    }
+    assert out == truth
+
+
 def test_bwa_recovers_truth(spark):
     from ditto_spark.operators.crowd import bwa
 
