@@ -238,7 +238,14 @@ def main() -> None:
         for s in stages_hi
     )
     cal_rows = " · ".join(f"{n} procs → {v} effective" for n, v in cal.items())
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # SPARK_GRAFT_SCALE_MD redirects the generated markdown (e.g. to a
+    # dated repeat file) so a re-measure doesn't clobber BASELINE.md's
+    # hand-maintained analysis sections; raw JSONs honor the same suffix.
+    md_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_MD", os.path.join(REPO, "BENCH", "BASELINE.md")
+    )
+    json_suffix = os.environ.get("SPARK_GRAFT_SCALE_JSON_SUFFIX", "")
+    with open(md_path, "w") as f:
         f.write(f"""# BENCH — scaling evidence (north_rule two-cluster-size criterion)
 
 Same job, same deterministic input ({r_hi['n_turns']:,} turns,
@@ -345,9 +352,13 @@ proportionally larger input (10^12 turns), that fixed fraction vanishes.
 
 Raw JSON: `BENCH/scaling_{lo}.json`, `BENCH/scaling_{hi}.json`.
 """)
-    with open(os.path.join(REPO, "BENCH", f"scaling_{lo}.json"), "w") as f:
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_{lo}{json_suffix}.json"), "w"
+    ) as f:
         json.dump({**r_lo, "all_samples": samples_lo}, f, indent=2)
-    with open(os.path.join(REPO, "BENCH", f"scaling_{hi}.json"), "w") as f:
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_{hi}{json_suffix}.json"), "w"
+    ) as f:
         json.dump({**r_hi, "all_samples": samples_hi}, f, indent=2)
     print(json.dumps(summary))
 
