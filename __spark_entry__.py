@@ -2815,6 +2815,112 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs, "text", ["source"], p=9)
 
 
+_SCORED_FOR_CALIBRATION = """
+        SELECT (vec_id % 100) / 100.0 AS prob,
+               CASE WHEN (vec_id * 37) % 100 < vec_id % 100
+                    THEN 1 ELSE 0 END AS label
+        FROM embeddings
+"""
+
+
+def _scored_for_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic scored-pair stand-in over embeddings with a score-
+    dependent label rate: P(label=1 | prob=k/100) ≈ k/100 (the pseudo-
+    random draw (vec_id·37) mod 100 is uniform over residues), giving the
+    calibration queries a roughly-calibrated signal instead of noise.
+    Integer arithmetic only, so Spark and DuckDB derive identical rows."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb.select(
+        ((F.col("vec_id") % 100) / 100.0).alias("prob"),
+        ((F.col("vec_id") * 37) % 100 < F.col("vec_id") % 100)
+        .cast("int")
+        .alias("label"),
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC-AUC + average precision of a pairwise scorer —
+    threshold-free complements to the M4 sweep (ditto.py:98-109 tunes a
+    cutoff; this judges the ranking itself). Distinct-score histogram +
+    two-phase distributed prefix sums — no single-partition window."""
+    from ditto_spark.operators.evaluate import roc_auc
+
+    return roc_auc(_scored_for_calibration(spark, sf_dir))
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (10 equal-width bins) + ECE + Brier score for the
+    matcher's probability outputs — the pre-deployment check that p>τ
+    decisions rest on calibrated probabilities."""
+    from ditto_spark.operators.evaluate import calibration_bins
+
+    return calibration_bins(_scored_for_calibration(spark, sf_dir))
+
+
+def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-scaling calibration fit (8 Newton steps over the distinct-
+    score histogram, 2×2 solve driver-side; (a,b) rounded to 9 dp per
+    step as the cross-engine quantization convention). The DuckDB oracle
+    unrolls the identical steps as CTEs (the fs_em_params pattern)."""
+    from ditto_spark.operators.evaluate import platt_scale
+
+    return platt_scale(_scored_for_calibration(spark, sf_dir))
+
+
+def _platt_oracle_sql(iters: int = 8, ridge: float = 1e-9) -> str:
+    """Unrolled-Newton DuckDB oracle for q_platt_scaling: same histogram,
+    same smoothed targets, same ridge, same per-step round-9 quantization,
+    same expression trees as evaluate.platt_scale."""
+    sql = (
+        "WITH d AS (" + _SCORED_FOR_CALIBRATION + "), hist AS (\n"
+        "  SELECT prob AS s, count(*)::BIGINT AS n, sum(label)::BIGINT AS pos,\n"
+        "         (count(*) - sum(label))::BIGINT AS neg\n"
+        "  FROM d GROUP BY prob\n"
+        "), c AS (\n"
+        "  SELECT sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS q,\n"
+        "         (sum(pos) + 1.0) / (sum(pos) + 2.0) AS tpos,\n"
+        "         1.0 / (sum(neg) + 2.0) AS tneg\n"
+        "  FROM hist\n"
+        "), p0 AS (SELECT 0.0 AS a, round(ln((p + 1.0) / (q + 1.0)), 9) AS b FROM c)\n"
+    )
+    for t in range(iters):
+        sql += (
+            f", e{t} AS (\n"
+            f"  SELECT h.s, h.n, h.pos, h.neg,\n"
+            f"         1.0 / (1.0 + exp(-(p.a * h.s + p.b))) AS pp\n"
+            f"  FROM hist h, p{t} p\n"
+            f"), g{t} AS (\n"
+            f"  SELECT sum(e.s * (e.pos * (e.pp - c.tpos) + e.neg * (e.pp - c.tneg))) AS ga,\n"
+            f"         sum(e.pos * (e.pp - c.tpos) + e.neg * (e.pp - c.tneg)) AS gb,\n"
+            f"         sum(e.s * e.s * e.n * e.pp * (1.0 - e.pp)) + {ridge!r} AS haa,\n"
+            f"         sum(e.s * e.n * e.pp * (1.0 - e.pp)) AS hab,\n"
+            f"         sum(e.n * e.pp * (1.0 - e.pp)) + {ridge!r} AS hbb\n"
+            f"  FROM e{t} e, c\n"
+            f"), p{t + 1} AS (\n"
+            f"  SELECT round(p.a - (g.hbb * g.ga - g.hab * g.gb)\n"
+            f"               / (g.haa * g.hbb - g.hab * g.hab), 9) AS a,\n"
+            f"         round(p.b - (g.haa * g.gb - g.hab * g.ga)\n"
+            f"               / (g.haa * g.hbb - g.hab * g.hab), 9) AS b\n"
+            f"  FROM p{t} p, g{t} g\n"
+            f")\n"
+        )
+    last = f"p{iters}"
+    sql += (
+        f", fin AS (\n"
+        f"  SELECT h.pos, h.neg,\n"
+        f"         greatest(1.0 / (1.0 + exp(-(p.a * h.s + p.b))), 1e-15) AS pc,\n"
+        f"         greatest(1.0 - 1.0 / (1.0 + exp(-(p.a * h.s + p.b))), 1e-15) AS qc\n"
+        f"  FROM hist h, {last} p\n"
+        f")\n"
+        f"SELECT round(p.a, 6) AS a, round(p.b, 6) AS b,\n"
+        f"       c.p AS n_pos, c.q AS n_neg,\n"
+        f"       round(-sum(f.pos * (c.tpos * ln(f.pc) + (1.0 - c.tpos) * ln(f.qc))\n"
+        f"                + f.neg * (c.tneg * ln(f.pc) + (1.0 - c.tneg) * ln(f.qc))), 6) AS nll\n"
+        f"FROM fin f, {last} p, c GROUP BY p.a, p.b, c.p, c.q\n"
+    )
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "serialize_events": q_serialize_events,
@@ -2901,6 +3007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "lsh_power_curve": q_lsh_power_curve,
         "bpe_token_stats": q_bpe_token_stats,
+        "roc_auc": q_roc_auc,
+        "calibration_bins": q_calibration_bins,
+        "platt_scaling": q_platt_scaling,
     }
 
 
@@ -3790,4 +3899,48 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _CONTAINMENT_ORACLE,
         "lsh_power_curve": _LSH_POWER_ORACLE,
         "bpe_token_stats": _bpe_oracle(),
+        "roc_auc": "WITH d AS (" + _SCORED_FOR_CALIBRATION + """
+            ), hist AS (
+              SELECT prob AS s, count(*)::BIGINT AS n, sum(label)::BIGINT AS pos,
+                     (count(*) - sum(label))::BIGINT AS neg
+              FROM d GROUP BY prob
+            ), pref AS (
+              SELECT s, n, pos, neg,
+                     coalesce(sum(pos) OVER w, 0)::BIGINT AS cum_pos,
+                     coalesce(sum(neg) OVER w, 0)::BIGINT AS cum_neg
+              FROM hist
+              WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), t AS (SELECT sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS q FROM hist)
+            SELECT t.p AS n_pos, t.q AS n_neg,
+                   round(sum(pos * (cum_neg + neg / 2.0)) / (t.p * t.q), 9) AS auc,
+                   round(sum((pos / CAST(t.p AS DOUBLE))
+                         * ((t.p - cum_pos)
+                            / CAST((t.p - cum_pos) + (t.q - cum_neg) AS DOUBLE))),
+                         9) AS average_precision
+            FROM pref, t GROUP BY t.p, t.q
+        """,
+        "calibration_bins": "WITH d0 AS (" + _SCORED_FOR_CALIBRATION + """
+            ), d AS (
+              SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+                     prob AS p, label AS y
+              FROM d0
+            ), per AS (
+              SELECT bin, count(*)::BIGINT AS n, avg(p) AS mean_prob,
+                     avg(CAST(y AS DOUBLE)) AS frac_pos
+              FROM d GROUP BY bin
+            ), s AS (
+              SELECT count(*)::BIGINT AS n_total,
+                     avg((p - y) * (p - y)) AS brier
+              FROM d
+            ), e AS (
+              SELECT sum((per.n / CAST(s.n_total AS DOUBLE))
+                         * abs(per.frac_pos - per.mean_prob)) AS ece
+              FROM per, s
+            )
+            SELECT per.bin, per.n, round(per.mean_prob, 9) AS mean_prob,
+                   round(per.frac_pos, 9) AS frac_pos,
+                   round(s.brier, 9) AS brier, round(e.ece, 9) AS ece
+            FROM per, s, e
+        """,
+        "platt_scaling": _platt_oracle_sql(),
     }

@@ -330,3 +330,263 @@ def cluster_agreement(
         F.round(ari, ndigits).alias("adjusted_rand"),
         F.round(nmi, ndigits).alias("nmi"),
     )
+
+
+def _ordered_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    parts: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sums of `sum_cols` over `order_col` ascending
+    (rows with order_col values strictly below; `order_col` must be unique
+    per row — feed a groupBy(order_col) histogram). A plain
+    `sum() OVER (ORDER BY …)` funnels everything through ONE partition;
+    this is the scale-safe two-phase form (the global_rank /
+    pack_pretraining_chunks idiom): range-repartition on the order column,
+    collect one tiny partial-sum row per partition to the driver, then add
+    offset + local exclusive cumsum in a zero-exchange Arrow pass."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_parts = parts or spark.sparkContext.defaultParallelism * 2
+    by_range = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = {
+        r["pid"]: [r[c] for c in sum_cols]
+        for r in by_range.groupBy("pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    offsets, acc = {}, [0] * len(sum_cols)
+    for pid in sorted(partials):
+        offsets[pid] = list(acc)
+        acc = [a + (p or 0) for a, p in zip(acc, partials[pid])]
+    schema = StructType(
+        [f for f in by_range.schema.fields if f.name != "pid"]
+        + [StructField(f"cum_{c}", LongType()) for c in sum_cols]
+    )
+    offs = dict(offsets)
+    cols = list(sum_cols)
+
+    def _assign(batches):
+        carry = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if carry is None:
+                carry = list(offs[int(b["pid"].iloc[0])])
+            out = b.drop(columns=["pid"])
+            for i, c in enumerate(cols):
+                cs = b[c].cumsum()
+                out[f"cum_{c}"] = cs - b[c] + carry[i]  # exclusive
+                carry[i] += int(cs.iloc[-1])
+            yield out
+
+    res = by_range.mapInPandas(_assign, schema=schema)
+    return res
+
+
+def roc_auc(
+    scored_with_labels: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    ndigits: int = 9,
+) -> DataFrame:
+    """Tie-corrected ROC-AUC (Mann-Whitney U) + average precision (the
+    PR-curve summary, sklearn `average_precision_score` semantics with
+    tied scores grouped) — the threshold-free complements to the M4 sweep
+    for judging a pairwise scorer before a cutoff is chosen. One row out:
+    (n_pos, n_neg, auc, average_precision).
+
+    Scale shape: ONE data-sized groupBy collapses the corpus to the
+    distinct-score histogram (s, n, pos); everything after runs on
+    histogram rows. The running counts below each score come from the
+    two-phase distributed prefix sum (`_ordered_prefix_sums`) — no
+    single-partition window even when the score space is large. With
+    cum_neg<(s) exclusive:  U = Σ_s pos(s)·(cum_neg<(s) + neg(s)/2),
+    AUC = U / (P·Q);  AP = Σ_s (pos(s)/P) · TP(s)/(TP(s)+FP(s)) over
+    descending thresholds, with TP(s) = P − cum_pos<(s). Integer cumsums
+    are exact, so the DuckDB oracle reproduces both to 9 dp.
+
+    Raises ValueError when either class is absent (AUC undefined)."""
+    hist = (
+        scored_with_labels.groupBy(F.col(prob_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
+        .withColumn("neg", F.col("n") - F.col("pos"))
+        .persist()
+    )
+    tot = hist.agg(F.sum("pos").alias("p"), F.sum("neg").alias("q")).collect()[0]
+    p_tot, q_tot = int(tot["p"] or 0), int(tot["q"] or 0)
+    if p_tot == 0 or q_tot == 0:
+        hist.unpersist()
+        raise ValueError(
+            f"roc_auc: needs both classes present (n_pos={p_tot}, n_neg={q_tot})"
+        )
+    pref = _ordered_prefix_sums(hist, "s", ["pos", "neg"])
+    P, Q = F.lit(float(p_tot)), F.lit(float(q_tot))
+    tp = P - F.col("cum_pos")  # records scoring >= s that are positive
+    fp = Q - F.col("cum_neg")
+    agg = pref.agg(
+        F.sum(
+            F.col("pos") * (F.col("cum_neg") + F.col("neg") / F.lit(2.0))
+        ).alias("u"),
+        F.sum((F.col("pos") / P) * (tp / (tp + fp))).alias("ap"),
+    )
+    return agg.select(
+        F.lit(p_tot).cast("long").alias("n_pos"),
+        F.lit(q_tot).cast("long").alias("n_neg"),
+        F.round(F.col("u") / (P * Q), ndigits).alias("auc"),
+        F.round(F.col("ap"), ndigits).alias("average_precision"),
+    )
+
+
+def calibration_bins(
+    scored_with_labels: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+    ndigits: int = 9,
+) -> DataFrame:
+    """Reliability table + scalar calibration metrics for a probabilistic
+    matcher: equal-width probability bins with (n, mean predicted prob,
+    observed positive rate), plus the expected calibration error
+    ECE = Σ_b (n_b/N)·|frac_pos_b − mean_prob_b| and the Brier score
+    mean((p−y)²) attached to every row (single-row summary cross-joined —
+    no data movement). The standard pre-deployment check that match
+    probabilities mean what they say before a τ cutoff is trusted.
+
+    Shape: one groupBy on the bin index (≤ n_bins keys) + one global agg;
+    zero windows, zero UDFs. bin = least(floor(p·n_bins), n_bins−1) is the
+    same IEEE arithmetic in Spark and DuckDB, so binning is engine-exact."""
+    b = scored_with_labels.select(
+        F.least(
+            F.floor(F.col(prob_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.col(prob_col).alias("p"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("mean_prob"),
+        F.avg("y").alias("frac_pos"),
+    )
+    summary = b.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("brier"),
+    )
+    ece = (
+        per.crossJoin(summary)
+        .agg(
+            F.sum(
+                (F.col("n") / F.col("n_total"))
+                * F.abs(F.col("frac_pos") - F.col("mean_prob"))
+            ).alias("ece")
+        )
+    )
+    return (
+        per.crossJoin(summary.select("brier"))
+        .crossJoin(ece)
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round("mean_prob", ndigits).alias("mean_prob"),
+            F.round("frac_pos", ndigits).alias("frac_pos"),
+            F.round("brier", ndigits).alias("brier"),
+            F.round("ece", ndigits).alias("ece"),
+        )
+    )
+
+
+def platt_scale(
+    scored_with_labels: DataFrame,
+    score_col: str = "prob",
+    label_col: str = "label",
+    iters: int = 8,
+    ridge: float = 1e-9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Platt scaling (Platt 1999): fit p(y=1|s) = sigmoid(a·s + b) to raw
+    matcher scores by Newton-Raphson on the regularized NLL with Platt's
+    smoothed targets t+ = (P+1)/(P+2), t− = 1/(Q+2) — the classical score
+    calibrator that turns an uncalibrated cross-encoder / FS log-odds
+    score into a probability the τ threshold can trust. One row out:
+    (a, b, n_pos, n_neg, nll).
+
+    Scale shape: ONE data-sized groupBy collapses the corpus to the
+    distinct-score histogram; each Newton step is then a single 5-sum
+    aggregate over histogram rows (gradient + 2×2 Hessian), solved on the
+    driver — estimation cost per step is independent of corpus size, and
+    only 2 scalars ever live driver-side. Fixed `iters` steps, no
+    early-exit (deterministic trajectory).
+
+    Cross-engine convention: (a, b) are rounded to 9 dp after every step,
+    so last-ulp differences between JVM/libm exp-log and the oracle
+    engine's cannot accumulate — the DuckDB oracle unrolls the identical
+    steps as CTEs and reproduces the trajectory exactly (the fs_em_params
+    pattern). Init: a=0, b=round(ln((P+1)/(Q+1)), 9)."""
+    import math
+
+    spark = scored_with_labels.sparkSession
+    hist = (
+        scored_with_labels.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
+        .withColumn("neg", F.col("n") - F.col("pos"))
+        .persist()
+    )
+    tot = hist.agg(F.sum("pos").alias("p"), F.sum("neg").alias("q")).collect()[0]
+    p_tot, q_tot = int(tot["p"] or 0), int(tot["q"] or 0)
+    if p_tot == 0 or q_tot == 0:
+        hist.unpersist()
+        raise ValueError(
+            f"platt_scale: needs both classes present (n_pos={p_tot}, n_neg={q_tot})"
+        )
+    t_pos = (p_tot + 1.0) / (p_tot + 2.0)
+    t_neg = 1.0 / (q_tot + 2.0)
+    a = 0.0
+    b = round(math.log((p_tot + 1.0) / (q_tot + 1.0)), 9)
+    for _ in range(iters):
+        z = F.lit(a) * F.col("s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = F.col("n") * p * (F.lit(1.0) - p)
+        r = F.col("pos") * (p - F.lit(t_pos)) + F.col("neg") * (p - F.lit(t_neg))
+        g = hist.agg(
+            F.sum(F.col("s") * r).alias("ga"),
+            F.sum(r).alias("gb"),
+            F.sum(F.col("s") * F.col("s") * w).alias("haa"),
+            F.sum(F.col("s") * w).alias("hab"),
+            F.sum(w).alias("hbb"),
+        ).collect()[0]
+        ga, gb = float(g["ga"]), float(g["gb"])
+        haa, hab, hbb = float(g["haa"]) + ridge, float(g["hab"]), float(g["hbb"]) + ridge
+        det = haa * hbb - hab * hab
+        a = round(a - (hbb * ga - hab * gb) / det, 9)
+        b = round(b - (haa * gb - hab * ga) / det, 9)
+    z = F.lit(a) * F.col("s") + F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    pc = F.greatest(p, F.lit(1e-15))
+    qc = F.greatest(F.lit(1.0) - p, F.lit(1e-15))
+    nll_row = hist.agg(
+        (
+            -F.sum(
+                F.col("pos") * (F.lit(t_pos) * F.log(pc) + F.lit(1.0 - t_pos) * F.log(qc))
+                + F.col("neg") * (F.lit(t_neg) * F.log(pc) + F.lit(1.0 - t_neg) * F.log(qc))
+            )
+        ).alias("nll")
+    ).collect()[0]
+    hist.unpersist()
+    return spark.createDataFrame(
+        [(round(a, ndigits), round(b, ndigits), p_tot, q_tot,
+          round(float(nll_row["nll"]), ndigits))],
+        "a double, b double, n_pos long, n_neg long, nll double",
+    )
