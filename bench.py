@@ -9,10 +9,11 @@ Robustness (round-2 fix — the round-1 driver run landed 4.2x above the
 committed number because this VM shows sporadic ~10x stalls — root-caused
 in round 3 to lazy heap commit against a host that zeroes pages at
 ~130-300 MB/s): one untimed full-size warm-up pass per JVM pays the heap
-commit + JIT (wall time reported in `warmup_run_sec`), then the flagship
-query runs $SPARK_GRAFT_BENCH_REPEAT (default 2) timed passes with the
-cache cleared between runs (cold data, warm JIT — steady-state cost); the
-MINIMUM is the headline and every run is reported in `flagship_runs`.
+commit + JIT (wall time reported in `warmup_run_sec`), then EVERY timed
+query — flagship and per-query alike — runs $SPARK_GRAFT_BENCH_REPEAT
+(default 3) timed passes with the cache cleared between runs (cold data,
+warm JIT — steady-state cost); the MINIMUM is the recorded number and
+every pass is reported (`flagship_runs`, `query_runs`).
 Per-stage wall times for the flagship (serialize / blocking / score /
 connected components) ride along in `stages`, and the host's 1-minute load
 average is sampled before and after so a contended run is visible in the
@@ -109,11 +110,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    query_runs: dict[str, list[float]] = {}
 
     def timed(name: str, df) -> None:
-        t0 = time.monotonic()
-        counts[name] = _force(df)
-        timings[name] = round(time.monotonic() - t0, 3)
+        # min-of-`repeat` passes (round-3 hardening): a single pass taken
+        # inside a degraded host window lands the stall in the recorded
+        # number (measured: minhash_lsh_candidates 33.1 s single-pass under
+        # heap-commit decay vs 6.8 s steady state on the same commit). The
+        # cache is cleared before every pass so query-internal persists
+        # don't turn pass 2 into a cache read; _force's own cache is
+        # unpersisted per pass, so each pass recomputes end-to-end.
+        runs: list[float] = []
+        for _ in range(repeat):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            counts[name] = _force(df)
+            runs.append(round(time.monotonic() - t0, 3))
+        query_runs[name] = runs
+        timings[name] = min(runs)
 
     # --- flagship: full transcript linkage (serialize → LSH → Arrow-UDF
     # scorer → threshold → connected components) on the deterministic
@@ -259,6 +273,7 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 "rows": counts,
+                "query_runs": query_runs,
                 "stages": stages,
                 "flagship_runs": flagship_runs,
                 "warmup_run_sec": warmup_sec,
