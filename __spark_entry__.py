@@ -2529,6 +2529,119 @@ def _soundex_jw_oracle() -> str:
 """
 
 
+def q_pprl_dice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving record linkage (operators/pprl.py — Schnell et al.
+    2009 Bloom-filter encodings): distinct part-name first words are encoded
+    to 60-bit blooms (zero-shuffle nested-transform projection), candidates
+    come from Bloom-bit-sampling LSH bands through the SAME salted band
+    equi-join as the MinHash path, and Dice 2|A∧B|/(|A|+|B|) verifies on
+    pure integer bit_counts. The "identifier" population is the distinct
+    two-word part-name prefixes — short name-like strings (60-bit filters
+    saturate on long text; PPRL is a short-identifier method by design).
+    Oracle caveat (as embedding_near_dup): the SQL
+    twin models the unsalted band join — exact while every (band,key)
+    bucket stays under max_bucket, true at oracle scale by construction."""
+    from ditto_spark.operators.pprl import pprl_bloom_encode, pprl_dice_pairs
+
+    part = _load(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    words = part.select(
+        F.concat_ws(" ", toks[0], toks[1]).alias("w")
+    ).distinct()
+    enc = pprl_bloom_encode(words, "w", "w")
+    out = pprl_dice_pairs(
+        enc, id_col="w", bands=8, bits_per_band=6, min_dice=0.7
+    )
+    return out.select(
+        F.col("left_id").alias("w1"),
+        F.col("right_id").alias("w2"),
+        F.round("dice", 9).alias("dice"),
+    )
+
+
+def _pprl_oracle() -> str:
+    from ditto_spark.operators.pprl import (
+        band_key_sql,
+        band_positions,
+        bloom_sql,
+        dice_sql,
+    )
+
+    pos = band_positions(8, 6, n_bits=60)
+    keys = ", ".join(
+        f"{band_key_sql('bloom', p)} AS k{i}" for i, p in enumerate(pos)
+    )
+    collide = " OR ".join(f"a.k{i} = b.k{i}" for i in range(len(pos)))
+    dice = dice_sql("a.bloom", "b.bloom")
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT string_split(p_name, ' ')[1] || ' ' ||
+                      string_split(p_name, ' ')[2] AS w FROM part
+    ), enc AS (
+      SELECT w, {bloom_sql('w')} AS bloom FROM words
+    ), keyed AS (
+      SELECT w, bloom, {keys} FROM enc WHERE bloom IS NOT NULL
+    )
+    SELECT a.w AS w1, b.w AS w2, round({dice}, 9) AS dice
+    FROM keyed a JOIN keyed b ON a.w < b.w
+    WHERE ({collide}) AND {dice} >= 0.7
+"""
+
+
+def q_monge_elkan_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan hybrid comparator (phonetic.monge_elkan_scores) with a
+    Jaro-Winkler inner similarity over soundex-blocked distinct part names —
+    the token-set name comparator whole-string JW misses (reordered tokens
+    score high). One pair-keyed token-cross join, both ME directions
+    aggregated from it; the oracle computes the identical mean-of-max via
+    DuckDB list lambdas over its bit-identical builtin JW."""
+    from ditto_spark.operators.phonetic import monge_elkan_scores, soundex_key
+
+    part = _load(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("n"))
+        .distinct()
+        .withColumn("sx", soundex_key(F.split(F.col("n"), " ")[0]))
+        .where(F.col("sx").isNotNull())
+    )
+    a = names.select(F.col("n").alias("n1"), "sx")
+    b = names.select(F.col("n").alias("n2"), "sx")
+    pairs = a.join(b, "sx").where(F.col("n1") < F.col("n2")).select("n1", "n2")
+    return monge_elkan_scores(pairs, "n1", "n2", ["n1", "n2"]).select(
+        "n1", "n2", F.round("monge_elkan", 9).alias("monge_elkan")
+    )
+
+
+def _monge_elkan_oracle() -> str:
+    from ditto_spark.operators.phonetic import soundex_sql
+
+    jw = "jaro_winkler_similarity"
+    me_ab = (
+        f"list_avg(list_transform(ta, a -> "
+        f"list_max(list_transform(tb, b -> {jw}(a, b)))))"
+    )
+    me_ba = (
+        f"list_avg(list_transform(tb, b -> "
+        f"list_max(list_transform(ta, a -> {jw}(a, b)))))"
+    )
+    return f"""
+    WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+    keyed AS (
+      SELECT n, {soundex_sql("string_split(n, ' ')[1]")} AS sx FROM names
+    ),
+    pairs AS (
+      SELECT a.n AS n1, b.n AS n2 FROM keyed a
+      JOIN keyed b ON a.sx = b.sx AND a.n < b.n
+      WHERE a.sx IS NOT NULL
+    ),
+    tok AS (
+      SELECT n1, n2, string_split(n1, ' ') AS ta, string_split(n2, ' ') AS tb
+      FROM pairs
+    )
+    SELECT n1, n2, round(({me_ab} + {me_ba}) / 2, 9) AS monge_elkan FROM tok
+"""
+
+
 def q_blocking_rule_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style cumulative-comparisons profile of the two union_blocking
     rules (first-token key, source): per rule n_pairs / n_new (marginal
@@ -3001,6 +3114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "soundex_keys": q_soundex_keys,
         "soundex_jw_pairs": q_soundex_jw_pairs,
+        "pprl_dice_pairs": q_pprl_dice_pairs,
+        "monge_elkan_pairs": q_monge_elkan_pairs,
         "blocking_rule_profile": q_blocking_rule_profile,
         "exact_quantiles": q_exact_quantiles,
         "idf_cosine_pairs": q_idf_cosine_pairs,
@@ -3893,6 +4008,8 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": _CONV_STATS_ORACLE,
         "soundex_keys": _soundex_oracle(),
         "soundex_jw_pairs": _soundex_jw_oracle(),
+        "pprl_dice_pairs": _pprl_oracle(),
+        "monge_elkan_pairs": _monge_elkan_oracle(),
         "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
         "exact_quantiles": _EXACT_QUANTILES_ORACLE,
         "idf_cosine_pairs": _IDF_COSINE_ORACLE,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 _GROUPS = [
@@ -149,3 +149,56 @@ def jaro_winkler_udf():
         return pd.Series(out)
 
     return jw
+
+
+def monge_elkan_scores(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    key_cols: list[str],
+    symmetric: bool = True,
+) -> DataFrame:
+    """Monge-Elkan hybrid comparator (Monge & Elkan 1996): for multi-token
+    strings, ME(A,B) = mean over tokens a in A of max over tokens b in B of
+    an inner token similarity — here Jaro-Winkler, the classical pairing for
+    name fields ("jonathan q smith" vs "smith, jonathon" scores high where
+    whole-string JW collapses). `symmetric=True` returns the standard
+    symmetrized (ME(A,B) + ME(B,A)) / 2 so argument order never matters.
+
+    Relational plan (the 100 TB shape): both sides posexplode to
+    (pair-key, token_idx, token); ONE pair-keyed equi-join forms the
+    per-pair token cross (volume = sum over pairs of |A|x|B| tokens —
+    bounded post-blocking, never a corpus cross join); the Arrow-batched JW
+    UDF scores it; BOTH directions aggregate from that single crossed table
+    (max per source-token, then avg per pair). Per-pair work is bounded by
+    its own token counts, so no key is hotter than its longest string.
+
+    `key_cols` must uniquely identify a pair. Rows whose split yields no
+    token on either side drop out (inner join) — the caller's null policy.
+    """
+    jw = jaro_winkler_udf()
+    ta = pairs.select(
+        *key_cols, F.posexplode(F.split(F.col(left_col), " ")).alias("ai", "at")
+    )
+    tb = pairs.select(
+        *key_cols, F.posexplode(F.split(F.col(right_col), " ")).alias("bi", "bt")
+    )
+    crossed = ta.join(tb, key_cols).withColumn(
+        "s", jw(F.col("at"), F.col("bt"))
+    )
+    ab = (
+        crossed.groupBy(*key_cols, "ai")
+        .agg(F.max("s").alias("m"))
+        .groupBy(*key_cols)
+        .agg(F.avg("m").alias("me_ab"))
+    )
+    if not symmetric:
+        return ab.select(*key_cols, F.col("me_ab").alias("monge_elkan"))
+    ba = (
+        crossed.groupBy(*key_cols, "bi")
+        .agg(F.max("s").alias("m"))
+        .groupBy(*key_cols)
+        .agg(F.avg("m").alias("me_ba"))
+    )
+    me = (F.col("me_ab") + F.col("me_ba")) / 2
+    return ab.join(ba, key_cols).select(*key_cols, me.alias("monge_elkan"))

@@ -96,3 +96,76 @@ def test_jaro_winkler_nulls_propagate(spark):
     jw = jaro_winkler_udf()
     got = [r["j"] for r in df.select(jw(F.col("a"), F.col("b")).alias("j")).collect()]
     assert got[0] is None and got[1] is None and got[2] == 1.0
+
+
+def test_monge_elkan_matches_hand_computation(spark):
+    """ME vs a driver-side reimplementation using DuckDB's builtin JW (which
+    test_jaro_winkler_canonical_values pins as bit-identical to our UDF)."""
+    import duckdb
+
+    from ditto_spark.operators.phonetic import monge_elkan_scores
+
+    pairs = [
+        ("p1", "jonathan q smith", "smith jonathon"),
+        ("p2", "margaret thatcher", "thatcher m"),
+        ("p3", "abc", "abc"),
+    ]
+    df = spark.createDataFrame(pairs, "pid string, a string, b string")
+    got = {
+        r["pid"]: r["monge_elkan"]
+        for r in monge_elkan_scores(df, "a", "b", ["pid"]).collect()
+    }
+
+    con = duckdb.connect()
+
+    def jw(x, y):
+        return con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [x, y]
+        ).fetchone()[0]
+
+    def me_dir(ta, tb):
+        return sum(max(jw(a, b) for b in tb) for a in ta) / len(ta)
+
+    for pid, a, b in pairs:
+        ta, tb = a.split(" "), b.split(" ")
+        expect = (me_dir(ta, tb) + me_dir(tb, ta)) / 2
+        assert abs(got[pid] - expect) < 1e-9, pid
+
+    assert got["p3"] == 1.0
+
+
+def test_monge_elkan_single_token_equals_jw(spark):
+    """On single-token strings ME degenerates to plain Jaro-Winkler."""
+    import pyspark.sql.functions as F
+
+    from ditto_spark.operators.phonetic import (
+        jaro_winkler_udf,
+        monge_elkan_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "martha", "marhta"), ("y", "dixon", "dicksonx")],
+        "pid string, a string, b string",
+    )
+    me = {
+        r["pid"]: r["monge_elkan"]
+        for r in monge_elkan_scores(df, "a", "b", ["pid"]).collect()
+    }
+    jwf = jaro_winkler_udf()
+    jw = {
+        r["pid"]: r["j"]
+        for r in df.select("pid", jwf(F.col("a"), F.col("b")).alias("j")).collect()
+    }
+    for pid in me:
+        assert abs(me[pid] - jw[pid]) < 1e-12
+
+
+def test_monge_elkan_symmetric_order_invariant(spark):
+    from ditto_spark.operators.phonetic import monge_elkan_scores
+
+    df = spark.createDataFrame(
+        [("p", "jonathan q smith", "smith jonathon")], "pid string, a string, b string"
+    )
+    fwd = monge_elkan_scores(df, "a", "b", ["pid"]).collect()[0]["monge_elkan"]
+    rev = monge_elkan_scores(df, "b", "a", ["pid"]).collect()[0]["monge_elkan"]
+    assert abs(fwd - rev) < 1e-12
