@@ -2642,6 +2642,35 @@ def _monge_elkan_oracle() -> str:
 """
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance threshold self-join (blocking.edit_distance_join
+    — Gravano et al. q-gram filters + EDJoin prefix filtering) over the
+    12-char document prefixes at d <= 2. The oracle is the BRUTE-FORCE
+    O(n²) levenshtein join — so a hash match here proves the prefix
+    filter's losslessness on real data, not merely that both engines ran
+    the same pruned algorithm."""
+    from ditto_spark.operators.blocking import edit_distance_join
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 12).alias("text")
+    )
+    out = edit_distance_join(docs, id_col="doc_id", max_dist=2, q=2)
+    return out.select(
+        F.col("left_id").cast("long").alias("left_id"),
+        F.col("right_id").cast("long").alias("right_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_EDIT_DISTANCE_ORACLE = """
+    WITH p AS (SELECT doc_id, substr(text, 1, 12) AS s FROM documents)
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           levenshtein(a.s, b.s)::BIGINT AS dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
 def q_blocking_rule_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Splink-style cumulative-comparisons profile of the two union_blocking
     rules (first-token key, source): per rule n_pairs / n_new (marginal
@@ -3116,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_jw_pairs": q_soundex_jw_pairs,
         "pprl_dice_pairs": q_pprl_dice_pairs,
         "monge_elkan_pairs": q_monge_elkan_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "blocking_rule_profile": q_blocking_rule_profile,
         "exact_quantiles": q_exact_quantiles,
         "idf_cosine_pairs": q_idf_cosine_pairs,
@@ -4010,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_jw_pairs": _soundex_jw_oracle(),
         "pprl_dice_pairs": _pprl_oracle(),
         "monge_elkan_pairs": _monge_elkan_oracle(),
+        "edit_distance_pairs": _EDIT_DISTANCE_ORACLE,
         "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
         "exact_quantiles": _EXACT_QUANTILES_ORACLE,
         "idf_cosine_pairs": _IDF_COSINE_ORACLE,

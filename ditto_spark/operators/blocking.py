@@ -850,3 +850,100 @@ def allpairs_jaccard_join(
         )
         .where(F.col("jaccard") >= t)
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Exact edit-distance threshold self-join via q-gram prefix filtering
+    (Gravano et al. VLDB'01 q-gram count/length filters; EDJoin, Xiao et
+    al. VLDB'08 — public algorithms): every pair with
+    levenshtein(a, b) <= max_dist is returned, never an all-pairs join.
+
+    Why it is LOSSLESS: one edit operation destroys at most q of a
+    string's q-grams, so ed <= d implies the two (distinct-)gram sets
+    share at least max(|Q1|,|Q2|) - q*d grams — by the standard prefix
+    lemma the pair must then collide inside each side's first q*d + 1
+    grams of a global total order. Grams are ordered by (document
+    frequency asc, gram), the same rarest-first discipline as
+    `allpairs_jaccard_join`: hot grams sit in suffixes and never enter
+    the inverted index unless a string is too short to push them out.
+    Strings are padded with chr(1)/chr(2) sentinels (q-1 each side) so
+    even empty strings carry >= 1 gram, and identical padding on both
+    sides leaves the edit distance unchanged. The one hole in the prefix
+    lemma is pairs where BOTH distinct-gram counts are <= q*d (the
+    required-overlap bound drops to zero, so they may share no gram at
+    all — e.g. '' vs 'a'): rows that short additionally emit a constant
+    sentinel gram, putting the whole <= q*d-gram population (raw length
+    bounded by ~q*d + q) in one bucket that the length filter prunes and
+    the exact verify settles. A corpus with millions of such near-empty
+    strings concentrates that bucket — they are genuine <= d matches of
+    each other, so that cost is the answer's own size, not the filter's.
+
+    Candidates additionally pass the length filter
+    abs(len(a) - len(b)) <= d inside the gram join, dedup on BARE id
+    pairs, and verify with the JVM `levenshtein` on the raw strings —
+    attached once per surviving candidate, scaling with the candidate
+    set, not the corpus. Output (left_id, right_id, dist), dist <= d.
+    """
+    from pyspark.sql import Window
+
+    d = int(max_dist)
+    prefix_len = q * d + 1
+    pad_l = F.expr(f"repeat(chr(1), {q - 1})")
+    pad_r = F.expr(f"repeat(chr(2), {q - 1})")
+    padded = F.concat(pad_l, F.col(text_col), pad_r)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_s"),
+        F.length(text_col).alias("_n"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(concat(repeat(chr(1), {q-1}), "
+                f"{text_col}, repeat(chr(2), {q-1}))) - {q - 1}), "
+                f"i -> substr(concat(repeat(chr(1), {q-1}), {text_col}, "
+                f"repeat(chr(2), {q-1})), i, {q}))"
+            )
+        ).alias("_grams"),
+    )
+    toks = base.select(
+        F.col(id_col), "_n", F.explode("_grams").alias("g")
+    ).persist()
+    dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("dfc"))
+    pref = (
+        toks.join(dfreq, "g")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("dfc", "g")),
+        )
+        .where(F.col("rnk") <= prefix_len)
+        .select(id_col, "g", "_n")
+    )
+    short = base.where(F.size("_grams") <= q * d).select(
+        F.col(id_col), F.lit("\x00short").alias("g"), F.col("_n")
+    )
+    pref = pref.unionByName(short)
+    l = pref.select(F.col(id_col).alias("left_id"), "g", F.col("_n").alias("na"))
+    r = pref.select(F.col(id_col).alias("right_id"), "g", F.col("_n").alias("nb"))
+    cand = (
+        l.join(r, "g")
+        .where(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.abs(F.col("na") - F.col("nb")) <= d)
+        )
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    sa = base.select(F.col(id_col).alias("left_id"), F.col("_s").alias("sa"))
+    sb = base.select(F.col(id_col).alias("right_id"), F.col("_s").alias("sb"))
+    return (
+        cand.join(sa, "left_id")
+        .join(sb, "right_id")
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .where(F.col("dist") <= d)
+        .select("left_id", "right_id", "dist")
+    )

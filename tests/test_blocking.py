@@ -476,3 +476,51 @@ def test_containment_asymmetry_on_planted_quote(spark):
     assert r["cl"] == 1.0  # every shingle of the short doc is contained
     assert r["jaccard"] < 0.1  # Jaccard misses it
     assert r["cr"] < 0.1
+
+
+def test_edit_distance_join_equals_bruteforce(spark):
+    """Losslessness: prefix-filter + length-filter + verify returns exactly
+    the brute-force levenshtein <= d set, including short/empty strings."""
+    from itertools import combinations
+
+    from ditto_spark.operators.blocking import edit_distance_join
+
+    words = [
+        "martha", "marhta", "marta", "smith", "smyth", "smithe",
+        "jonathan", "jonothan", "", "a", "b", "ab", "dwayne", "duane",
+        "algorithm", "logarithm", "xylophone",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def lev(s1, s2):
+        dp = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1, 1):
+            prev, dp[0] = dp[0], i
+            for j, c2 in enumerate(s2, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (c1 != c2)
+                )
+        return dp[-1]
+
+    for d in (1, 2, 3):
+        got = {
+            (r["left_id"], r["right_id"]): r["dist"]
+            for r in edit_distance_join(df, max_dist=d).collect()
+        }
+        want = {
+            (i, j): lev(words[i], words[j])
+            for (i, _), (j, _) in combinations(rows, 2)
+            if lev(words[i], words[j]) <= d
+        }
+        assert got == want, f"d={d}"
+
+
+def test_edit_distance_join_partition_invariant(spark):
+    from ditto_spark.operators.blocking import edit_distance_join
+
+    rows = [(i, f"prefix shared {i % 7} tail{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, edit_distance_join(df.repartition(1), max_dist=2).collect()))
+    b = sorted(map(tuple, edit_distance_join(df.repartition(16), max_dist=2).collect()))
+    assert a == b and len(a) > 0
