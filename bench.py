@@ -243,7 +243,34 @@ def main() -> None:
     clusters.count()
     stages["threshold_cc"] = round(time.monotonic() - t0, 3)
     counts["transcript_blocking"] = n_cand_full
-    timings["transcript_blocking"] = stages["blocking"]
+
+    # transcript_blocking timed min-of-`repeat` like every other query
+    # (the single staged pass above remains the per-stage ATTRIBUTION
+    # record, but a single sample under a degraded window lands the stall
+    # in the recorded number — measured 87.4 s staged vs 6.5 s steady on
+    # the same commit). The serialize input is re-persisted OUTSIDE each
+    # timed region so the sample measures blocking alone.
+    blocking_runs: list[float] = []
+    for _ in range(repeat):
+        spark.catalog.clearCache()
+        transcripts.cache()
+        transcripts.count()
+        ser_b = serialize_conversations(transcripts).persist()
+        ser_b.count()
+        t0 = time.monotonic()
+        cand_b = block_minhash_lsh(
+            ser_b, text_col="block_text", shingle_n=cfg.shingle_n,
+            num_perm=cfg.num_perm, num_bands=cfg.num_bands,
+            rows_per_band=cfg.rows_per_band, max_bucket=cfg.max_bucket,
+            threshold=cfg.lsh_prefilter,
+        )
+        cand_b.persist()
+        cand_b.count()
+        blocking_runs.append(round(time.monotonic() - t0, 3))
+        cand_b.unpersist()
+        ser_b.unpersist()
+    query_runs["transcript_blocking"] = blocking_runs
+    timings["transcript_blocking"] = min(blocking_runs)
 
     # --- document near-dup pipeline + LSH candidates on driver testdata
     # (skipped for scaling runs, which only need the flagship)
