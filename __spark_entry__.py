@@ -2332,6 +2332,194 @@ _CLUSTER_METRICS_ORACLE = (
 )
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster splitting by threshold raise (Splink cluster-studio repair
+    step for chained false merges): cluster at Jaccard >= 0.5, then
+    re-resolve each cluster keeping only edges >= 0.7 — one global CC over
+    the filtered edges (subset edges => refined components nest), one join
+    back, one distinct-count agg. n_subclusters > 1 flags split clusters."""
+    from ditto_spark.operators.cluster import assign_clusters, split_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = _rare_shingle_pairs(docs)
+    matches = pairs.where(F.col("jaccard") >= 0.5)
+    assignment = assign_clusters(
+        docs.select(F.col("doc_id").alias("conv_id")),
+        matches.select("left_id", "right_id"),
+    ).select(F.col("conv_id").alias("doc_id"), "cluster_id")
+    return split_clusters(
+        assignment,
+        pairs.select("left_id", "right_id", F.col("jaccard").alias("score")),
+        tau_hi=0.7,
+    )
+
+
+_CLUSTER_SPLIT_ORACLE = (
+    _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.5
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ), lo AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), edges_hi AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.7
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.7
+    ), walk_hi(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk_hi w JOIN edges_hi e ON e.a = w.node
+    ), hi AS (
+      SELECT node AS doc_id, min(comp) AS subcluster_id FROM walk_hi
+      GROUP BY node
+    ), j AS (
+      SELECT lo.doc_id, lo.cluster_id, hi.subcluster_id
+      FROM lo JOIN hi USING (doc_id)
+    )
+    SELECT j.doc_id, j.cluster_id, j.subcluster_id, n.n_subclusters
+    FROM j JOIN (
+      SELECT cluster_id, count(DISTINCT subcluster_id)::BIGINT AS n_subclusters
+      FROM j GROUP BY cluster_id
+    ) n USING (cluster_id)
+"""
+)
+
+
+def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-constrained incremental linkage (nightly batch vs immutable
+    master table): the corpus is clustered once (rare-shingle Jaccard >=
+    0.5 + CC, the oracle-checked doc-dedup pipeline); a deterministic new
+    batch — exact re-submissions at +10000 and +20000 (the +20000 slice
+    overlaps the +10000 one, exercising batch-internal edges) and
+    token-reversed non-matches at +30000 — is blocked/scored against the
+    union, and cluster.incremental_link resolves each new record to the
+    min reachable anchor, else a new min-batch-id cluster."""
+    from ditto_spark.operators.cluster import assign_clusters, incremental_link
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+            )
+        )
+    )
+    matches = _rare_shingle_pairs(docs).where(F.col("jaccard") >= 0.5)
+    existing = assign_clusters(
+        docs.select(F.col("doc_id").alias("conv_id")),
+        matches.select("left_id", "right_id"),
+    ).select(F.col("conv_id").alias("left_id"), "cluster_id")
+    pairs = _rare_shingle_pairs(docs.unionByName(new)).where(
+        F.col("jaccard") >= 0.5
+    )
+    ne = (
+        pairs.where((F.col("left_id") < 10000) & (F.col("right_id") >= 10000))
+        .join(existing, "left_id")
+        .select(
+            F.col("right_id").alias("doc_id"),
+            F.col("cluster_id").alias("anchor"),
+        )
+    )
+    nn = pairs.where(F.col("left_id") >= 10000).select("left_id", "right_id")
+    return incremental_link(new.select("doc_id"), ne, nn)
+
+
+_INCREMENTAL_LINK_ORACLE = (
+    _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.5
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ), lo AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), docs_all AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 30000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 7 = 3
+    ), sh2 AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM docs_all),
+           unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+      WHERE len(l) >= 3
+    ), rare2 AS (
+      SELECT s FROM sh2 GROUP BY s HAVING count(*) <= 50
+    ), f2 AS (
+      SELECT sh2.doc_id, sh2.s FROM sh2 JOIN rare2 USING (s)
+    ), sizes2 AS (
+      SELECT doc_id, count(*) AS n_sh FROM f2 GROUP BY doc_id
+    ), pairs2 AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+      FROM f2 a JOIN f2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), jp2 AS (
+      SELECT p.left_id, p.right_id,
+             p.c / (sa.n_sh + sb.n_sh - p.c) AS jaccard
+      FROM pairs2 p
+      JOIN sizes2 sa ON sa.doc_id = p.left_id
+      JOIN sizes2 sb ON sb.doc_id = p.right_id
+    ), ne AS (
+      SELECT jp2.right_id AS nid, lo.cluster_id AS anchor
+      FROM jp2 JOIN lo ON lo.doc_id = jp2.left_id
+      WHERE jp2.jaccard >= 0.5
+        AND jp2.left_id < 10000 AND jp2.right_id >= 10000
+    ), nn AS (
+      SELECT left_id, right_id FROM jp2
+      WHERE jaccard >= 0.5 AND left_id >= 10000
+    ), seeds AS (
+      SELECT 'n:' || lpad(doc_id::VARCHAR, 20, '0') AS k
+      FROM docs_all WHERE doc_id >= 10000
+      UNION
+      SELECT DISTINCT 'a:' || lpad(anchor::VARCHAR, 20, '0') FROM ne
+    ), sedges AS (
+      SELECT 'n:' || lpad(nid::VARCHAR, 20, '0') AS a,
+             'a:' || lpad(anchor::VARCHAR, 20, '0') AS b FROM ne
+      UNION ALL
+      SELECT 'a:' || lpad(anchor::VARCHAR, 20, '0'),
+             'n:' || lpad(nid::VARCHAR, 20, '0') FROM ne
+      UNION ALL
+      SELECT 'n:' || lpad(left_id::VARCHAR, 20, '0'),
+             'n:' || lpad(right_id::VARCHAR, 20, '0') FROM nn
+      UNION ALL
+      SELECT 'n:' || lpad(right_id::VARCHAR, 20, '0'),
+             'n:' || lpad(left_id::VARCHAR, 20, '0') FROM nn
+    ), walk2(node, comp) AS (
+      SELECT k, k FROM seeds
+      UNION
+      SELECT e.b, w.comp FROM walk2 w JOIN sedges e ON e.a = w.node
+    )
+    SELECT CAST(substr(node, 3) AS BIGINT) AS doc_id,
+           CAST(substr(min(comp), 3) AS BIGINT) AS cluster_id,
+           min(comp) LIKE 'a:%' AS matched_existing
+    FROM walk2 WHERE node LIKE 'n:%' GROUP BY node
+"""
+)
+
+
 def q_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified clerical-review worklist: rare-shingle
     Jaccard pairs near the 0.5 decision boundary, bucketed into 0.05-wide
@@ -3137,6 +3325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
+        "cluster_split": q_cluster_split,
+        "incremental_link": q_incremental_link,
         "review_sample": q_review_sample,
         "rp_project": q_rp_project,
         "session_stats": q_session_stats,
@@ -4032,6 +4222,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_ORACLE,
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
+        "cluster_split": _CLUSTER_SPLIT_ORACLE,
+        "incremental_link": _INCREMENTAL_LINK_ORACLE,
         "review_sample": _REVIEW_SAMPLE_ORACLE,
         "rp_project": _rp_oracle(),
         "session_stats": _SESSION_STATS_ORACLE,

@@ -523,6 +523,106 @@ def merge_edge_batch(
     return merged.unionByName(fresh_assigned)
 
 
+def incremental_link(
+    new_ids: DataFrame,
+    anchor_edges: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-constrained incremental linkage — the MDM-style counterpart
+    to merge_edge_batch: existing clusters are IMMUTABLE labels (anchors),
+    and a batch of new records is resolved against them plus each other.
+    merge_edge_batch merges existing clusters when a batch edge bridges
+    them; here a bridge never rewrites the master table — the new
+    component deterministically takes the SMALLEST anchor it touches
+    (review surfaces the bridge via cluster_graph_metrics instead). This
+    is the standard nightly-batch operation against a master entity table
+    (Christen 2012 ch. 9, "real-time and incremental matching").
+
+    Inputs: `new_ids` (id_col) — every record in the batch;
+    `anchor_edges` (id_col, anchor_col) — batch records matched into an
+    existing cluster; `new_edges` (left_id, right_id) — matched
+    batch-internal pairs. Caller contract: batch ids and anchor ids live
+    in disjoint domains (monotonic ids make this free).
+
+    Output: (id_col, cluster_id, matched_existing) for NEW records only —
+    cluster_id is the min anchor reachable through the batch's match
+    graph, else the min batch id of the component (a new cluster in the
+    batch-id domain); matched_existing says which.
+
+    How: both node kinds are encoded into one ordered string key space —
+    'a:'+zero-padded anchor sorts below 'n:'+zero-padded batch id — so
+    ONE connected-components run produces exactly the min-anchor-else-
+    min-new resolution; no per-component argmin pass, no driver work.
+    Scale: CC input is edge-sized (matched pairs only, never the master
+    table), and the master table itself is touched zero times here — the
+    caller's blocking join is the only corpus-sized stage.
+    """
+    pad = 20
+
+    def enc(prefix: str, c: F.Column) -> F.Column:
+        return F.concat(F.lit(prefix), F.lpad(c.cast("string"), pad, "0"))
+
+    e_anchor = anchor_edges.select(
+        enc("n:", F.col(id_col)).alias("left_id"),
+        enc("a:", F.col(anchor_col)).alias("right_id"),
+    )
+    e_new = new_edges.select(
+        enc("n:", F.col("left_id")).alias("left_id"),
+        enc("n:", F.col("right_id")).alias("right_id"),
+    )
+    nodes = new_ids.select(enc("n:", F.col(id_col)).alias("conv_id")).distinct()
+    comp = assign_clusters(nodes, e_anchor.unionByName(e_new), id_col="conv_id")
+    return comp.where(F.col("conv_id").startswith("n:")).select(
+        F.substring("conv_id", 3, pad).cast("long").alias(id_col),
+        F.substring("cluster_id", 3, pad).cast("long").alias("cluster_id"),
+        F.col("cluster_id").startswith("a:").alias("matched_existing"),
+    )
+
+
+def split_clusters(
+    assignments: DataFrame,
+    scored_pairs: DataFrame,
+    tau_hi: float,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster splitting by threshold raise — the repair step for chained
+    false merges that transitive closure creates (Splink's cluster-studio
+    workflow): keep only edges with score >= tau_hi and re-resolve. The
+    tau_hi edge set is a subset of the one that built `assignments`, so
+    every refined component nests inside its original cluster — ONE global
+    CC over the filtered edges suffices; no per-cluster loop.
+
+    Output: (id_col, cluster_col, subcluster_id, n_subclusters) — one row
+    per record; n_subclusters > 1 flags the clusters the raise split.
+
+    Shape: edge filter → CC (edge-sized) → one id-keyed join back onto
+    the assignment → one cluster-keyed distinct-count agg; the only
+    corpus-sized stages are the join and the agg, both on keys the
+    assignment is already organized by."""
+    hi = scored_pairs.where(F.col(score_col) >= tau_hi).select(
+        "left_id", "right_id"
+    )
+    comp = connected_components(hi).select(
+        F.col("conv_id").alias(id_col), F.col("cluster_id").alias("__sub")
+    )
+    out = (
+        assignments.select(F.col(id_col), F.col(cluster_col))
+        .join(comp, id_col, "left")
+        .withColumn("subcluster_id", F.coalesce("__sub", F.col(id_col)))
+        .drop("__sub")
+    )
+    nsub = out.groupBy(cluster_col).agg(
+        F.countDistinct("subcluster_id").cast("long").alias("n_subclusters")
+    )
+    return out.join(nsub, cluster_col).select(
+        id_col, cluster_col, "subcluster_id", "n_subclusters"
+    )
+
+
 def cluster_graph_metrics(
     assignments: DataFrame,
     edges: DataFrame,

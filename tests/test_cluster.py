@@ -1,6 +1,8 @@
 """Connected components on known graphs: chains, stars, cycles, singletons
 (FIXTURES.md §3 topologies)."""
 
+import pyspark.sql.functions as F
+
 from ditto_spark.operators.cluster import connected_components, assign_clusters
 
 
@@ -246,3 +248,78 @@ def test_cluster_graph_metrics_cross_cluster_edges_dropped(spark):
     )
     out = {r["cluster_id"]: r for r in cluster_graph_metrics(a, edges).collect()}
     assert out[1]["n_edges"] == 1 and out[3]["n_edges"] == 1
+
+
+def test_incremental_link_anchor_and_new_clusters(spark):
+    from ditto_spark.operators.cluster import incremental_link
+
+    # existing clusters 3 and 7 (anchors). Batch: 100 matches anchor 7;
+    # 101-102 match each other and 101 matches anchor 3; 103-104 match
+    # only each other (new cluster, min id 103); 105 matches nothing.
+    new_ids = spark.createDataFrame(
+        [(i,) for i in (100, 101, 102, 103, 104, 105)], "doc_id long"
+    )
+    anchor_edges = spark.createDataFrame(
+        [(100, 7), (101, 3)], "doc_id long, anchor long"
+    )
+    new_edges = spark.createDataFrame(
+        [(101, 102), (103, 104)], "left_id long, right_id long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["matched_existing"])
+        for r in incremental_link(new_ids, anchor_edges, new_edges).collect()
+    }
+    assert out == {
+        100: (7, True),
+        101: (3, True),
+        102: (3, True),   # reaches anchor 3 through 101
+        103: (103, False),
+        104: (103, False),
+        105: (105, False),
+    }
+
+
+def test_incremental_link_bridge_takes_min_anchor(spark):
+    from ditto_spark.operators.cluster import incremental_link
+
+    # one new record matches into clusters 9 AND 4 (a bridge): the master
+    # table is immutable, so the record takes the smallest anchor (4) —
+    # deterministically — rather than merging the two clusters.
+    new_ids = spark.createDataFrame([(200,), (201,)], "doc_id long")
+    anchor_edges = spark.createDataFrame(
+        [(200, 9), (200, 4)], "doc_id long, anchor long"
+    )
+    new_edges = spark.createDataFrame(
+        [(200, 201)], "left_id long, right_id long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["matched_existing"])
+        for r in incremental_link(new_ids, anchor_edges, new_edges).collect()
+    }
+    assert out == {200: (4, True), 201: (4, True)}
+
+
+def test_split_clusters_threshold_raise(spark):
+    from ditto_spark.operators.cluster import assign_clusters, split_clusters
+
+    # chain 1-2-3 merged at 0.5 via a weak 2-3 bridge (0.55); raising to
+    # 0.7 cuts the bridge -> cluster 1 splits into {1,2} and {3}.
+    # pair 5-6 is strong -> survives intact. 8 is a singleton throughout.
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.55), (5, 6, 0.8)],
+        "left_id long, right_id long, score double",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 8)], "conv_id long"
+    )
+    a = assign_clusters(
+        ids, pairs.where("score >= 0.5").select("left_id", "right_id")
+    ).select(F.col("conv_id").alias("doc_id"), "cluster_id")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["subcluster_id"], r["n_subclusters"])
+        for r in split_clusters(a, pairs, tau_hi=0.7).collect()
+    }
+    assert out[1] == (1, 1, 2) and out[2] == (1, 1, 2)
+    assert out[3] == (1, 3, 2)          # split off the chain
+    assert out[5] == (5, 5, 1) and out[6] == (5, 5, 1)
+    assert out[8] == (8, 8, 1)          # singleton: own subcluster
