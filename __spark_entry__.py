@@ -1070,6 +1070,38 @@ _SORTED_NEIGHBORHOOD_ORACLE = """
 """
 
 
+def q_suffix_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005 / Febrl) over part
+    names: any shared key tail of >= 4 chars forms a candidate pair —
+    robust to prefix errors that defeat equi-key and sorted-neighborhood
+    blocking. The >50-record frequency cut drops ubiquitous suffixes (the
+    skew keys) BEFORE the join; part names' small noun vocabulary
+    exercises exactly that cut."""
+    from ditto_spark.operators.blocking import suffix_blocking_pairs
+
+    part = _load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), "p_name"
+    )
+    return suffix_blocking_pairs(
+        part, key_col="p_name", min_suffix_len=4, max_bucket=50
+    )
+
+
+_SUFFIX_BLOCKING_ORACLE = """
+    WITH suf AS (
+      SELECT p_partkey AS id, substr(p_name, i) AS s
+      FROM part,
+           unnest(generate_series(1, greatest(len(p_name) - 3, 1))) u(i)
+    ), kept AS (
+      SELECT s FROM suf GROUP BY s HAVING count(*) BETWEEN 2 AND 50
+    ), f AS (
+      SELECT suf.id, suf.s FROM suf JOIN kept USING (s)
+    )
+    SELECT DISTINCT a.id AS left_id, b.id AS right_id
+    FROM f a JOIN f b ON a.s = b.s AND a.id < b.id
+"""
+
+
 def q_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-quality metrics (Christen 2012 §7.4): reduction ratio /
     pairs completeness / pairs quality of the sorted-neighborhood blocker
@@ -3306,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "dup_span_stats": q_dup_span_stats,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "suffix_blocking": q_suffix_blocking,
         "blocking_metrics": q_blocking_metrics,
         "meta_blocking": q_meta_blocking,
         "snb_edit_verify": q_snb_edit_verify,
@@ -3737,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _GOPHER_FILTER_ORACLE,
         "dup_span_stats": _DUP_SPAN_ORACLE,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_ORACLE,
+        "suffix_blocking": _SUFFIX_BLOCKING_ORACLE,
         "blocking_metrics": _BLOCKING_METRICS_ORACLE,
         "meta_blocking": _META_BLOCKING_ORACLE,
         "snb_edit_verify": _SNB_EDIT_VERIFY_ORACLE,

@@ -559,6 +559,63 @@ def sorted_neighborhood_pairs(
     )
 
 
+def suffix_blocking_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    min_suffix_len: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005; Febrl's suffix-array
+    indexing — public; a blocking family the reference does not have):
+    every suffix of the blocking key with length >= min_suffix_len is a
+    block key, so records agreeing on any sufficiently long key TAIL
+    become candidates — robust to prefix errors/truncations that defeat
+    equi-key and sorted-neighborhood blocking. Keys shorter than
+    min_suffix_len contribute the whole key. Suffixes shared by more than
+    `max_bucket` records are dropped — the method's standard frequency
+    cut: a ubiquitous suffix carries no discriminating power, and it is
+    exactly the skewed key. Returns distinct (left_id, right_id),
+    left < right.
+
+    Scale shape: suffix generation is a zero-shuffle codegen projection
+    (sequence + transform, <= len(key) rows per record); then one
+    suffix-keyed count agg and one self-equi-join — every join key is
+    capped at max_bucket rows BEFORE the join (<= max_bucket²/2 pairs
+    from the worst key), the same pre-join skew bound as
+    candidates_from_bands. Dedup shuffles bare id pairs only. Positions
+    are character-based in both engines (identical on ASCII keys)."""
+    k = F.col(key_col)
+    suf = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(k) - F.lit(min_suffix_len - 1), F.lit(1)
+                    ),
+                ),
+                lambda i: k.substr(i, F.length(k)),
+            )
+        ).alias("s"),
+    )
+    kept = (
+        suf.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where((F.col("c") >= 2) & (F.col("c") <= max_bucket))
+        .select("s")
+    )
+    f = suf.join(kept, "s")
+    return (
+        f.select("s", F.col(id_col).alias("left_id"))
+        .join(f.select("s", F.col(id_col).alias("right_id")), "s")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
 def meta_blocking_wnp(
     blocks: DataFrame,
     block_col: str = "block_key",

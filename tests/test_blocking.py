@@ -524,3 +524,37 @@ def test_edit_distance_join_partition_invariant(spark):
     a = sorted(map(tuple, edit_distance_join(df.repartition(1), max_dist=2).collect()))
     b = sorted(map(tuple, edit_distance_join(df.repartition(16), max_dist=2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_suffix_blocking_shared_tails_and_short_keys(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "johnson"),
+            (2, "maxjohnson"),     # shares tail "johnson" with 1
+            (3, "abc"),            # < min_suffix_len: whole key only
+            (4, "xabc"),           # its only >=4 suffix is "xabc"
+            (5, "smithaaaa"),
+            (6, "joesmithaaaa"),   # shares "smithaaaa", "mithaaaa", ... -> ONE pair
+        ],
+        "doc_id long, k string",
+    )
+    out = sorted(
+        (r["left_id"], r["right_id"])
+        for r in B.suffix_blocking_pairs(df, key_col="k").collect()
+    )
+    assert out == [(1, 2), (5, 6)]
+
+
+def test_suffix_blocking_frequency_cut_drops_hot_suffix(spark):
+    # 60 records share tail "zzzz" (> max_bucket=50): the ubiquitous
+    # suffix is cut BEFORE the join. What survives are the length-5
+    # tails "<digit>zzzz", each shared by the 6 records with that last
+    # digit -> 10 * C(6,2) = 150 pairs, not C(60,2) = 1770. Raising the
+    # cut past 60 readmits "zzzz" and the full pair set.
+    rows = [(i, f"name{i:03d}zzzz") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    assert B.suffix_blocking_pairs(df, key_col="k").count() == 150
+    assert (
+        B.suffix_blocking_pairs(df, key_col="k", max_bucket=60).count()
+        == 60 * 59 / 2
+    )
