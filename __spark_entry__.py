@@ -585,6 +585,58 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (embedding-based quality/domain classifier):
+    every 4th vector is unlabeled, the rest carry a deterministic class
+    (vec_id % 3); each query takes the majority label of its 5 nearest
+    labeled neighbors by exact cosine (brute-force twin — the vote
+    composes unchanged on the LSH/IVF scale paths), vote ties to the
+    smallest label."""
+    from ditto_spark.operators.ann import cosine_topk_bruteforce, knn_vote
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    labeled = emb.where(F.col("vec_id") % 4 != 0).withColumn(
+        "label", (F.col("vec_id") % 3).cast("long")
+    )
+    queries = emb.where(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    topk = cosine_topk_bruteforce(labeled.select("vec_id", "v"), queries, k=5)
+    return knn_vote(topk, labeled.select("vec_id", "label"))
+
+
+_KNN_LABEL_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 4 = 0),
+    l AS (
+      SELECT vec_id, v, (vec_id % 3)::BIGINT AS label
+      FROM e WHERE vec_id % 4 != 0
+    ), s AS (
+      SELECT q.query_id, l.vec_id, l.label,
+             list_inner_product(q.qv, l.v) /
+             (sqrt(list_inner_product(q.qv, q.qv)) *
+              sqrt(list_inner_product(l.v, l.v))) AS cos
+      FROM q CROSS JOIN l WHERE l.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM s
+    ), votes AS (
+      SELECT query_id, label, count(*)::BIGINT AS votes
+      FROM ranked WHERE rk <= 5 GROUP BY 1, 2
+    )
+    SELECT query_id, label, votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+"""
+
+
 def q_tfidf_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 TF-IDF summarization (summarize.py:63-114 semantics, relational
     form): keep each doc's 16 rarest distinct tokens, original order."""
@@ -3300,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_md5_signature": q_minhash_md5_signature,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "knn_label": q_knn_label,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
         "hash_split": q_hash_split,
@@ -3690,6 +3743,7 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN worker = 6 THEN label END) AS w6
             FROM votes GROUP BY task
         """,
+        "knn_label": _KNN_LABEL_ORACLE,
         "embedding_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),

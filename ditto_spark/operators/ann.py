@@ -612,3 +612,42 @@ def rp_project(
             * F.lit(scale)
         )
     return vectors.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def knn_vote(
+    neighbors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote labeling over ANY neighbor source — compose it on
+    cosine_topk_bruteforce (exact baseline), cosine_topk_lsh, or ivf_topk
+    (the scale paths): the embedding-based quality/domain classifier step
+    of a training-data pipeline (label a few records, propagate to the
+    corpus by nearest neighbors). Input `neighbors` is (query_id,
+    neighbor_id, ...) — already top-k per query; `labels` is (id_col,
+    label_col) for the labeled corpus. Output one row per query:
+    (query_id, label, votes). Deterministic: vote ties break to the
+    smallest label.
+
+    Shape: one neighbor-keyed equi-join attaches labels (broadcast when
+    the labeled set is small — the usual case), one (query, label) partial
+    agg, and a per-query top-1 window that sees at most |distinct labels|
+    rows per query, never the corpus."""
+    v = (
+        neighbors.join(
+            labels.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("__lbl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "__lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__lbl"))
+    return (
+        v.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", F.col("__lbl").alias(label_col), "votes")
+    )

@@ -331,3 +331,35 @@ def test_rp_project_zero_exchange_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_knn_vote_majority_and_tie_break(spark):
+    from ditto_spark.operators.ann import knn_vote
+
+    # q1: labels [0,0,1] -> majority 0 with 2 votes. q2: labels
+    # [0,0,1,2] -> majority 0. Neighbor 99 has no label row -> dropped.
+    neighbors = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13), (2, 14), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    labels = spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 1), (13, 1), (14, 2)],
+        "vec_id long, label long",
+    )
+    out = {r["query_id"]: (r["label"], r["votes"])
+           for r in knn_vote(neighbors, labels).collect()}
+    assert out[1] == (0, 2)
+    assert out[2] == (0, 2)
+
+
+def test_knn_vote_tie_takes_smallest_label(spark):
+    from ditto_spark.operators.ann import knn_vote
+
+    neighbors = spark.createDataFrame(
+        [(7, 1), (7, 2), (7, 3), (7, 4)], "query_id long, neighbor_id long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 2), (4, 2)], "vec_id long, label long"
+    )
+    [r] = knn_vote(neighbors, labels).collect()
+    assert (r["query_id"], r["label"], r["votes"]) == (7, 2, 2)
