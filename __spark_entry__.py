@@ -3335,6 +3335,114 @@ def _platt_oracle_sql(iters: int = 8, ridge: float = 1e-9) -> str:
     return sql
 
 
+_CMS_D, _CMS_W, _CMS_THRESHOLD = 4, 1024, 40
+
+
+def q_cms_hot_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over document token bigrams: the
+    mergeable hot-KEY detector a 10^12-row pipeline runs before salting —
+    blocking keys / LSH buckets whose frequency crosses the salting
+    threshold must be known BEFORE the pair-generating shuffle, from state
+    small enough to broadcast (<= d*w counter rows however many inputs).
+    Registers are plain md5 arithmetic (portable, persistable, mergeable
+    across micro-batches via union+sum); the oracle reproduces counters AND
+    min-over-rows estimates bit-for-bit, including the conservative
+    overcounts from bucket collisions (916 distinct bigrams in 1024
+    buckets at sf0.01). One-sided guarantee: est >= true, so every true
+    heavy hitter is caught."""
+    from ditto_spark.operators.sketch import cms_heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    grams = (
+        docs.where(F.col("text").isNotNull())
+        .select(toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__toks"), i),
+                        F.element_at(F.col("__toks"), i + 1),
+                    ),
+                )
+            ).alias("gram")
+        )
+    )
+    return cms_heavy_hitters(
+        grams, "gram", threshold=_CMS_THRESHOLD, d=_CMS_D, w=_CMS_W
+    )
+
+
+def _cms_oracle() -> str:
+    d, w, t = _CMS_D, _CMS_W, _CMS_THRESHOLD
+    js = ", ".join(str(j) for j in range(d))
+    return f"""
+    WITH docs_arr AS (
+      SELECT list_filter(string_split(text, ' '), x -> x != '') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT unnest(list_transform(range(1, len(arr)),
+                                   i -> arr[i] || ' ' || arr[i+1])) AS gram
+      FROM docs_arr WHERE len(arr) >= 2
+    ), js AS (SELECT unnest([{js}]) AS j
+    ), cnt AS (
+      SELECT js.j,
+             ('0x' || substr(md5(js.j::VARCHAR || ':' || g.gram), 1, 8))::BIGINT
+               % {w} AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM g CROSS JOIN js GROUP BY 1, 2
+    ), probes AS (SELECT DISTINCT gram FROM g
+    ), pb AS (
+      SELECT p.gram, js.j,
+             ('0x' || substr(md5(js.j::VARCHAR || ':' || p.gram), 1, 8))::BIGINT
+               % {w} AS bucket
+      FROM probes p CROSS JOIN js
+    )
+    SELECT pb.gram, min(coalesce(c.cnt, 0))::BIGINT AS est
+    FROM pb LEFT JOIN cnt c ON c.j = pb.j AND c.bucket = pb.bucket
+    GROUP BY 1 HAVING min(coalesce(c.cnt, 0)) >= {t}
+"""
+
+
+_TEMP_MIX_SEED = 23
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha=0.5) over the documents
+    corpus, keyed by language: each language keeps rate
+    sqrt(n_min / n_lang) of its rows (en 218 -> ~54%, fr 64 -> 100% at
+    sf0.01) — the standard share~n^alpha multilingual rebalancing rule,
+    downsample-only. Keep decisions are md5-dyadic-fraction vs an
+    IEEE-sqrt rate, so the DuckDB oracle matches per-row, not just per
+    count. Plan: one count shuffle on lang + a broadcast rate join + a
+    codegen filter — no window, no skew exposure."""
+    from ditto_spark.operators.sampling import temperature_mix_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = temperature_mix_sample(
+        docs, "lang", "doc_id", alpha=0.5, seed=_TEMP_MIX_SEED
+    )
+    return out.select("doc_id", "lang")
+
+
+_TEMP_MIX_ORACLE = f"""
+    WITH c AS (
+      SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1
+    ), m AS (SELECT min(n) AS nmin FROM c
+    ), r AS (
+      SELECT lang, sqrt(nmin::DOUBLE / n::DOUBLE) AS rate
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('{_TEMP_MIX_SEED}:' || d.lang || ':' || d.doc_id), 1, 6))::BIGINT
+          / {float(1 << 24)!r} < r.rate
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "serialize_events": q_serialize_events,
@@ -3409,6 +3517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
+        "cms_hot_bigrams": q_cms_hot_bigrams,
+        "temperature_mix": q_temperature_mix,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4308,6 +4418,8 @@ def oracle_sql() -> dict[str, str]:
             FROM dims d JOIN body b USING (doc_id)
         """,
         "hll_distinct": _HLL_ORACLE,
+        "cms_hot_bigrams": _cms_oracle(),
+        "temperature_mix": _TEMP_MIX_ORACLE,
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

@@ -248,3 +248,69 @@ def clerical_review_sample(
         score_col,
         "smp_rank",
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 23,
+) -> DataFrame:
+    """Temperature-based source rebalancing (downsample-only): keep each row
+    of source s with probability rate_s = (n_min / n_s)^(1-alpha), where
+    n_s is the source's row count and n_min the smallest source's. This is
+    the standard multilingual/multi-source mixing rule (sampling share
+    proportional to n_s^alpha, e.g. XLM-R's alpha=0.3, renormalised so the
+    smallest source keeps rate 1 — no upsampling, every output row is a
+    real distinct input row): alpha=1 keeps everything (natural mix),
+    alpha=0 fully balances every source down to ~n_min.
+
+    Determinism & engine portability: the keep decision is
+    u < rate_s with u = (first 24 md5 bits of 'seed:source:id') / 2^24 — an
+    exact dyadic fraction, identical in any engine with md5. At alpha=0.5
+    the rate is computed with sqrt (IEEE correctly rounded, so bit-identical
+    across engines — the DuckDB oracle matches per-row); other alphas go
+    through pow, whose last-ulp rounding is implementation-defined: fine
+    within one engine, but a cross-engine comparison could flip a u lying
+    within 1 ulp of the rate (probability ~2^-30 per row).
+
+    Scale path: one partial-aggregated count shuffle on `source_col`; the
+    per-source rate table is |sources| rows, broadcast back onto the corpus
+    (AQE upgrades the join); the keep decision is a pure codegen filter.
+    No window, no sort, no per-group skew — a 10^9-doc source costs the
+    same plan as a 10^2-doc one.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(nmin).select(
+        source_col, rate.alias("__rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(source_col), F.col(id_col)
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 24))
+    )
+    return (
+        df.join(rates, source_col)
+        .where(u < F.col("__rate"))
+        .drop("__rate")
+    )

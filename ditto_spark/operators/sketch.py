@@ -38,7 +38,7 @@ stage).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 DEFAULT_P = 9  # 512 registers -> ~4.6% relative standard error
@@ -146,3 +146,146 @@ def hll_distinct(
 ) -> DataFrame:
     """Convenience: registers -> estimate in one call."""
     return hll_estimate(hll_registers(df, value_col, group_cols, p), group_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimates with a one-sided error (est >= true count, always). The linkage
+# use case is hot-KEY detection: LSH band buckets, blocking keys, and join
+# keys whose frequency crosses a salting threshold must be found BEFORE the
+# pair-generating shuffle, on state small enough to broadcast — exactly what
+# the count-window salting in `blocking.candidates_from_bands` needs as its
+# streaming-state counterpart, and what stop-shingle pruning
+# (`blocking.py` prefix filter) needs to pick its stop list without an exact
+# full-vocabulary count. Spark has no built-in CMS at the DataFrame level
+# (only the RDD-era countMinSketch in stat functions, whose layout is
+# JVM-internal); like the HLL above, these registers are plain md5
+# arithmetic, so they persist to stage tables, merge across engines and
+# micro-batches, and the DuckDB oracle reproduces counters AND estimates
+# bit-for-bit (`cms_hot_bigrams` in `__spark_entry__.py`).
+#
+# Layout: d independent rows x w buckets. Row j hashes value v to
+#   bucket_j(v) = (first 32 bits of md5(j || ':' || v)) mod w
+# State is (group_cols, j, bucket, cnt) — at most d*w rows per group after
+# the one map-side-combinable groupBy, however many input rows exist.
+# Merge = union + sum (commutative/associative; at-least-once replay safe
+# only if inputs are deduplicated, unlike HLL max — documented here because
+# it is the one semantic difference between the two sketch states).
+# ---------------------------------------------------------------------------
+
+DEFAULT_CMS_D = 4  # depth: P(overestimate by > eps*N) <= exp(-d)
+DEFAULT_CMS_W = 1024  # width: eps = e/w additive error per row
+
+
+def _cms_bucket(j_col: Column, value_col: Column, w: int) -> Column:
+    """Portable bucket: first 32 md5 bits of 'j:value', mod w. The j prefix
+    makes the d rows pairwise-independent hash functions from one md5."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(j_col.cast("string"), F.lit(":"), value_col)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % F.lit(w)).cast("int")
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """CMS state: one row per (group, j, bucket) with the summed count.
+
+    Null values are ignored. ``weight_col`` (optional, long) counts each
+    input row with a weight instead of 1 — e.g. pre-aggregated (key, cnt)
+    inputs. Output: group_cols + (j int, bucket int, cnt long).
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d} w={w}")
+    group_cols = list(group_cols or [])
+    wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            wt.alias("__wt"),
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+        )
+        .select(
+            *group_cols,
+            "j",
+            _cms_bucket(F.col("j"), F.col("__v"), w).alias("bucket"),
+            "__wt",
+        )
+    )
+    return rows.groupBy(*group_cols, "j", "bucket").agg(
+        F.sum("__wt").alias("cnt")
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Merge sketches: union counter tables, sum per (group, j, bucket).
+    Counts are additive, so merging the same batch twice double-counts —
+    feed exactly-once (or deduplicated) batches, unlike hll_merge."""
+    if not counter_tables:
+        raise ValueError("need at least one counter table")
+    out = counter_tables[0]
+    for t in counter_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point estimates for a probe set: min over the d rows of the probed
+    buckets. Guaranteed est >= true count (CMS never undercounts).
+
+    ``probes`` carries one row per (group, probe value); in production the
+    probe set is the keys of the current micro-batch or the candidate
+    blocking keys under salting review — small, so the join broadcasts the
+    probes, never the counters. Missing buckets count 0 via the left join.
+    Output: group_cols + (probe_col, est long).
+    """
+    group_cols = list(group_cols or [])
+    probed = probes.select(
+        *group_cols,
+        F.col(probe_col),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    ).withColumn("bucket", _cms_bucket(F.col("j"), F.col(probe_col), w))
+    joined = probed.join(counters, [*group_cols, "j", "bucket"], "left")
+    return joined.groupBy(*group_cols, probe_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0)).cast("long")).alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keys whose CMS estimate reaches ``threshold`` (one-sided: every true
+    heavy hitter is returned; collisions may add false positives, bounded
+    by the d x w sizing). This convenience probes the input's own distinct
+    keys — the batch-analysis form; the streaming form keeps `cms_counters`
+    as state and probes each arriving batch's keys via `cms_estimate`."""
+    counters = cms_counters(df, value_col, d, w, group_cols)
+    probes = df.where(F.col(value_col).isNotNull()).select(
+        *(group_cols or []), value_col
+    ).distinct()
+    est = cms_estimate(counters, probes, value_col, d, w, group_cols)
+    return est.where(F.col("est") >= threshold)

@@ -201,3 +201,59 @@ def test_clerical_review_sample_strata_and_determinism(spark):
         ).collect())
     )
     assert again == sorted(map(tuple, rows))
+
+
+# --- temperature-based source mixing ---
+
+from ditto_spark.operators.sampling import temperature_mix_sample  # noqa: E402
+
+
+def _mix_df(spark):
+    """Three sources with counts 400 / 100 / 25 (16:4:1)."""
+    return spark.range(525).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, "big")
+        .when(F.col("id") < 500, "mid")
+        .otherwise("small")
+        .alias("src"),
+    )
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark):
+    df = _mix_df(spark)
+    assert temperature_mix_sample(df, "src", "doc_id", alpha=1.0).count() == 525
+
+
+def test_temperature_mix_smallest_source_kept_whole(spark):
+    out = temperature_mix_sample(_mix_df(spark), "src", "doc_id", alpha=0.5)
+    per = {r["src"]: r["c"] for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    assert per["small"] == 25  # rate 1 for the min source
+    # rate_big = sqrt(25/400) = 0.25, rate_mid = sqrt(25/100) = 0.5
+    assert abs(per["big"] - 100) < 40, per
+    assert abs(per["mid"] - 50) < 25, per
+
+
+def test_temperature_mix_alpha_zero_balances(spark):
+    out = temperature_mix_sample(_mix_df(spark), "src", "doc_id", alpha=0.0)
+    per = {r["src"]: r["c"] for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    # every source downsampled toward n_min = 25
+    assert per["small"] == 25
+    assert abs(per["big"] - 25) < 20 and abs(per["mid"] - 25) < 15, per
+
+
+def test_temperature_mix_deterministic_and_partition_invariant(spark):
+    df = _mix_df(spark)
+    a = sorted(r["doc_id"] for r in temperature_mix_sample(df, "src", "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix_sample(df.repartition(11), "src", "doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mix_subset_of_input_no_upsampling(spark):
+    df = _mix_df(spark)
+    out = temperature_mix_sample(df, "src", "doc_id", alpha=0.3)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))  # no duplication
+    assert set(ids) <= set(range(525))

@@ -78,3 +78,79 @@ def test_hll_nulls_ignored_and_grouped(spark):
     out = {r["grp"]: r for r in hll_distinct(df, "val", ["grp"]).collect()}
     assert 1 not in out  # all-null group contributes no registers
     assert abs(out[0]["est_distinct"] - 50) < 8
+
+
+# --- count-min sketch ---
+
+from ditto_spark.operators.sketch import (  # noqa: E402
+    cms_counters,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+)
+
+
+def _zipf_df(spark, n_keys=200, w=None):
+    """Skewed key stream: key k appears (n_keys - k) times -> key '0' is
+    the heaviest. Deterministic, no randomness."""
+    return (
+        spark.range(n_keys)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(n_keys) - F.col("id")).cast("int"))
+            ).alias("_"),
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        )
+        .select("key")
+    )
+
+
+def test_cms_never_undercounts(spark):
+    df = _zipf_df(spark, n_keys=200)
+    true = {r["key"]: r["c"] for r in df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    probes = df.distinct()
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(cms_counters(df, "key", d=4, w=256), probes, "key", d=4, w=256).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true), "CMS undercounted"
+
+
+def test_cms_heavy_hitters_catches_all_true_hitters(spark):
+    df = _zipf_df(spark, n_keys=200)
+    t = 150
+    true_heavy = {
+        r["key"]
+        for r in df.groupBy("key").agg(F.count("*").alias("c")).where(F.col("c") >= t).collect()
+    }
+    got = {r["key"] for r in cms_heavy_hitters(df, "key", threshold=t, d=4, w=1024).collect()}
+    assert true_heavy <= got  # one-sided: no false negatives ever
+    # sized at d=4/w=1024 for 200 keys, false positives should be rare
+    assert len(got) <= len(true_heavy) + 5
+
+
+def test_cms_merge_halves_equals_whole(spark):
+    df = _zipf_df(spark, n_keys=100)
+    a = df.where(F.substring("key", 2, 10).cast("int") % 2 == 0)
+    b = df.where(F.substring("key", 2, 10).cast("int") % 2 == 1)
+    merged = cms_merge(cms_counters(a, "key"), cms_counters(b, "key"))
+    whole = cms_counters(df, "key")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_counters_partition_invariant_and_bounded(spark):
+    df = _zipf_df(spark, n_keys=150)
+    d, w = 3, 64
+    c1 = sorted(map(tuple, cms_counters(df, "key", d=d, w=w).collect()))
+    c2 = sorted(map(tuple, cms_counters(df.repartition(13), "key", d=d, w=w).collect()))
+    assert c1 == c2
+    assert len(c1) <= d * w  # state bound independent of input rows
+
+
+def test_cms_weighted_matches_exploded(spark):
+    df = _zipf_df(spark, n_keys=80)
+    pre = df.groupBy("key").agg(F.count("*").alias("cnt"))
+    weighted = cms_counters(pre, "key", weight_col="cnt")
+    plain = cms_counters(df, "key")
+    assert sorted(map(tuple, weighted.collect())) == sorted(map(tuple, plain.collect()))
