@@ -289,3 +289,25 @@ def cms_heavy_hitters(
     ).distinct()
     est = cms_estimate(counters, probes, value_col, d, w, group_cols)
     return est.where(F.col("est") >= threshold)
+
+
+def salt_factors(
+    est_df: DataFrame,
+    max_bucket: int,
+    key_col: str,
+    est_col: str = "est",
+) -> DataFrame:
+    """Turn frequency estimates into a salting plan: keys whose estimated
+    count exceeds ``max_bucket`` get n_salts = ceil(est / max_bucket) cells.
+    Output (key, n_salts) is the broadcast side of a salted join — rows of a
+    hot key scatter over n_salts sub-cells (and the other side replicates
+    across them), bounding every cell at ~max_bucket rows. Keys at or under
+    the cap are omitted: absent = unsalted, so the plan table stays as small
+    as the hot-key set itself. Because CMS estimates never undercount, a
+    true hot key can never be missed — only slightly over-salted."""
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    n = F.ceil(F.col(est_col) / F.lit(max_bucket)).cast("int")
+    return est_df.select(F.col(key_col), n.alias("n_salts")).where(
+        F.col("n_salts") > 1
+    )

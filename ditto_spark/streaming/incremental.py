@@ -350,3 +350,84 @@ def make_cluster_maintainer(assignment_path: str, id_col: str = "conv_id"):
         shutil.rmtree(old, ignore_errors=True)
 
     return apply
+
+
+def make_hot_key_monitor(
+    counter_path: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    threshold: int = 10000,
+    hot_path: str | None = None,
+):
+    """foreachBatch sink maintaining count-min counters across micro-batches:
+    the streaming form of `sketch.cms_counters`, detecting hot blocking /
+    LSH / join keys while they emerge — the salting decision a streaming ER
+    ingest must make BEFORE its pair-generating join, from state bounded at
+    d*w counter rows however long the stream runs.
+
+    Per batch: sketch the batch (one bounded groupBy), merge into the
+    persisted counters (union+sum), probe the BATCH's distinct keys against
+    the merged state, and write those with est >= threshold to
+    `hot_path/batch=<id>/` as (key, est) — the worklist `sketch.salt_factors`
+    turns into per-key salt counts for the static-side join.
+
+    Exactly-once despite foreachBatch's at-least-once contract: CMS merge is
+    additive (a replayed merge double-counts — unlike the idempotent min-id
+    merge in `make_cluster_maintainer`), so the state carries the last
+    applied batch id in a `_batch_id` marker INSIDE the parquet directory
+    (underscore-prefixed: invisible to readers, and it travels atomically
+    with the stage-then-swap rename). A replayed batch id <= the marker is
+    skipped; the hot list is per-batch overwrite-partitioned, so its replay
+    is idempotent too. Crash windows mirror the maintainer: '._old' restore
+    on entry, hot write BEFORE the state swap.
+    """
+    from ditto_spark.operators.sketch import cms_counters, cms_estimate, cms_merge
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+        import shutil
+
+        spark = batch_df.sparkSession
+        old = counter_path.rstrip("/") + "._old"
+        if not _os.path.exists(counter_path) and _os.path.exists(old):
+            _os.rename(old, counter_path)
+
+        marker = _os.path.join(counter_path, "_batch_id")
+        state = None
+        if _os.path.exists(counter_path):
+            if _os.path.exists(marker):
+                with open(marker) as fh:
+                    if batch_id <= int(fh.read().strip()):
+                        return  # replayed batch already folded in
+            state = spark.read.parquet(counter_path)
+
+        keys = batch_df.where(F.col(key_col).isNotNull()).select(key_col)
+        if not keys.take(1):
+            return
+        batch_counters = cms_counters(keys, key_col, d=d, w=w)
+        merged = (
+            cms_merge(state, batch_counters) if state is not None else batch_counters
+        )
+        # materialize once: the hot probe and the state write both consume it
+        merged = merged.localCheckpoint(eager=True)
+
+        if hot_path is not None:
+            hot = cms_estimate(
+                merged, keys.distinct(), key_col, d=d, w=w
+            ).where(F.col("est") >= threshold)
+            hot.write.mode("overwrite").parquet(
+                f"{hot_path.rstrip('/')}/batch={batch_id}"
+            )
+
+        tmp = counter_path.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(_os.path.join(tmp, "_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
+        shutil.rmtree(old, ignore_errors=True)
+        if _os.path.exists(counter_path):
+            _os.rename(counter_path, old)
+        _os.rename(tmp, counter_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return apply

@@ -154,3 +154,15 @@ def test_cms_weighted_matches_exploded(spark):
     weighted = cms_counters(pre, "key", weight_col="cnt")
     plain = cms_counters(df, "key")
     assert sorted(map(tuple, weighted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_factors_plan(spark):
+    from ditto_spark.operators.sketch import salt_factors
+
+    est = spark.createDataFrame(
+        [("k_hot", 5000), ("k_edge", 2000), ("k_cold", 1999), ("k_tiny", 3)],
+        "key string, est long",
+    )
+    got = {r["key"]: r["n_salts"] for r in salt_factors(est, 2000, "key").collect()}
+    # ceil(5000/2000)=3; exactly-at-cap and below-cap keys are omitted
+    assert got == {"k_hot": 3}

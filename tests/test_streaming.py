@@ -263,3 +263,74 @@ def test_cluster_maintainer_recovers_from_mid_swap_crash(spark, tmp_path):
         for r in spark.read.parquet(assignment).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")}
+
+
+def test_hot_key_monitor_state_and_hot_list(spark, tmp_path):
+    """CMS counters maintained across micro-batches equal one batch sketch
+    over the union; the planted hot key surfaces in the per-batch hot list."""
+    from ditto_spark.operators.sketch import cms_counters
+    from ditto_spark.streaming.incremental import make_hot_key_monitor
+
+    batches = [
+        [("hot",)] * 30 + [(f"a{i}",) for i in range(10)],
+        [("hot",)] * 40 + [(f"b{i}",) for i in range(10)],
+        [("warm",)] * 25 + [(f"c{i}",) for i in range(10)],
+    ]
+    src = str(tmp_path / "keys_src")
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, "key string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+
+    counters = str(tmp_path / "cms_state")
+    hot = str(tmp_path / "hot")
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_hot_key_monitor(counters, "key", d=4, w=512, threshold=50, hot_path=hot)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(counters).select("j", "bucket", "cnt").collect())
+    )
+    allrows = spark.createDataFrame(
+        [r for chunk in batches for r in chunk], "key string"
+    )
+    want = sorted(map(tuple, cms_counters(allrows, "key", d=4, w=512).collect()))
+    assert got == want  # stream state == batch sketch over the union
+
+    hot_keys = {
+        r["key"] for r in spark.read.parquet(hot).select("key").collect()
+    }
+    assert "hot" in hot_keys  # crossed 50 in batch 1 (30+40)
+    assert "warm" not in hot_keys  # 25 < 50
+
+
+def test_hot_key_monitor_replay_is_skipped(spark, tmp_path):
+    """A replayed batch id must not double-count into the additive state."""
+    from ditto_spark.streaming.incremental import make_hot_key_monitor
+
+    counters = str(tmp_path / "cms_replay")
+    apply = make_hot_key_monitor(counters, "key", d=2, w=64, threshold=10**9)
+    b0 = spark.createDataFrame([("x",)] * 5, "key string")
+    apply(b0, 0)
+    once = sorted(map(tuple, spark.read.parquet(counters).collect()))
+    apply(b0, 0)  # at-least-once replay of the same batch id
+    again = sorted(map(tuple, spark.read.parquet(counters).collect()))
+    assert once == again
+    b1 = spark.createDataFrame([("x",)] * 3, "key string")
+    apply(b1, 1)  # a NEW batch id does accumulate
+    final = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(counters).collect()
+    }
+    assert all(v == 8 for v in final.values())
