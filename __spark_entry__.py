@@ -3443,6 +3443,51 @@ _TEMP_MIX_ORACLE = f"""
 """
 
 
+_ACCENT_INJECT = {
+    "a": "á", "e": "é", "i": "í", "o": "ö", "u": "ü",
+    "n": "ñ", "c": "ç", "l": "ł", "s": "š",
+}
+
+
+def q_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent/diacritic folding for name-matching normalization
+    (Splink-style clean-name step: Müller/Muller, José/Jose must block
+    equal). The corpus is ASCII, so the query deterministically injects
+    diacritics into each document's 40-char prefix (one-to-one translate,
+    same table in both engines) and folds them back; both the accented
+    and folded strings are value-hashed, and the fold is generated from
+    the SAME mapping tables as the DuckDB SQL, so parity is by
+    construction — no dependence on any engine's ICU build. Zero-shuffle
+    codegen projection."""
+    from ditto_spark.operators.textprep import fold_accents_expr
+
+    docs = _load(spark, sf_dir, "documents")
+    src = "".join(_ACCENT_INJECT)
+    dst = "".join(_ACCENT_INJECT.values())
+    accented = F.translate(F.lower(F.substring("text", 1, 40)), src, dst)
+    out = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", accented.alias("accented")
+    )
+    return out.select(
+        "doc_id", "accented", fold_accents_expr(F.col("accented")).alias("folded")
+    )
+
+
+def _accent_fold_oracle() -> str:
+    from ditto_spark.operators.textprep import fold_accents_sql
+
+    src = "".join(_ACCENT_INJECT)
+    dst = "".join(_ACCENT_INJECT.values())
+    return f"""
+    WITH a AS (
+      SELECT doc_id,
+             translate(lower(substr(text, 1, 40)), '{src}', '{dst}') AS accented
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, accented, {fold_accents_sql('accented')} AS folded FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "serialize_events": q_serialize_events,
@@ -3519,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_hot_bigrams": q_cms_hot_bigrams,
         "temperature_mix": q_temperature_mix,
+        "accent_fold": q_accent_fold,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4420,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_ORACLE,
         "cms_hot_bigrams": _cms_oracle(),
         "temperature_mix": _TEMP_MIX_ORACLE,
+        "accent_fold": _accent_fold_oracle(),
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

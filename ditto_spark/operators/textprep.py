@@ -643,3 +643,63 @@ def ngram_lm_score(
             F.round(F.pow(F.lit(2.0), F.col("_bits")), 4).alias("perplexity"),
         )
     )
+
+
+# --- accent / diacritic folding (name-matching normalization) ------------
+# Splink/recordlinkage-style clean-name step: spelling variants that differ
+# only in diacritics (Müller/Muller, José/Jose) must block and compare
+# equal. Engine portability the usual way: BOTH the Spark expression and
+# the DuckDB SQL are GENERATED from the same mapping tables below, so
+# parity is by construction — never dependent on any engine's ICU build
+# (DuckDB's strip_accents, e.g., folds é→e but leaves ł untouched).
+# One-to-one folds go through a single translate() (JVM codegen,
+# zero-shuffle); the handful of multi-char expansions (ß→ss, æ→ae, …)
+# through an explicit replace chain in both engines.
+
+ACCENT_FOLD_1TO1 = {
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a", "ā": "a",
+    "ă": "a", "ą": "a",
+    "è": "e", "é": "e", "ê": "e", "ë": "e", "ē": "e", "ė": "e", "ę": "e",
+    "ě": "e",
+    "ì": "i", "í": "i", "î": "i", "ï": "i", "ī": "i", "į": "i", "ı": "i",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o", "ø": "o", "ō": "o",
+    "ő": "o",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u", "ū": "u", "ů": "u", "ű": "u",
+    "ų": "u",
+    "ç": "c", "ć": "c", "č": "c", "ĉ": "c",
+    "ñ": "n", "ń": "n", "ň": "n", "ņ": "n",
+    "ý": "y", "ÿ": "y",
+    "š": "s", "ś": "s", "ş": "s", "ș": "s",
+    "ž": "z", "ź": "z", "ż": "z",
+    "ł": "l", "ľ": "l", "ĺ": "l", "ļ": "l",
+    "ď": "d", "đ": "d", "ð": "d",
+    "ť": "t", "ţ": "t", "ț": "t",
+    "ř": "r", "ŕ": "r",
+    "ğ": "g", "ĝ": "g", "ġ": "g",
+    "ĥ": "h", "ħ": "h",
+    "ŵ": "w", "ŷ": "y",
+}
+ACCENT_FOLD_MULTI = {"ß": "ss", "æ": "ae", "œ": "oe", "ĳ": "ij"}
+
+
+def fold_accents_expr(col: F.Column) -> F.Column:
+    """Spark expression folding the tables above (lowercase input assumed;
+    compose with F.lower upstream). translate() handles every one-to-one
+    fold in a single pass; the multi-char expansions chain replace()."""
+    src = "".join(ACCENT_FOLD_1TO1)
+    dst = "".join(ACCENT_FOLD_1TO1.values())
+    out = F.translate(col, src, dst)
+    for k, v in ACCENT_FOLD_MULTI.items():
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out
+
+
+def fold_accents_sql(expr: str) -> str:
+    """The identical fold as DuckDB SQL over `expr` — generated from the
+    same tables, so the two engines agree char-for-char."""
+    src = "".join(ACCENT_FOLD_1TO1).replace("'", "''")
+    dst = "".join(ACCENT_FOLD_1TO1.values()).replace("'", "''")
+    out = f"translate({expr}, '{src}', '{dst}')"
+    for k, v in ACCENT_FOLD_MULTI.items():
+        out = f"replace({out}, '{k}', '{v}')"
+    return out
