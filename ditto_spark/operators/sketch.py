@@ -311,3 +311,39 @@ def salt_factors(
     return est_df.select(F.col(key_col), n.alias("n_salts")).where(
         F.col("n_salts") > 1
     )
+
+
+def cms_join_size(
+    counters_a: DataFrame,
+    counters_b: DataFrame,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """Equi-join output-size estimate from two CMS counter tables (Cormode &
+    Muthukrishnan 2005 §4.2, the AGMS-style inner product): |A ⋈ B| =
+    Σ_k f_A(k)·f_B(k) is estimated as min over the d rows of
+    Σ_bucket cntA·cntB — an upper bound (est >= true, like point queries),
+    exact when no colliding key pair shares a bucket in the minimizing row.
+
+    This is the pre-shuffle join planner: both sketches are ≤ d·w rows
+    (broadcastable), so the driver can ask "how many pairs will this
+    blocking join emit?" — and hence choose broadcast vs sort-merge vs a
+    salting budget — WITHOUT running the join. The two counter tables must
+    share (d, w). Output: one row (est_join_size long)."""
+    prod = counters_a.alias("a").join(
+        counters_b.alias("b"), ["j", "bucket"]
+    ).select(
+        F.col("j"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("p"),
+    )
+    per_row = prod.groupBy("j").agg(F.sum("p").alias("s"))
+    # a row with zero overlapping buckets has inner product 0; rows absent
+    # from the join entirely mean SOME row saw no collisions -> est 0.
+    n_rows = per_row.agg(
+        F.count(F.lit(1)).alias("n"), F.min("s").alias("m")
+    )
+    return n_rows.select(
+        F.when(F.col("n") < d, F.lit(0))
+        .otherwise(F.col("m"))
+        .cast("long")
+        .alias("est_join_size")
+    )

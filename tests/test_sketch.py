@@ -166,3 +166,32 @@ def test_salt_factors_plan(spark):
     got = {r["key"]: r["n_salts"] for r in salt_factors(est, 2000, "key").collect()}
     # ceil(5000/2000)=3; exactly-at-cap and below-cap keys are omitted
     assert got == {"k_hot": 3}
+
+
+def test_cms_join_size_upper_bounds_and_tightness(spark):
+    from ditto_spark.operators.sketch import cms_join_size
+
+    a = _zipf_df(spark, n_keys=60)            # key k: 60-k copies
+    b = _zipf_df(spark, n_keys=30)            # shared keys k0..k29
+    true = (
+        a.groupBy("key").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("key").count().withColumnRenamed("count", "cb"), "key")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("t"))
+        .collect()[0]["t"]
+    )
+    est = cms_join_size(
+        cms_counters(a, "key", d=4, w=2048), cms_counters(b, "key", d=4, w=2048), d=4
+    ).collect()[0]["est_join_size"]
+    assert est >= true
+    assert est <= true * 1.2  # 60+30 keys in 2048 buckets: near-exact
+
+
+def test_cms_join_size_disjoint_is_zero(spark):
+    from ditto_spark.operators.sketch import cms_join_size
+
+    a = _zipf_df(spark, n_keys=20)
+    b = a.select(F.concat(F.lit("other_"), F.col("key")).alias("key"))
+    est = cms_join_size(
+        cms_counters(a, "key", d=4, w=4096), cms_counters(b, "key", d=4, w=4096), d=4
+    ).collect()[0]["est_join_size"]
+    assert est == 0  # big w -> some row collision-free -> min hits 0
