@@ -3067,6 +3067,67 @@ _IDF_COSINE_ORACLE = _ORACLE_SHINGLE_CTE + r"""
 """
 
 
+def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard verify on the rare-shingle candidates: rare-
+    token agreement outweighs stopword agreement (Chum et al.'s weighted
+    set similarity — the overlap-measure analogue of fs_score's
+    term-frequency adjustment). Relational end-to-end: distinct pair
+    tokens joined to the broadcast (token, idf) index, union weight as
+    L + R − I, never a union materialization."""
+    from ditto_spark.operators.scoring import (
+        build_idf_df,
+        score_pairs_weighted_jaccard,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = _rare_shingle_pairs(docs).select("left_id", "right_id")
+    pt = pairs.join(
+        docs.select(F.col("doc_id").alias("left_id"), F.col("text").alias("left_txt")),
+        "left_id",
+    ).join(
+        docs.select(F.col("doc_id").alias("right_id"), F.col("text").alias("right_txt")),
+        "right_id",
+    )
+    idf = build_idf_df(docs.select(F.col("text").alias("txt")))
+    scored = score_pairs_weighted_jaccard(pt, idf)
+    return scored.select(
+        "left_id", "right_id", F.round("prob", 6).alias("weighted_jaccard")
+    )
+
+
+_WEIGHTED_JACCARD_ORACLE = _ORACLE_SHINGLE_CTE + r"""
+    , tokd AS (
+      SELECT DISTINCT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), idf AS (
+      SELECT token,
+             ln(1.0 + (SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+      FROM tokd GROUP BY token
+    ), wsum AS (
+      SELECT t.doc_id, sum(i.idf) AS s
+      FROM tokd t JOIN idf i USING (token) GROUP BY 1
+    ), inter AS (
+      SELECT p.left_id, p.right_id, sum(i.idf) AS s
+      FROM jp p
+      JOIN tokd a ON a.doc_id = p.left_id
+      JOIN tokd b ON b.doc_id = p.right_id AND b.token = a.token
+      JOIN idf i ON i.token = a.token
+      GROUP BY 1, 2
+    )
+    SELECT p.left_id, p.right_id,
+           round(CASE WHEN sa.s + sb.s > 0
+                      THEN coalesce(x.s, 0.0)
+                           / (sa.s + sb.s - coalesce(x.s, 0.0))
+                      ELSE 0.0 END, 6) AS weighted_jaccard
+    FROM jp p
+    JOIN wsum sa ON sa.doc_id = p.left_id
+    JOIN wsum sb ON sb.doc_id = p.right_id
+    LEFT JOIN inter x ON x.left_id = p.left_id AND x.right_id = p.right_id
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided shingle CONTAINMENT c = |A∩B|/|A| alongside Jaccard —
     the asymmetric near-dup signal Jaccard misses: a short doc quoted
@@ -3637,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "accent_fold": q_accent_fold,
         "join_size_estimate": q_join_size_estimate,
+        "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4540,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _TEMP_MIX_ORACLE,
         "accent_fold": _accent_fold_oracle(),
         "join_size_estimate": _join_size_oracle(),
+        "weighted_jaccard_pairs": _WEIGHTED_JACCARD_ORACLE,
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

@@ -567,3 +567,58 @@ def bipartite_best_match(
         .select(left_col, right_col)
     )
     return best_l.join(best_r, [left_col, right_col])
+
+
+def score_pairs_weighted_jaccard(
+    pairs_with_text: DataFrame,
+    idf_df: DataFrame,
+    default_idf: float = 1.0,
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """Set-weighted Jaccard over DISTINCT tokens (Chum et al. 2008's
+    weighted set similarity, the standard IDF-weighted complement of the
+    cosine scorer): WJ = Σ_{t∈A∩B} w_t / Σ_{t∈A∪B} w_t, so agreement on a
+    rare token counts for more than agreement on a stopword — the same
+    term-frequency insight as fellegi.fs_score's TF adjustment, applied to
+    the token-overlap verify. Same relational discipline as
+    `score_pairs_tfidf_relational`: explode pair tokens (distinct — set
+    semantics), broadcast-join the (token, idf) index, three pair-keyed
+    partial aggregates; union weight arrives as L + R − I (never a union
+    materialization). Output (left_id, right_id, prob in [0,1])."""
+    idf = idf_df.select("token", "idf")
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+
+    def side(txt_col: str, prefix: str) -> DataFrame:
+        toks = pairs_with_text.select(
+            "left_id", "right_id",
+            F.explode(idf_tokens_expr(txt_col)).alias("token"),
+        )
+        return toks.join(idf, "token", "left").select(
+            "left_id", "right_id", "token",
+            F.coalesce("idf", F.lit(default_idf)).alias(f"{prefix}_w"),
+        )
+
+    l = side("left_txt", "l")
+    r = side("right_txt", "r")
+    l_sum = l.groupBy("left_id", "right_id").agg(F.sum("l_w").alias("l_s"))
+    r_sum = r.groupBy("left_id", "right_id").agg(F.sum("r_w").alias("r_s"))
+    inter = (
+        l.join(r, ["left_id", "right_id", "token"])
+        .groupBy("left_id", "right_id")
+        .agg(F.sum("l_w").alias("i_s"))
+    )
+    return (
+        pairs_with_text.select("left_id", "right_id")
+        .join(l_sum, ["left_id", "right_id"], "left")
+        .join(r_sum, ["left_id", "right_id"], "left")
+        .join(inter, ["left_id", "right_id"], "left")
+        .select(
+            "left_id", "right_id",
+            F.when(
+                F.coalesce("l_s", F.lit(0.0)) + F.coalesce("r_s", F.lit(0.0)) > 0,
+                F.coalesce("i_s", F.lit(0.0))
+                / (F.col("l_s") + F.col("r_s") - F.coalesce("i_s", F.lit(0.0))),
+            ).otherwise(F.lit(0.0)).alias("prob"),
+        )
+    )

@@ -281,3 +281,46 @@ def test_fs_linkage_precision_against_truth(spark):
     assert len(rows) > 50
     correct = sum(1 for r in rows if r["left_id"] == r["right_id"])
     assert correct / len(rows) >= 0.95
+
+
+def test_weighted_jaccard_hand_computed(spark):
+    """WJ weights rare-token agreement above stopword agreement."""
+    from ditto_spark.operators.scoring import score_pairs_weighted_jaccard
+
+    idf = spark.createDataFrame(
+        [("the", 0.1), ("zygote", 5.0), ("cat", 2.0), ("dog", 2.0)],
+        "token string, idf double",
+    )
+    pairs = spark.createDataFrame(
+        [
+            # agree only on the stopword: 0.1 / (0.1+5.0+0.1+2.0-0.1)
+            (1, 2, "the zygote", "the cat"),
+            # agree on the rare token: 5.1 / 5.1  = 1.0
+            (3, 4, "the zygote", "zygote the"),
+            # no overlap at all
+            (5, 6, "cat", "dog"),
+        ],
+        "left_id long, right_id long, left_txt string, right_txt string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["prob"]
+        for r in score_pairs_weighted_jaccard(pairs, idf).collect()
+    }
+    assert abs(got[(1, 2)] - 0.1 / 7.1) < 1e-12
+    assert abs(got[(3, 4)] - 1.0) < 1e-12
+    assert got[(5, 6)] == 0.0
+
+
+def test_weighted_jaccard_set_semantics_and_default(spark):
+    """Repeated tokens count once (set semantics); unknown tokens get the
+    default weight."""
+    from ditto_spark.operators.scoring import score_pairs_weighted_jaccard
+
+    idf = spark.createDataFrame([("a", 3.0)], "token string, idf double")
+    pairs = spark.createDataFrame(
+        [(1, 2, "a a a", "a unknowntok")],
+        "left_id long, right_id long, left_txt string, right_txt string",
+    )
+    got = score_pairs_weighted_jaccard(pairs, idf, default_idf=1.0).collect()[0]["prob"]
+    # A = {a}: 3.0;  B = {a, unknowntok}: 3.0 + 1.0;  I = 3.0
+    assert abs(got - 3.0 / 4.0) < 1e-12
