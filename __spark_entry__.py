@@ -1949,6 +1949,13 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised by the transcript queries, bench.py, and the pytest recall
     gate."""
     docs = _load(spark, sf_dir, "documents")
+    return _mh_lsh_pairs(docs)
+
+
+def _mh_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """The 16-perm md5 MinHash-LSH candidate generator over any (doc_id,
+    text) frame — shared by q_minhash_lsh_candidates (full corpus) and
+    q_blocking_recall (hash-sample audit)."""
     sh = _doc_shingles(docs)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -2007,6 +2014,125 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("est_jaccard") >= 0.25)
     )
+
+
+_RECALL_SEED, _RECALL_RATE, _RECALL_TAU = 7, 0.5, 0.5
+
+
+def q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free blocking-recall audit (pair-completeness estimation, the
+    Splink blocking-analysis counterpart): on a deterministic md5
+    hash-sample of documents, compute EXACT ground-truth near-dup pairs
+    (lossless prefix-filter all-pairs join at Jaccard >= tau) and measure
+    what fraction the production MinHash-LSH blocker recovers. MinHash
+    signatures are per-document, so the blocker's candidates restricted to
+    sample pairs equal the blocker run on the sample — the audit measures
+    the real pipeline's recall, no labels required. Scale shape: the n²
+    work is confined to the sample (pick the rate so the sample is ~10^4
+    docs at any corpus size); everything else is the production plan.
+    Output: one row (n_sample, n_truth, n_caught, recall)."""
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(_RECALL_SEED), F.col("doc_id"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 24))
+    )
+    sample = docs.where(u < F.lit(_RECALL_RATE)).persist()
+    truth = allpairs_jaccard_join(
+        sample, threshold=_RECALL_TAU, shingle_n=3
+    ).select("left_id", "right_id")
+    cand = _mh_lsh_pairs(sample).select("left_id", "right_id")
+    caught = truth.join(cand, ["left_id", "right_id"], "left_semi")
+    ns = sample.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    return (
+        ns.crossJoin(nt)
+        .crossJoin(nc)
+        .select(
+            "n_sample",
+            "n_truth",
+            "n_caught",
+            F.when(F.col("n_truth") > 0, F.round(F.col("n_caught") / F.col("n_truth"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+        )
+    )
+
+
+def _blocking_recall_oracle() -> str:
+    r = _MH_PERMS // _MH_BANDS
+    mins = ",\n             ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(_MH_PERMS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(_MH_PERMS))
+    return f"""
+    WITH smp AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL
+        AND ('0x' || substr(md5('{_RECALL_SEED}:' || doc_id), 1, 6))::BIGINT
+            / {float(1 << 24)!r} < {_RECALL_RATE!r}
+    ), sh AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM smp),
+           unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+      WHERE len(l) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), tp AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT t.left_id, t.right_id
+      FROM tp t
+      JOIN sizes sa ON sa.doc_id = t.left_id
+      JOIN sizes sb ON sb.doc_id = t.right_id
+      WHERE t.c / (sa.n + sb.n - t.c) >= {_RECALL_TAU!r}
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand0 AS (
+      SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ), cand AS (
+      SELECT c.left_id, c.right_id
+      FROM cand0 c
+      JOIN sig a ON a.doc_id = c.left_id
+      JOIN sig b ON b.doc_id = c.right_id
+      WHERE ({agree}) / {float(_MH_PERMS)!r} >= 0.25
+    ), agg AS (
+      SELECT (SELECT count(*) FROM smp)::BIGINT AS n_sample,
+             (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+             (SELECT count(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand c
+                             WHERE c.left_id = t.left_id
+                               AND c.right_id = t.right_id))::BIGINT AS n_caught
+    )
+    SELECT n_sample, n_truth, n_caught,
+           CASE WHEN n_truth > 0 THEN round(n_caught / n_truth, 6)
+                ELSE 0.0 END AS recall
+    FROM agg
+"""
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3699,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accent_fold": q_accent_fold,
         "join_size_estimate": q_join_size_estimate,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "blocking_recall": q_blocking_recall,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4603,6 +4730,7 @@ def oracle_sql() -> dict[str, str]:
         "accent_fold": _accent_fold_oracle(),
         "join_size_estimate": _join_size_oracle(),
         "weighted_jaccard_pairs": _WEIGHTED_JACCARD_ORACLE,
+        "blocking_recall": _blocking_recall_oracle(),
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

@@ -558,3 +558,16 @@ def test_suffix_blocking_frequency_cut_drops_hot_suffix(spark):
         B.suffix_blocking_pairs(df, key_col="k", max_bucket=60).count()
         == 60 * 59 / 2
     )
+
+
+def test_blocking_recall_audit_invariants(spark):
+    """Label-free recall audit: counts are consistent, the sample is a
+    strict subset, recall is the caught/truth fraction in [0,1]."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.q_blocking_recall(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 < row["n_sample"] < 500
+    assert 0 <= row["n_caught"] <= row["n_truth"]
+    assert 0.0 <= row["recall"] <= 1.0
+    if row["n_truth"]:
+        assert abs(row["recall"] - row["n_caught"] / row["n_truth"]) < 1e-6
