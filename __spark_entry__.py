@@ -324,6 +324,44 @@ def q_serialize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collapse_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-hygiene pass: drop consecutive repeated turns within an
+    actor's (ts, event_id)-ordered stream (retry loops, duplicated tool
+    outputs, double submissions) BEFORE serialization — repeats otherwise
+    inflate the entity text and skew every downstream shingle signature.
+    Null-safe equality on the full payload (event_type, props); one
+    actor-keyed window shuffle, reusable by the serializer's ordering
+    agg."""
+    from ditto_spark.operators.serialize import collapse_repeated_turns
+
+    ev = _load(spark, sf_dir, "events")
+    out = collapse_repeated_turns(
+        ev,
+        actor_col="user_id",
+        order_cols=("ts", "event_id"),
+        payload_cols=("event_type", "props"),
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+_COLLAPSE_TURNS_ORACLE = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             lag(event_type) OVER w AS pet,
+             lag(props) OVER w AS pp,
+             row_number() OVER w AS rn,
+             props
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, event_type
+    FROM e
+    WHERE rn = 1
+       OR NOT (pet IS NOT DISTINCT FROM event_type
+               AND pp IS NOT DISTINCT FROM props)
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup grouped by a 128-bit md5 fingerprint, NOT the raw text:
     grouping by `text` ships full document bytes as the shuffle key — at
@@ -3826,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "blocking_recall": q_blocking_recall,
+        "collapse_turns": q_collapse_turns,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4731,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": _join_size_oracle(),
         "weighted_jaccard_pairs": _WEIGHTED_JACCARD_ORACLE,
         "blocking_recall": _blocking_recall_oracle(),
+        "collapse_turns": _COLLAPSE_TURNS_ORACLE,
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

@@ -63,3 +63,39 @@ def serialize_conversations(transcripts: DataFrame) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("int").alias("n_turns"),
     )
+
+
+def collapse_repeated_turns(
+    df: DataFrame,
+    actor_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    payload_cols: tuple[str, ...] = ("role", "text"),
+) -> DataFrame:
+    """Drop consecutive repeated turns within an actor's ordered stream —
+    the transcript-hygiene pass before serialization: agents stuck in a
+    retry loop, duplicated tool outputs, and double-submitted user turns
+    otherwise inflate the serialized entity text and skew every downstream
+    shingle/MinHash signature. A turn is dropped iff EVERY payload column
+    null-safe-equals the previous turn's (SQL IS NOT DISTINCT FROM
+    semantics, so null==null collapses too); the first turn of an actor is
+    always kept.
+
+    One actor-keyed window shuffle — the same exchange the serializer's
+    ordering agg needs, so when composed upstream of it AQE reuses the
+    partitioning. Hyperactive-actor skew is inherited from the data (an
+    actor's stream is sequential by nature), same caveat as sessions.py.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(actor_col).orderBy(*[F.col(c) for c in order_cols])
+    all_equal = None
+    for c in payload_cols:
+        eq = F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+        all_equal = eq if all_equal is None else (all_equal & eq)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("__rn", rn)
+        .withColumn("__dup", all_equal)
+        .where((F.col("__rn") == 1) | ~F.col("__dup"))
+        .drop("__rn", "__dup")
+    )

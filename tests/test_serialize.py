@@ -67,3 +67,49 @@ def test_generator_determinism(spark):
     b = generate_transcripts(spark, n_base=30, seed=7, partitions=11)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_collapse_repeated_turns(spark):
+    from ditto_spark.operators.serialize import collapse_repeated_turns
+
+    rows = [
+        # conv A: retry loop (t1 == t2 == t3), then new text, then null pair
+        ("A", 0, "user", "hi"),
+        ("A", 1, "tool", "out"),
+        ("A", 2, "tool", "out"),
+        ("A", 3, "tool", "out"),
+        ("A", 4, "tool", "out2"),
+        ("A", 5, "tool", None),
+        ("A", 6, "tool", None),
+        # conv B: first turn has null payload — must be kept
+        ("B", 0, "user", None),
+        ("B", 1, "user", None),
+        ("B", 2, "user", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in collapse_repeated_turns(df).collect()
+    )
+    assert got == [("A", 0), ("A", 1), ("A", 4), ("A", 5), ("B", 0), ("B", 2)]
+
+
+def test_collapse_repeated_turns_partition_invariant(spark):
+    from ditto_spark.operators.serialize import collapse_repeated_turns
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).cast("string").alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+        F.lit("r").alias("role"),
+        # within a conv ids step by 7, so floor(id/21) repeats ~3 turns in a
+        # row — guarantees real consecutive duplicates to collapse
+        ((F.col("id") / 21).cast("int") % 5).cast("string").alias("text"),
+    )
+    a = sorted(r["turn_idx"] for r in collapse_repeated_turns(df).collect())
+    b = sorted(
+        r["turn_idx"]
+        for r in collapse_repeated_turns(df.repartition(13)).collect()
+    )
+    assert a == b and 0 < len(a) < 200
