@@ -362,6 +362,55 @@ _COLLAPSE_TURNS_ORACLE = """
 """
 
 
+def q_cached_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed score-cache wrapper (incremental-run path) around
+    the JVM token-Jaccard scorer over rare-shingle candidate pairs. Runs
+    with a fresh cache, so the result equals plain scoring — which the
+    oracle replicates in SQL — while the cache mechanics (hit/miss split,
+    delta-only scoring, changed-text invalidation) are pytest-covered in
+    tests/test_scoring.py."""
+    import tempfile
+
+    from ditto_spark.operators.scoring import (
+        score_pairs_builtin,
+        score_pairs_cached,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    txt = docs.select("doc_id", "text")
+    pairs = (
+        _rare_shingle_pairs(docs)
+        .select("left_id", "right_id")
+        .join(
+            txt.withColumnsRenamed({"doc_id": "left_id", "text": "left_txt"}),
+            "left_id",
+        )
+        .join(
+            txt.withColumnsRenamed({"doc_id": "right_id", "text": "right_txt"}),
+            "right_id",
+        )
+    )
+    cache_dir = tempfile.mkdtemp(prefix="score_cache_")
+    out = score_pairs_cached(pairs, cache_dir, score_fn=score_pairs_builtin)
+    return out.select(
+        "left_id", "right_id", F.round("prob", 9).alias("prob")
+    )
+
+
+_CACHED_SCORING_ORACLE_TAIL = """
+SELECT p.left_id, p.right_id,
+       round(len(list_intersect(ta.toks, tb.toks))
+             / greatest(len(list_distinct(ta.toks || tb.toks)), 1), 9) AS prob
+FROM jp p
+JOIN (SELECT doc_id, list_filter(list_distinct(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+')), x -> x != '') AS toks
+      FROM documents) ta ON ta.doc_id = p.left_id
+JOIN (SELECT doc_id, list_filter(list_distinct(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+')), x -> x != '') AS toks
+      FROM documents) tb ON tb.doc_id = p.right_id
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup grouped by a 128-bit md5 fingerprint, NOT the raw text:
     grouping by `text` ships full document bytes as the shuffle key — at
@@ -3865,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "blocking_recall": q_blocking_recall,
         "collapse_turns": q_collapse_turns,
+        "cached_scoring": q_cached_scoring,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4771,6 +4821,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_jaccard_pairs": _WEIGHTED_JACCARD_ORACLE,
         "blocking_recall": _blocking_recall_oracle(),
         "collapse_turns": _COLLAPSE_TURNS_ORACLE,
+        "cached_scoring": _ORACLE_SHINGLE_CTE + _CACHED_SCORING_ORACLE_TAIL,
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

@@ -622,3 +622,112 @@ def score_pairs_weighted_jaccard(
             ).otherwise(F.lit(0.0)).alias("prob"),
         )
     )
+
+
+def score_pairs_cached(
+    pairs_with_text: DataFrame,
+    cache_dir: str,
+    score_fn: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Content-addressed score memo around any pair scorer — the
+    incremental-run path: on continuously-arriving transcript corpora the
+    blocking stage re-emits mostly-seen candidate pairs every run, and the
+    scorer (the LM forward pass — the most expensive stage by far) should
+    only ever run on the delta.
+
+    Reference parity: generalizes the reference's ad-hoc file memoization
+    (/root/reference/blocking/blocker.py caches encoder output per input
+    file) from per-file artifacts to a per-PAIR score table keyed by
+    content, which is what composes with incremental blocking.
+
+    Key = (md5(left_txt), md5(right_txt)) — content-addressed, so a
+    conversation whose text changes between runs gets a new key and is
+    transparently re-scored, while id renames / re-blocks hit the cache.
+    Pair order is preserved (cross-encoders are order-sensitive).
+
+    Plan shape (the 100 TB story):
+      1. distinct text-pairs only are scored — identical serialized pairs
+         (retry-heavy template conversations) collapse BEFORE the scorer;
+      2. hits/misses split by one fixed-width-key equi-join against the
+         cache table (left_anti for misses) — AQE broadcasts whichever
+         side is small (first run: empty cache; steady state: small miss
+         delta);
+      3. `score_fn` (default: the Arrow-UDF `score_pairs`) runs on misses
+         ONLY; results are appended to `cache_dir` (parquet here; an
+         Iceberg append with snapshot isolation at real scale — same
+         contract as checkpoint.StageStore) and the append doubles as the
+         materialization barrier, so the scorer computes each miss once;
+      4. the run's result is one join of this run's pairs against the
+         cache — never re-scoring, never collecting.
+
+    Retried appends may duplicate rows; the read side dropDuplicates on
+    the key, which is sound because every scorer in this package is
+    deterministic (a nondeterministic scorer would make ANY memoization
+    unsound). Returns the same (left_id, right_id, prob) schema as
+    `score_pairs` — a drop-in replacement.
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = pairs_with_text.sparkSession
+    score_fn = score_fn or score_pairs
+
+    fp = pairs_with_text.select(
+        "left_id",
+        "right_id",
+        F.md5("left_txt").alias("left_fp"),
+        F.md5("right_txt").alias("right_fp"),
+        "left_txt",
+        "right_txt",
+    )
+
+    def _read_cache() -> DataFrame | None:
+        try:
+            c = spark.read.parquet(cache_dir)
+        except AnalysisException:
+            return None
+        return c.dropDuplicates(["left_fp", "right_fp"])
+
+    distinct_pairs = fp.select(
+        "left_fp", "right_fp", "left_txt", "right_txt"
+    ).dropDuplicates(["left_fp", "right_fp"])
+
+    cache = _read_cache()
+    misses = (
+        distinct_pairs.join(
+            cache.select("left_fp", "right_fp"), ["left_fp", "right_fp"], "left_anti"
+        )
+        if cache is not None
+        else distinct_pairs
+    )
+
+    fresh = score_fn(
+        misses.select(
+            F.col("left_fp").alias("left_id"),
+            F.col("right_fp").alias("right_id"),
+            "left_txt",
+            "right_txt",
+        )
+    ).select(
+        F.col("left_id").alias("left_fp"),
+        F.col("right_id").alias("right_fp"),
+        "prob",
+    )
+    fresh.write.mode("append").parquet(cache_dir)
+
+    all_scores = _read_cache()
+    return (
+        fp.select("left_id", "right_id", "left_fp", "right_fp")
+        .join(all_scores, ["left_fp", "right_fp"])
+        .select("left_id", "right_id", "prob")
+    )
+
+
+def score_cache_size(spark, cache_dir: str) -> int:
+    """Distinct cached text-pairs (0 if the cache does not exist yet)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        c = spark.read.parquet(cache_dir)
+    except AnalysisException:
+        return 0
+    return c.dropDuplicates(["left_fp", "right_fp"]).count()

@@ -324,3 +324,99 @@ def test_weighted_jaccard_set_semantics_and_default(spark):
     got = score_pairs_weighted_jaccard(pairs, idf, default_idf=1.0).collect()[0]["prob"]
     # A = {a}: 3.0;  B = {a, unknowntok}: 3.0 + 1.0;  I = 3.0
     assert abs(got - 3.0 / 4.0) < 1e-12
+
+
+def _cache_pairs(spark, texts):
+    rows = [
+        (f"l{i}", f"r{i}", lt, rt) for i, (lt, rt) in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows, "left_id string, right_id string, left_txt string, right_txt string"
+    )
+
+
+def test_score_pairs_cached_first_run_matches_plain(spark, tmp_path):
+    from ditto_spark.operators.scoring import score_pairs_cached
+
+    pairs = _cache_pairs(
+        spark, [("a b c", "a b d"), ("x y", "x y"), ("p q", "z w")]
+    )
+    plain = {
+        (r["left_id"], r["right_id"]): r["prob"]
+        for r in score_pairs_builtin(pairs).collect()
+    }
+    cached = {
+        (r["left_id"], r["right_id"]): r["prob"]
+        for r in score_pairs_cached(
+            pairs, str(tmp_path / "c1"), score_fn=score_pairs_builtin
+        ).collect()
+    }
+    assert cached == plain and len(cached) == 3
+
+
+def test_score_pairs_cached_second_run_scores_only_delta(spark, tmp_path):
+    from ditto_spark.operators.scoring import (
+        score_pairs_cached,
+        score_cache_size,
+    )
+
+    calls = []
+
+    def counting_score(df):
+        out = score_pairs_builtin(df)
+        calls.append(out.count())  # eager: how many pairs hit the scorer
+        return out
+
+    cache = str(tmp_path / "c2")
+    run1 = _cache_pairs(spark, [("a b", "a c"), ("d e", "d e")])
+    out1 = score_pairs_cached(run1, cache, score_fn=counting_score)
+    assert out1.count() == 2 and calls == [2]
+    assert score_cache_size(spark, cache) == 2
+
+    # run 2: one seen pair (different ids, same text), one new pair
+    run2 = _cache_pairs(spark, [("a b", "a c"), ("f g", "f h")])
+    out2 = score_pairs_cached(run2, cache, score_fn=counting_score)
+    assert out2.count() == 2
+    assert calls == [2, 1]  # only the genuinely new text-pair was scored
+    assert score_cache_size(spark, cache) == 3
+
+    # run 3: fully cached — scorer sees zero rows
+    out3 = score_pairs_cached(run2, cache, score_fn=counting_score)
+    assert out3.count() == 2 and calls == [2, 1, 0]
+
+
+def test_score_pairs_cached_changed_text_rescored(spark, tmp_path):
+    from ditto_spark.operators.scoring import score_pairs_cached, score_cache_size
+
+    cache = str(tmp_path / "c3")
+    score_pairs_cached(
+        _cache_pairs(spark, [("hello world", "hello там")]),
+        cache,
+        score_fn=score_pairs_builtin,
+    ).count()
+    # same ids, edited text → new content key → re-scored, old entry kept
+    score_pairs_cached(
+        _cache_pairs(spark, [("hello world EDITED", "hello там")]),
+        cache,
+        score_fn=score_pairs_builtin,
+    ).count()
+    assert score_cache_size(spark, cache) == 2
+
+
+def test_score_pairs_cached_duplicate_text_pairs_scored_once(spark, tmp_path):
+    from ditto_spark.operators.scoring import score_pairs_cached
+
+    calls = []
+
+    def counting_score(df):
+        out = score_pairs_builtin(df)
+        calls.append(out.count())
+        return out
+
+    # 4 id-pairs but only 2 distinct text-pairs
+    pairs = _cache_pairs(
+        spark,
+        [("a b", "a c"), ("a b", "a c"), ("q r", "q s"), ("q r", "q s")],
+    )
+    out = score_pairs_cached(pairs, str(tmp_path / "c4"), score_fn=counting_score)
+    assert out.count() == 4 and calls == [2]
