@@ -362,6 +362,76 @@ _COLLAPSE_TURNS_ORACLE = """
 """
 
 
+def q_bbit_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW 2010) over an engine-portable
+    md5 16-perm signature: per-perm fields are the low 4 bits of the TRUE
+    lexicographic min (truncate-after-min, the paper's construction), packed
+    by the production `bbit_minhash_pack` and estimated by
+    `bbit_jaccard_estimate` — so the real pack/bit-count/unbias operators
+    are what the DuckDB oracle checks. The xxhash64 production path is
+    covered rows-only + pytest (accuracy vs exact Jaccard)."""
+    from ditto_spark.operators.blocking import (
+        bbit_jaccard_estimate,
+        bbit_minhash_pack,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(16)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    fields = F.array(
+        *[
+            (
+                F.expr(f"locate(substring(h{i}, 32, 1), '0123456789abcdef')")
+                - 1
+            ).cast("bigint")
+            for i in range(16)
+        ]
+    )
+    packed = bbit_minhash_pack(
+        sig.select("doc_id", fields.alias("sig")),
+        num_perm=16,
+        b=4,
+        id_col="doc_id",
+    )
+    pairs = _rare_shingle_pairs(docs).select("left_id", "right_id")
+    joined = pairs.join(
+        packed.withColumnsRenamed({"doc_id": "left_id", "bsig": "left_bsig"}),
+        "left_id",
+    ).join(
+        packed.withColumnsRenamed({"doc_id": "right_id", "bsig": "right_bsig"}),
+        "right_id",
+    )
+    return bbit_jaccard_estimate(joined, b=4).select(
+        "left_id", "right_id", F.round("est_jaccard", 9).alias("est_jaccard")
+    )
+
+
+def _bbit_oracle() -> str:
+    mins = ", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(16))
+    matches = " + ".join(
+        f"(strpos('0123456789abcdef', substr(a.h{i}, 32, 1))"
+        f" = strpos('0123456789abcdef', substr(b.h{i}, 32, 1)))::INT"
+        for i in range(16)
+    )
+    c = 1.0 / 16.0
+    return (
+        _ORACLE_SHINGLE_CTE
+        + f""",
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    SELECT p.left_id, p.right_id,
+           round(greatest(least((({matches}) / 16.0 - {c}) / {1.0 - c}, 1.0),
+                          0.0), 9) AS est_jaccard
+    FROM jp p
+    JOIN sig a ON a.doc_id = p.left_id
+    JOIN sig b ON b.doc_id = p.right_id
+    """
+    )
+
+
 def q_cached_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed score-cache wrapper (incremental-run path) around
     the JVM token-Jaccard scorer over rare-shingle candidate pairs. Runs
@@ -3915,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_recall": q_blocking_recall,
         "collapse_turns": q_collapse_turns,
         "cached_scoring": q_cached_scoring,
+        "bbit_minhash_jaccard": q_bbit_minhash_jaccard,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4822,6 +4893,7 @@ def oracle_sql() -> dict[str, str]:
         "blocking_recall": _blocking_recall_oracle(),
         "collapse_turns": _COLLAPSE_TURNS_ORACLE,
         "cached_scoring": _ORACLE_SHINGLE_CTE + _CACHED_SCORING_ORACLE_TAIL,
+        "bbit_minhash_jaccard": _bbit_oracle(),
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,
