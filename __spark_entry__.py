@@ -362,6 +362,92 @@ _COLLAPSE_TURNS_ORACLE = """
 """
 
 
+def q_stable_cluster_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-id persistence across full re-resolutions: the 'previous
+    run' clustered exact text duplicates (cluster id = min doc_id of the
+    text group); the 'new run' is the near-dup CC clustering
+    (q_doc_dedup_clusters). stabilize_cluster_ids carries a prev id to
+    its mutual-best-overlap new cluster over 3 greedy rounds — splits
+    keep the id on the bigger half, merges retire the smaller id, fresh
+    clusters get their own new id (carried=false)."""
+    from pyspark.sql import Window
+
+    from ditto_spark.operators.cluster import (
+        assign_clusters,
+        stabilize_cluster_ids,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    prev = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias(
+            "cluster_id"
+        ),
+    )
+    matches = _rare_shingle_pairs(docs).where(F.col("jaccard") >= 0.5)
+    new = assign_clusters(
+        docs.select(F.col("doc_id").alias("conv_id")),
+        matches.select("left_id", "right_id"),
+    ).select(F.col("conv_id").alias("doc_id"), "cluster_id")
+    return stabilize_cluster_ids(new, prev, id_col="doc_id").select(
+        "doc_id", "cluster_id", "stable_id", "carried"
+    )
+
+
+def _stable_ids_oracle() -> str:
+    rank_round = """
+      SELECT __new_cid, __prev_cid FROM (
+        SELECT __new_cid, __prev_cid,
+               row_number() OVER (PARTITION BY __new_cid
+                                  ORDER BY __overlap DESC, __prev_cid) AS rn,
+               row_number() OVER (PARTITION BY __prev_cid
+                                  ORDER BY __overlap DESC, __new_cid) AS rp
+        FROM {src}
+      ) WHERE rn = 1 AND rp = 1
+    """
+    return (
+        _DOC_DEDUP_ORACLE.replace(
+            "SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node",
+            """, new_assign AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    )""",
+        )
+        + f""",
+    prev_assign AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+      FROM documents
+    ),
+    ov AS (
+      SELECT n.cluster_id AS __new_cid, p.cluster_id AS __prev_cid,
+             count(*) AS __overlap
+      FROM new_assign n JOIN prev_assign p USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    m1 AS ({rank_round.format(src="ov")}),
+    rem1 AS (
+      SELECT * FROM ov
+      WHERE __new_cid NOT IN (SELECT __new_cid FROM m1)
+        AND __prev_cid NOT IN (SELECT __prev_cid FROM m1)
+    ),
+    m2 AS ({rank_round.format(src="rem1")}),
+    rem2 AS (
+      SELECT * FROM rem1
+      WHERE __new_cid NOT IN (SELECT __new_cid FROM m2)
+        AND __prev_cid NOT IN (SELECT __prev_cid FROM m2)
+    ),
+    m3 AS ({rank_round.format(src="rem2")}),
+    mapping AS (
+      SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+    )
+    SELECT n.doc_id, n.cluster_id,
+           coalesce(m.__prev_cid, n.cluster_id) AS stable_id,
+           m.__prev_cid IS NOT NULL AS carried
+    FROM new_assign n
+    LEFT JOIN mapping m ON m.__new_cid = n.cluster_id
+    """
+    )
+
+
 def q_bbit_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """b-bit minwise hashing (Li & König, WWW 2010) over an engine-portable
     md5 16-perm signature: per-perm fields are the low 4 bits of the TRUE
@@ -3986,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_turns": q_collapse_turns,
         "cached_scoring": q_cached_scoring,
         "bbit_minhash_jaccard": q_bbit_minhash_jaccard,
+        "stable_cluster_ids": q_stable_cluster_ids,
         "profile_columns": q_profile_columns,
         "cluster_metrics": q_cluster_metrics,
         "cluster_split": q_cluster_split,
@@ -4894,6 +4981,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_turns": _COLLAPSE_TURNS_ORACLE,
         "cached_scoring": _ORACLE_SHINGLE_CTE + _CACHED_SCORING_ORACLE_TAIL,
         "bbit_minhash_jaccard": _bbit_oracle(),
+        "stable_cluster_ids": _stable_ids_oracle(),
         "profile_columns": _profile_oracle(),
         "cluster_metrics": _CLUSTER_METRICS_ORACLE,
         "cluster_split": _CLUSTER_SPLIT_ORACLE,

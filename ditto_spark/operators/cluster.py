@@ -686,3 +686,88 @@ def cluster_graph_metrics(
     if score_col is not None:
         cols += ["min_score", "max_score"]
     return out.select(*cols)
+
+
+def stabilize_cluster_ids(
+    new_assign: DataFrame,
+    prev_assign: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+    out_col: str = "stable_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Entity-id persistence across FULL re-resolutions — the counterpart
+    to `incremental_link` (which handles batch-vs-master): when the whole
+    pipeline reruns (new threshold, new scorer, new corpus snapshot), the
+    connected-components labels are arbitrary per run, but downstream
+    consumers key on entity ids. Carry a previous run's id to the new
+    cluster that is its MUTUAL best overlap (standard MDM re-resolution
+    discipline — Christen 2012 ch. 9's persistent-id requirement).
+
+    A new cluster takes prev id p iff p is its largest-overlap previous
+    cluster AND it is p's largest-overlap new cluster (ties broken by
+    ascending id, so the match is deterministic); mutual-best guarantees a
+    prev id is never duplicated. `rounds` repeated mutual-best passes over
+    the not-yet-matched remainder (greedy-matching approximation) let a
+    displaced id re-match its next-best successor — e.g. prev {p1 big,
+    p9 small} vs new {n1, n2} where n2's first choice p1 pairs with n1:
+    round 2 carries p9 → n2 instead of retiring it. Splits: the bigger
+    half keeps the id, the rest get fresh ids (carried=false). Merges:
+    the bigger-overlap prev id wins, the smaller is retired. Output:
+    new_assign's (id, cluster) plus `stable_id` (prev id when carried,
+    else the new run's own cluster id) and `carried`.
+
+    Scale shape: overlap counting is ONE (new, prev)-keyed partial agg
+    over the id-join of the two assignments (each side already
+    hash-organized by record id at 10^12 scale); each round is two argmax
+    windows partitioned by cluster id over the shrinking OVERLAP table
+    (rows bounded by how many prev clusters a new cluster touches, not by
+    records) — `rounds` is a static plan depth, not a driver-synchronized
+    loop; the final mapping (≤ one row per cluster) broadcasts back onto
+    the assignment. No collect.
+    """
+    from pyspark.sql import Window
+
+    nw = new_assign.select(
+        F.col(id_col), F.col(cluster_col).alias("__new_cid")
+    )
+    pv = prev_assign.select(
+        F.col(id_col), F.col(cluster_col).alias("__prev_cid")
+    )
+    overlaps = (
+        nw.join(pv, id_col)
+        .groupBy("__new_cid", "__prev_cid")
+        .agg(F.count(F.lit(1)).alias("__overlap"))
+    )
+    by_new = Window.partitionBy("__new_cid").orderBy(
+        F.desc("__overlap"), F.asc("__prev_cid")
+    )
+    by_prev = Window.partitionBy("__prev_cid").orderBy(
+        F.desc("__overlap"), F.asc("__new_cid")
+    )
+    def mutual_best(ov: DataFrame) -> DataFrame:
+        return (
+            ov.withColumn("__rn", F.row_number().over(by_new))
+            .withColumn("__rp", F.row_number().over(by_prev))
+            .where((F.col("__rn") == 1) & (F.col("__rp") == 1))
+            .select("__new_cid", "__prev_cid")
+        )
+
+    remaining = overlaps
+    mapping = None
+    for _ in range(rounds):
+        m = mutual_best(remaining)
+        mapping = m if mapping is None else mapping.unionByName(m)
+        remaining = remaining.join(
+            m.select("__new_cid"), "__new_cid", "left_anti"
+        ).join(m.select("__prev_cid"), "__prev_cid", "left_anti")
+    return (
+        new_assign.withColumnRenamed(cluster_col, "__new_cid")
+        .join(mapping, "__new_cid", "left")
+        .select(
+            F.col(id_col),
+            F.col("__new_cid").alias(cluster_col),
+            F.coalesce("__prev_cid", "__new_cid").alias(out_col),
+            F.col("__prev_cid").isNotNull().alias("carried"),
+        )
+    )

@@ -323,3 +323,89 @@ def test_split_clusters_threshold_raise(spark):
     assert out[3] == (1, 3, 2)          # split off the chain
     assert out[5] == (5, 5, 1) and out[6] == (5, 5, 1)
     assert out[8] == (8, 8, 1)          # singleton: own subcluster
+
+
+def _assign(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, cluster_id string")
+
+
+def test_stabilize_identical_runs_carry_all_ids(spark):
+    from ditto_spark.operators.cluster import stabilize_cluster_ids
+
+    prev = _assign(spark, [("a", "p1"), ("b", "p1"), ("c", "p2")])
+    # same clustering, different run-local labels
+    new = _assign(spark, [("a", "x9"), ("b", "x9"), ("c", "x3")])
+    got = {
+        r["conv_id"]: (r["stable_id"], r["carried"])
+        for r in stabilize_cluster_ids(new, prev).collect()
+    }
+    assert got == {"a": ("p1", True), "b": ("p1", True), "c": ("p2", True)}
+
+
+def test_stabilize_split_keeps_id_on_bigger_half(spark):
+    from ditto_spark.operators.cluster import stabilize_cluster_ids
+
+    prev = _assign(spark, [(x, "p1") for x in "abcde"])
+    new = _assign(
+        spark, [("a", "n1"), ("b", "n1"), ("c", "n1"), ("d", "n2"), ("e", "n2")]
+    )
+    got = {
+        r["conv_id"]: (r["stable_id"], r["carried"])
+        for r in stabilize_cluster_ids(new, prev).collect()
+    }
+    assert got["a"] == ("p1", True) and got["c"] == ("p1", True)
+    assert got["d"] == ("n2", False) and got["e"] == ("n2", False)
+
+
+def test_stabilize_merge_bigger_prev_wins(spark):
+    from ditto_spark.operators.cluster import stabilize_cluster_ids
+
+    prev = _assign(
+        spark, [("a", "p1"), ("b", "p1"), ("c", "p1"), ("d", "p2"), ("e", "p2")]
+    )
+    new = _assign(spark, [(x, "n1") for x in "abcde"])
+    got = {
+        r["conv_id"]: (r["stable_id"], r["carried"])
+        for r in stabilize_cluster_ids(new, prev).collect()
+    }
+    # merged cluster takes the larger-overlap prev id; p2 is retired
+    assert all(v == ("p1", True) for v in got.values())
+
+
+def test_stabilize_prev_id_never_duplicated(spark):
+    from ditto_spark.operators.cluster import stabilize_cluster_ids
+    import pyspark.sql.functions as F
+
+    # p1 overlaps BOTH new clusters (3 vs 2) — only the mutual best carries
+    prev = _assign(spark, [(x, "p1") for x in "abcde"] + [("f", "p9")])
+    new = _assign(
+        spark,
+        [("a", "n1"), ("b", "n1"), ("c", "n1"),
+         ("d", "n2"), ("e", "n2"), ("f", "n2")],
+    )
+    out = stabilize_cluster_ids(new, prev)
+    stable_of = {r["conv_id"]: r["stable_id"] for r in out.collect()}
+    assert stable_of["a"] == "p1"
+    # n2's mutual best is p9 (p1 prefers n1), so n2 carries p9
+    assert stable_of["d"] == "p9" and stable_of["f"] == "p9"
+    dupes = (
+        out.where(F.col("carried"))
+        .groupBy("stable_id")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_stabilize_new_records_without_history(spark):
+    from ditto_spark.operators.cluster import stabilize_cluster_ids
+
+    prev = _assign(spark, [("a", "p1")])
+    new = _assign(spark, [("a", "n1"), ("z", "n7")])  # z never seen before
+    got = {
+        r["conv_id"]: (r["stable_id"], r["carried"])
+        for r in stabilize_cluster_ids(new, prev).collect()
+    }
+    assert got["a"] == ("p1", True)
+    assert got["z"] == ("n7", False)
