@@ -784,6 +784,87 @@ def q_minhash_md5_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+_OPH_BINS = 8
+
+
+def q_oph_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash signature (Li, Owen & Zhang 2012)
+    with rotation densification (Shrivastava & Li 2014) over documents —
+    each shingle is hashed ONCE total instead of once per permutation, the
+    O(num_perm) hashing-cost win that matters when the signature stage is
+    CPU-bound at corpus scale. This oracle variant runs the production
+    operator (blocking.oph_signatures) with an engine-portable md5-prefix
+    hash so binning, per-bin min, AND the rotation-densification collision
+    rule are all hash-checked in ANSI SQL; the pipeline default keeps
+    xxhash64. Output: one row per doc with >= 3 tokens, bins b0..b7."""
+    from ditto_spark.operators.blocking import oph_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    sh = (
+        B.shingle(B.tokenize(docs, "text"), n=3)
+        .where(F.size("tokens") >= 3)
+        .select("doc_id", "shingles")
+    )
+    hash_fn = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    tag_fn = lambda v, d: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", v.cast("string"), d.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+    )
+    sig = oph_signatures(
+        sh, id_col="doc_id", num_bins=_OPH_BINS,
+        hash_fn=hash_fn, tag_fn=tag_fn,
+    )
+    return sig.select(
+        "doc_id",
+        *[
+            F.element_at("sig", i + 1).alias(f"b{i}")
+            for i in range(_OPH_BINS)
+        ],
+    )
+
+
+def _oph_oracle() -> str:
+    """DuckDB replica of q_oph_signature: same md5-prefix hash, bin mins
+    pivoted to columns, densification as an unrolled nearest-non-empty-
+    bin-to-the-right CASE chain with the (value, distance) tagging hash."""
+    nb = _OPH_BINS
+    mins = ",\n                 ".join(
+        f"min(h) FILTER (h % {nb} = {i}) AS m{i}" for i in range(nb)
+    )
+
+    def chain(i: int) -> str:
+        whens = " ".join(
+            f"WHEN m{(i + d) % nb} IS NOT NULL THEN "
+            f"('0x' || substr(md5(m{(i + d) % nb}::VARCHAR || ':{d}'), 1, 15))::BIGINT"
+            for d in range(nb)
+        )
+        return f"CASE {whens} ELSE 0 END AS b{i}"
+
+    chains = ",\n               ".join(chain(i) for i in range(nb))
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+               unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+          WHERE len(l) >= 3
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        pv AS (SELECT doc_id,
+                 {mins}
+               FROM h GROUP BY doc_id)
+        SELECT doc_id,
+               {chains}
+        FROM pv
+    """
+
+
 def q_crowd_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 crowd majority (analyze_gpt.py:68-83): mean label per task > 0.5,
     worker/task/label derived deterministically from events."""
@@ -4004,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_md5_signature": q_minhash_md5_signature,
+        "oph_signature": q_oph_signature,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
@@ -4801,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pat p CROSS JOIN best b
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
+        "oph_signature": _oph_oracle(),
         "leakage_safe_split": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , cl AS (
       SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node

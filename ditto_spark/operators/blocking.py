@@ -1105,3 +1105,80 @@ def bbit_jaccard_estimate(
     return pairs.withColumn(
         out_col, F.greatest(F.least(est, F.lit(1.0)), F.lit(0.0))
     )
+
+
+def oph_signatures(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    shingles_col: str = "shingles",
+    num_bins: int = 64,
+    seed: int = 1,
+    hash_fn=None,
+    tag_fn=None,
+) -> DataFrame:
+    """One-permutation hashing with rotation densification (Li, Owen &
+    Zhang NIPS 2012; Shrivastava & Li ICML 2014 — public algorithms): an
+    O(|shingles|)-HASH MinHash signature, vs minhash_signatures'
+    O(|shingles| · num_perm) hash evaluations — at 10^12 turns the
+    signature stage is CPU-bound on hashing, and OPH removes the num_perm
+    factor (64 hash evaluations per shingle → 1) at equivalent estimator
+    quality for |shingles| ≳ num_bins. (The remaining O(num_bins ·
+    |shingles|) integer bin-compares are branch-predictable ALU ops, not
+    hash rounds.)
+
+    Construction: each shingle hashes ONCE to h = xxhash64(shingle, seed);
+    bin = pmod(h, num_bins) splits the hash space into num_bins ranges;
+    sig[i] = min h over the row's shingles landing in bin i. Empty bins
+    (short documents) densify by borrowing the nearest non-empty bin to
+    the RIGHT (circular): the densified value is xxhash64(borrowed_min,
+    borrow_distance), so two signatures agree on a densified bin iff they
+    borrowed the same value from the SAME distance — the Shrivastava-Li
+    collision rule — while filled bins (distance 0) keep min-equality
+    semantics through the same tagging hash. Rows with NO shingles get a
+    constant sentinel signature (they only match each other).
+
+    Same output contract as minhash_signatures — (id, sig: array<bigint>)
+    — so lsh_bands / estimated_jaccard / bbit_minhash_pack compose
+    unchanged. Zero shuffle: one narrow projection; the rotation search is
+    array ops (doubled-array slice + first-non-null) inside codegen.
+
+    hash_fn (string col → bigint col) and tag_fn ((value, distance) bigint
+    cols → bigint col) default to xxhash64 — the fast JVM production path.
+    Pass engine-portable hashes (e.g. md5-prefix → conv) to make the whole
+    construction replicable in ANSI SQL for oracle checking; the structure
+    (binning, per-bin min, rotation densification) is identical either way.
+    """
+    if hash_fn is None:
+        hash_fn = lambda s: F.xxhash64(s, F.lit(seed))  # noqa: E731
+    if tag_fn is None:
+        tag_fn = lambda v, d: F.xxhash64(v, d)  # noqa: E731
+    hcol = F.transform(F.col(shingles_col), hash_fn)
+    with_h = df.withColumn("__h1", hcol)
+    raw = F.array(
+        *[
+            F.array_min(
+                F.filter(F.col("__h1"), lambda h: F.pmod(h, num_bins) == i)
+            )
+            for i in range(num_bins)
+        ]
+    )
+    with_m = with_h.withColumn("__m2", F.concat(raw, raw))
+
+    def densify(i):
+        win = F.slice(F.col("__m2"), i + 1, num_bins)
+        tagged = F.transform(
+            win, lambda v, d: F.struct(v.alias("v"), d.alias("d"))
+        )
+        # try_: a row with NO shingles filters to an empty array, and the
+        # strict element_at raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+        first = F.try_element_at(
+            F.filter(tagged, lambda s: s["v"].isNotNull()), F.lit(1)
+        )
+        return F.when(
+            first.isNotNull(), tag_fn(first["v"], first["d"])
+        ).otherwise(F.lit(0))
+
+    return with_m.select(
+        F.col(id_col),
+        F.array(*[densify(i) for i in range(num_bins)]).alias("sig"),
+    )

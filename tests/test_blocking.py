@@ -571,3 +571,131 @@ def test_blocking_recall_audit_invariants(spark):
     assert 0.0 <= row["recall"] <= 1.0
     if row["n_truth"]:
         assert abs(row["recall"] - row["n_caught"] / row["n_truth"]) < 1e-6
+
+
+def _md5_long(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _oph_ref(shingles, num_bins):
+    """Pure-Python OPH with rotation densification (Shrivastava-Li rule),
+    on the portable md5 hash — the structural oracle for oph_signatures."""
+    hs = {_md5_long(s) for s in shingles}
+    mins = [None] * num_bins
+    for h in hs:
+        b = h % num_bins
+        if mins[b] is None or h < mins[b]:
+            mins[b] = h
+    sig = []
+    for i in range(num_bins):
+        v = 0
+        for d in range(num_bins):
+            m = mins[(i + d) % num_bins]
+            if m is not None:
+                v = _md5_long(f"{m}:{d}")
+                break
+        sig.append(v)
+    return sig
+
+
+def _portable_hashes():
+    hash_fn = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    tag_fn = lambda v, d: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", v.cast("string"), d.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+    )
+    return hash_fn, tag_fn
+
+
+def test_oph_matches_python_reference(spark):
+    """Bin-min + rotation-densification structure, exact: Spark OPH on the
+    portable md5 hash equals a from-scratch Python implementation, across
+    docs that exercise filled bins, empty bins (short docs), and the
+    all-empty sentinel."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three",          # exactly 1 shingle -> 15 of 16 bins densify
+        "completely different words here about boats and rivers flowing",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "conv_id int, entity_text string"
+    )
+    sh = B.shingle(B.tokenize(df), n=3)
+    hash_fn, tag_fn = _portable_hashes()
+    got = {
+        r["conv_id"]: list(r["sig"])
+        for r in B.oph_signatures(
+            sh, id_col="conv_id", num_bins=16, hash_fn=hash_fn, tag_fn=tag_fn
+        ).collect()
+    }
+    shl = {r["conv_id"]: r["shingles"] for r in sh.collect()}
+    for i in range(len(texts)):
+        assert got[i] == _oph_ref(shl[i] or [], 16), f"doc {i}"
+
+    # a genuinely-empty shingle array takes the all-zero sentinel
+    empty = spark.createDataFrame(
+        [(99, [])], "conv_id int, shingles array<string>"
+    )
+    sent = B.oph_signatures(
+        empty, id_col="conv_id", num_bins=16, hash_fn=hash_fn, tag_fn=tag_fn
+    ).collect()
+    assert list(sent[0]["sig"]) == [0] * 16
+
+
+def test_oph_estimator_quality_and_composition(spark):
+    """OPH sigs drop into the minhash contract: estimated_jaccard over
+    64-bin OPH signatures tracks exact Jaccard (|err| < 0.25 at J≈0.8 and
+    J≈0.1), identical signatures for identical shingle sets, and lsh_bands
+    composes (identical docs share every band key). Partition-invariant."""
+    base = [f"tok{i}" for i in range(40)]
+    texts = {
+        "a": " ".join(base),
+        "b": " ".join(base),                       # J = 1.0 with a
+        "c": " ".join(base[:36] + ["x1 x2 x3 x4"]),  # high overlap with a
+        "d": " ".join(f"other{i}" for i in range(40)),  # ~0 overlap
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "conv_id string, entity_text string"
+    )
+    sh = B.shingle(B.tokenize(df), n=3)
+    sig = B.oph_signatures(sh, id_col="conv_id", num_bins=64).cache()
+    rows = {r["conv_id"]: list(r["sig"]) for r in sig.collect()}
+    assert rows["a"] == rows["b"]
+
+    shl = {r["conv_id"]: set(r["shingles"]) for r in sh.collect()}
+
+    def jac(x, y):
+        return len(shl[x] & shl[y]) / len(shl[x] | shl[y])
+
+    pairs = spark.createDataFrame(
+        [("a", "c"), ("a", "d")], "left_id string, right_id string"
+    )
+    est = {
+        (r["left_id"], r["right_id"]): r["est_jaccard"]
+        for r in B.estimated_jaccard(pairs, sig, id_col="conv_id").collect()
+    }
+    assert abs(est[("a", "c")] - jac("a", "c")) < 0.25
+    assert abs(est[("a", "d")] - jac("a", "d")) < 0.25
+
+    bands = B.lsh_bands(sig, id_col="conv_id", num_bands=16, rows_per_band=4)
+    ab = bands.where(F.col("conv_id").isin("a", "b"))
+    n_distinct = ab.select("band_idx", "band_key").distinct().count()
+    assert n_distinct == 16  # identical docs collide in every band
+
+    sig2 = {
+        r["conv_id"]: list(r["sig"])
+        for r in B.oph_signatures(
+            sh.repartition(8), id_col="conv_id", num_bins=64
+        ).collect()
+    }
+    assert sig2 == rows
