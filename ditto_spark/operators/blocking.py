@@ -218,6 +218,7 @@ def block_minhash_lsh(
     threshold: float | None = None,
     top_k: int | None = None,
     persist_sig: bool = True,
+    sig_mode: str = "perm",
 ) -> DataFrame:
     """End-to-end blocking: serialized entities → candidate pairs with
     est_jaccard, optionally filtered by threshold (B2 analogue,
@@ -227,13 +228,22 @@ def block_minhash_lsh(
     the bucket-size histogram, AND both sides of the jaccard-estimate join —
     without materialization the tokenize+shingle+hash projection re-executes
     4× (measured 80s → 29s at sf0.1). At cluster scale this persist is the
-    `signatures` checkpoint table (north_rule lineage/resume)."""
+    `signatures` checkpoint table (north_rule lineage/resume).
+
+    sig_mode: "perm" (default) = num_perm independent seeded rehashes per
+    shingle (minhash_signatures); "oph" = one-permutation hashing with
+    rotation densification (oph_signatures) — one hash evaluation per
+    shingle instead of num_perm, the scale path when the signature stage
+    is hashing-CPU-bound. Identical downstream contract either way."""
     from pyspark.sql import Window
 
     assert num_bands * rows_per_band <= num_perm
-    sig = minhash_signatures(
-        shingle(tokenize(serialized, text_col), shingle_n), id_col, num_perm=num_perm
-    )
+    assert sig_mode in ("perm", "oph")
+    shingled = shingle(tokenize(serialized, text_col), shingle_n)
+    if sig_mode == "oph":
+        sig = oph_signatures(shingled, id_col, num_bins=num_perm)
+    else:
+        sig = minhash_signatures(shingled, id_col, num_perm=num_perm)
     if persist_sig:
         sig = sig.persist()
     bands = lsh_bands(sig, id_col, num_bands, rows_per_band)
@@ -1182,3 +1192,158 @@ def oph_signatures(
         F.col(id_col),
         F.array(*[densify(i) for i in range(num_bins)]).alias("sig"),
     )
+
+
+def df_weight_expr(df_cnt, n_docs, max_weight: int = 4, base: int = 4):
+    """Integer IDF-quantized token weight from document frequency — EXACT
+    integer arithmetic, no float log, so the weight (and everything built
+    on it) is bit-identical cross-engine:
+
+        weight = 1 + max{ k <= max_weight-1 : df_cnt * base^k <= n_docs }
+
+    i.e. a token in <= n/4 of docs weighs 2, <= n/16 weighs 3, <= n/64
+    weighs 4 (base=4, max_weight=4). Evaluated as a descending CASE chain
+    of bigint multiplies."""
+    expr = None
+    for k in range(max_weight - 1, 0, -1):
+        cond = df_cnt * F.lit(base**k) <= n_docs
+        expr = (
+            F.when(cond, F.lit(k + 1))
+            if expr is None
+            else expr.when(cond, F.lit(k + 1))
+        )
+    return expr.otherwise(F.lit(1)) if expr is not None else F.lit(1)
+
+
+def weighted_replicas_expr(tokens_col, weights_col, max_weight: int = 4):
+    """Chum et al. 2008 integer-weight replication as a PURE codegen
+    expression: token t with weight w expands to replicas t#1..t#min(w,
+    max_weight), so plain (unweighted) Jaccard over the replica sets EQUALS
+    the integer-weighted Jaccard over the token sets — which turns any
+    unweighted MinHash/OPH signature into a weighted-Jaccard LSH. Zero
+    shuffle given aligned tokens/weights arrays."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = F.col(weights_col) if isinstance(weights_col, str) else weights_col
+    return F.flatten(
+        F.zip_with(
+            t,
+            w,
+            lambda tok, wt: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.least(wt, F.lit(max_weight)), F.lit(1)
+                    ).cast("int"),
+                ),
+                lambda i: F.concat_ws("#", tok, i.cast("string")),
+            ),
+        )
+    )
+
+
+def weighted_token_replicas(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    weight_df: DataFrame,
+    max_weight: int = 4,
+    broadcast_weights: bool = True,
+    out_col: str = "wshingles",
+) -> DataFrame:
+    """Relational replica construction for corpus-scale weight tables:
+    explode DISTINCT tokens, join (token, weight), expand replicas, gather
+    back to (id, wshingles). One join + one groupBy; rows are bare
+    (id, token) — replica strings are built AFTER the join. Tokens absent
+    from weight_df default to weight 1. Use weighted_replicas_expr instead
+    when weights already ride the row (zero-shuffle)."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("token"),
+    )
+    w = weight_df.select("token", "weight")
+    if broadcast_weights:
+        w = F.broadcast(w)
+    j = ex.join(w, "token", "left").select(
+        F.col(id_col),
+        "token",
+        F.coalesce("weight", F.lit(1)).alias("w"),
+    )
+    reps = j.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.least(F.col("w"), F.lit(max_weight)), F.lit(1)
+                    ).cast("int"),
+                ),
+                lambda i: F.concat_ws("#", F.col("token"), i.cast("string")),
+            )
+        ).alias("r"),
+    )
+    return reps.groupBy(id_col).agg(F.collect_list("r").alias(out_col))
+
+
+def weighted_minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 200,
+    max_weight: int = 4,
+    threshold: float | None = None,
+    sig_mode: str = "perm",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """End-to-end IDF-weighted MinHash-LSH blocking: rare-token agreement
+    drives candidate generation the way it drives
+    scoring.score_pairs_weighted_jaccard's verify — two docs sharing one
+    rare identifier token surface as candidates even when their overall
+    token overlap is tiny (plain Jaccard LSH misses exactly these).
+
+    Pipeline: tokenize → corpus DF index (one agg over bare (id, token)
+    rows) → integer weights via df_weight_expr (exact arithmetic) →
+    replica expansion (Chum reduction) → standard signature / band /
+    salted-bucket machinery, unchanged. est_jaccard on the output
+    estimates the WEIGHTED Jaccard. Replica volume is bounded by
+    max_weight× the distinct-token volume, and only bare (id, replica)
+    rows enter the gather shuffle.
+
+    shingle_n: None weighs unigram tokens (identifier-style matching);
+    an int weighs n-gram shingles instead (document near-dup granularity —
+    rare PHRASES outweigh boilerplate phrases), same construction."""
+    toks = tokenize(df, text_col)
+    unit_col = "tokens"
+    if shingle_n is not None:
+        toks = shingle(toks, n=shingle_n)
+        unit_col = "shingles"
+    ex = toks.select(
+        F.col(id_col), F.explode(F.array_distinct(unit_col)).alias("token")
+    )
+    dfx = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n = toks.select(F.count(F.lit(1)).alias("__n"))
+    w = dfx.crossJoin(F.broadcast(n)).select(
+        "token",
+        df_weight_expr(F.col("df_cnt"), F.col("__n"), max_weight).alias(
+            "weight"
+        ),
+    )
+    rep = weighted_token_replicas(toks, id_col, unit_col, w, max_weight)
+    if sig_mode == "oph":
+        sig = oph_signatures(
+            rep, id_col, shingles_col="wshingles", num_bins=num_perm
+        )
+    else:
+        sig = minhash_signatures(
+            rep, id_col, shingles_col="wshingles", num_perm=num_perm
+        )
+    sig = sig.persist()
+    bands = lsh_bands(sig, id_col, num_bands, rows_per_band)
+    pairs = candidates_from_bands(bands, id_col, max_bucket=max_bucket)
+    pairs = estimated_jaccard(pairs, sig, id_col)
+    if threshold is not None:
+        pairs = pairs.where(F.col("est_jaccard") >= threshold)
+    return pairs

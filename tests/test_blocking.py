@@ -699,3 +699,132 @@ def test_oph_estimator_quality_and_composition(spark):
         ).collect()
     }
     assert sig2 == rows
+
+
+def test_block_minhash_lsh_oph_mode_recall(spark, small_transcripts):
+    """sig_mode='oph' drops into block_minhash_lsh with the same recall
+    contract as the permutation path on planted duplicates."""
+    ser = serialize_conversations(small_transcripts)
+    pairs = B.block_minhash_lsh(
+        ser, text_col="block_text", sig_mode="oph"
+    ).cache()
+    truth = golden_clusters(small_transcripts)
+    pos = (
+        truth.alias("a")
+        .join(truth.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("left_id"), F.col("b.conv_id").alias("right_id")
+        )
+    )
+    n_pos = pos.count()
+    found = pos.join(pairs, ["left_id", "right_id"], "left_semi").count()
+    recall = found / max(n_pos, 1)
+    assert recall >= 0.95, f"OPH-mode LSH recall {recall} ({found}/{n_pos})"
+
+
+def test_weighted_replicas_expr_expansion(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"], [2, 1, 9])],
+        "id int, tokens array<string>, weights array<int>",
+    )
+    out = df.select(
+        B.weighted_replicas_expr("tokens", "weights", max_weight=4).alias("r")
+    ).collect()[0]["r"]
+    # weight 2 -> two replicas; weight 1 -> one; weight 9 clamps to 4
+    assert out == ["a#1", "a#2", "b#1", "c#1", "c#2", "c#3", "c#4"]
+    # zero/negative weights floor at one replica (token never vanishes)
+    df2 = spark.createDataFrame(
+        [(1, ["x"], [0])], "id int, tokens array<string>, weights array<int>"
+    )
+    assert df2.select(
+        B.weighted_replicas_expr("tokens", "weights").alias("r")
+    ).collect()[0]["r"] == ["x#1"]
+
+
+def test_df_weight_expr_integer_thresholds(spark):
+    # n=64, base=4, max_weight=4: df<=1 -> 4, df<=4 -> 3, df<=16 -> 2, else 1
+    rows = [(1,), (4,), (5,), (16,), (17,), (64,)]
+    df = spark.createDataFrame(rows, "df_cnt long")
+    got = [
+        r["w"]
+        for r in df.select(
+            B.df_weight_expr(F.col("df_cnt"), F.lit(64)).alias("w")
+        ).collect()
+    ]
+    assert got == [4, 3, 2, 2, 1, 1]
+
+
+def test_weighted_signature_estimates_weighted_jaccard(spark):
+    """Chum reduction end-to-end: MinHash over integer-weight replicas
+    estimates the weighted Jaccard — agreement on one rare identifier
+    dominates agreement on stopwords. 128 perms, deterministic hashes."""
+    # corpus: 60 filler docs make 'the of' / 'and by' frequent; uid* rare
+    filler = [(f"f{i}", "the of filler%d" % i) for i in range(30)] + [
+        (f"g{i}", "and by gloss%d" % i) for i in range(30)
+    ]
+    docs = filler + [
+        ("A", "uid7 uid8 uid9 the of"),
+        ("B", "uid7 uid8 uid9 and by"),  # shares the rare uids, NOT stopwords
+        ("C", "the of cx1 cx2"),
+        ("D", "the of dy1 dy2"),         # shares ONLY stopwords with C
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    pairs = B.weighted_minhash_lsh(
+        df, id_col="doc_id", text_col="text",
+        num_perm=128, num_bands=32, rows_per_band=4,
+        max_weight=4, threshold=None,
+    )
+    est = {
+        (r["left_id"], r["right_id"]): r["est_jaccard"]
+        for r in pairs.collect()
+    }
+    n = len(docs)
+
+    def w_of(dfc):
+        for k in (3, 2, 1):
+            if dfc * 4**k <= n:
+                return k + 1
+        return 1
+
+    # exact weighted Jaccard from the same integer weights
+    w_uid, w_stop, w_solo = w_of(2), w_of(32), w_of(1)
+    wj_ab = 3 * w_uid / (3 * w_uid + 4 * w_stop)
+    wj_cd = 2 * w_stop / (2 * w_stop + 4 * w_solo)
+    assert wj_ab > 0.6 and wj_cd < 0.25  # the planted separation
+    assert ("A", "B") in est
+    assert abs(est[("A", "B")] - wj_ab) < 0.15
+    if ("C", "D") in est:
+        assert est[("C", "D")] < est[("A", "B")] - 0.3
+
+
+def test_weighted_token_replicas_matches_expr_path(spark):
+    """Relational replica construction (weight table join) produces the
+    same replica multiset as the zero-shuffle aligned-arrays expression."""
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta"]), (2, ["beta", "gamma", "beta"])],
+        "id int, tokens array<string>",
+    )
+    wdf = spark.createDataFrame(
+        [("alpha", 3), ("beta", 2)], "token string, weight int"
+    )
+    rel = {
+        r["id"]: sorted(r["wshingles"])
+        for r in B.weighted_token_replicas(df, "id", "tokens", wdf).collect()
+    }
+    # expr path: attach aligned weights manually (gamma absent -> 1)
+    wmap = {"alpha": 3, "beta": 2}
+    rows = [
+        (1, ["alpha", "beta"], [3, 2]),
+        (2, ["beta", "gamma"], [2, 1]),  # distinct tokens
+    ]
+    df2 = spark.createDataFrame(
+        rows, "id int, tokens array<string>, weights array<int>"
+    )
+    exprd = {
+        r["id"]: sorted(r["r"])
+        for r in df2.select(
+            "id", B.weighted_replicas_expr("tokens", "weights").alias("r")
+        ).collect()
+    }
+    assert rel == exprd
