@@ -787,6 +787,43 @@ def q_minhash_md5_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPH_BINS = 8
 
 
+def q_weighted_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted MinHash via the Chum et al. 2008 integer-weight replica
+    reduction: token weights from exact-integer DF thresholds
+    (blocking.df_weight_expr — no float log, bit-identical cross-engine),
+    each token expanded to weight-many '#i' replicas
+    (blocking.weighted_token_replicas), then an 8-perm md5-portable MinHash
+    over the replicas — so plain signature agreement estimates the
+    WEIGHTED Jaccard. The whole weighted construction (DF index, weight
+    quantization, replication, signature) is hash-checked in SQL; the
+    production path (weighted_minhash_lsh) keeps xxhash64 + banding and is
+    pytest-gated."""
+    from ditto_spark.operators.blocking import (
+        df_weight_expr,
+        weighted_token_replicas,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = B.tokenize(docs, "text")
+    ex = toks.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
+    ).where(F.col("token") != "")
+    dfx = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    wdf = dfx.crossJoin(F.broadcast(n)).select(
+        "token",
+        df_weight_expr(F.col("df_cnt"), F.col("__n")).alias("weight"),
+    )
+    rep = weighted_token_replicas(toks, "doc_id", "tokens", wdf)
+    sh = rep.select("doc_id", F.explode("wshingles").alias("s"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+
+
 def q_oph_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-permutation-hashing MinHash signature (Li, Owen & Zhang 2012)
     with rotation densification (Shrivastava & Li 2014) over documents —
@@ -2025,6 +2062,68 @@ def _fs_score_oracle_sql() -> str:
              AS posterior
     FROM sc
 """
+
+
+def q_fs_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-weight waterfall (Splink waterfall-chart data): one row per
+    scoring term per pair — prior log-odds, then each field's log2 Bayes
+    factor at the pair's gamma level — with the running match weight and
+    final posterior. The clerical-review explanation layer over
+    fs_match_scores; a single codegen projection + explode, oracle-checked
+    step by step."""
+    from ditto_spark.operators.fellegi import fs_explain
+
+    gam = _fs_gammas(_load(spark, sf_dir, "documents"))
+    out = fs_explain(
+        gam, _fs_fields(), _FS_SCORE_PARAMS, prior=_FS_SCORE_PRIOR
+    )
+    return out.select(
+        "left_id",
+        "right_id",
+        "step",
+        "term",
+        "gamma_level",
+        F.round("contribution", 4).alias("contribution"),
+        F.round("running_weight", 4).alias("running_weight"),
+        F.round("posterior", 6).alias("posterior"),
+    )
+
+
+def _fs_explain_oracle_sql() -> str:
+    import math as _math
+
+    eps = 1e-9
+    prior_w = _math.log2(_FS_SCORE_PRIOR / (1 - _FS_SCORE_PRIOR))
+    gcolmap = {"title": "gamma_title", "src": "gamma_src", "len": "gamma_len"}
+    cases = {}
+    for name, lv in _FS_FIELD_SPECS:
+        mv, uv = _FS_SCORE_PARAMS[name]
+        lvl_w = [_math.log2((mv[i] + eps) / (uv[i] + eps)) for i in range(lv)]
+        whens = " ".join(f"WHEN {i} THEN {lvl_w[i]!r}" for i in range(1, lv))
+        cases[name] = f"CASE g.{gcolmap[name]} {whens} ELSE {lvl_w[0]!r} END"
+    runnings = [f"{prior_w!r}"]
+    for name, _ in _FS_FIELD_SPECS:
+        runnings.append(f"{runnings[-1]} + {cases[name]}")
+    total = runnings[-1]
+    post = (
+        f"round(pow(2.0, {total}) / (pow(2.0, {total}) + 1.0), 6)"
+    )
+    selects = [
+        f"""SELECT g.left_id, g.right_id, 0 AS step, 'prior' AS term,
+               CAST(NULL AS INT) AS gamma_level,
+               round({prior_w!r}, 4) AS contribution,
+               round({prior_w!r}, 4) AS running_weight,
+               {post} AS posterior FROM gam g"""
+    ]
+    for j, (name, _) in enumerate(_FS_FIELD_SPECS):
+        selects.append(
+            f"""SELECT g.left_id, g.right_id, {j + 1}, '{name}',
+                   g.{gcolmap[name]},
+                   round({cases[name]}, 4),
+                   round({runnings[j + 1]}, 4),
+                   {post} FROM gam g"""
+        )
+    return _FS_CTE + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4086,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_md5_signature": q_minhash_md5_signature,
         "oph_signature": q_oph_signature,
+        "weighted_minhash_signature": q_weighted_minhash_signature,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
@@ -4139,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_comparison_vectors": q_fs_comparison_vectors,
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
+        "fs_explain": q_fs_explain,
         "fs_linkage": q_fs_linkage,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cluster_agreement": q_cluster_agreement,
@@ -4581,6 +4682,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_comparison_vectors": _FS_VECTORS_ORACLE,
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),
+        "fs_explain": _fs_explain_oracle_sql(),
         "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "allpairs_jaccard": _ALLPAIRS_ORACLE,
@@ -4884,6 +4986,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
         "oph_signature": _oph_oracle(),
+        "weighted_minhash_signature": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ),
+            dfx AS (SELECT tok, count(*) AS df_cnt FROM toks GROUP BY tok),
+            nn AS (SELECT count(*) AS n FROM documents),
+            w AS (SELECT tok,
+                    CASE WHEN df_cnt * 64 <= nn.n THEN 4
+                         WHEN df_cnt * 16 <= nn.n THEN 3
+                         WHEN df_cnt * 4  <= nn.n THEN 2
+                         ELSE 1 END AS weight
+                  FROM dfx, nn),
+            rep AS (
+              SELECT t.doc_id, t.tok || '#' || i::VARCHAR AS s
+              FROM toks t JOIN w USING (tok),
+                   unnest(generate_series(1, w.weight)) u(i)
+            )
+            SELECT doc_id,
+                   min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+                   min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+                   min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5,
+                   min(md5('6|' || s)) AS h6, min(md5('7|' || s)) AS h7
+            FROM rep GROUP BY doc_id
+        """,
         "leakage_safe_split": _DOC_DEDUP_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
     , cl AS (
       SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node

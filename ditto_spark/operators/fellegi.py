@@ -411,3 +411,82 @@ def blocking_rule_profile(
             F.coalesce("n_exclusive", F.lit(0)).alias("n_exclusive"),
         )
     )
+
+
+def fs_explain(
+    gammas: DataFrame,
+    fields: list[FieldComparison],
+    params: dict[str, tuple[list[float], list[float]]],
+    prior: float,
+) -> DataFrame:
+    """Match-weight waterfall: the per-comparison breakdown behind
+    fs_score's single number (Splink's waterfall-chart data — the
+    clerical-review view of WHY a pair scored what it did). One output
+    row per scoring term per pair:
+
+        step 0            term='prior'   the prior log-odds
+        step 1..len(fields)  term=field  that field's log2 Bayes factor
+                                         at the pair's gamma level
+
+    with the RUNNING match weight after each step and the final posterior
+    repeated on every row. All contributions and running sums are
+    Python-computed CASE literals assembled into one array-of-structs
+    posexplode — a single codegen projection over the gamma table, no
+    window, no join, no shuffle beyond the explode (rows out = (1 +
+    n_fields) × pairs, bounded and predictable at any corpus size)."""
+    prior_w = math.log2(prior / (1.0 - prior))
+
+    def contrib(f: FieldComparison) -> Column:
+        mv, uv = params[f.name]
+        lvl_w = [
+            math.log2((mv[i] + _EPS) / (uv[i] + _EPS)) for i in range(f.levels)
+        ]
+        expr: Column = F.lit(lvl_w[0])
+        for i in range(1, f.levels):
+            expr = F.when(
+                F.col(f"gamma_{f.name}") == i, F.lit(lvl_w[i])
+            ).otherwise(expr)
+        return expr
+
+    steps = [
+        F.struct(
+            F.lit(0).alias("step"),
+            F.lit("prior").alias("term"),
+            F.lit(None).cast("int").alias("gamma_level"),
+            F.lit(prior_w).alias("contribution"),
+        )
+    ]
+    running: Column = F.lit(prior_w)
+    runnings: list[Column] = [running]
+    for j, f in enumerate(fields):
+        c = contrib(f)
+        running = running + c
+        runnings.append(running)
+        steps.append(
+            F.struct(
+                F.lit(j + 1).alias("step"),
+                F.lit(f.name).alias("term"),
+                F.col(f"gamma_{f.name}").cast("int").alias("gamma_level"),
+                c.alias("contribution"),
+            )
+        )
+    total = runnings[-1]
+    odds = F.pow(F.lit(2.0), total)
+    run_arr = F.array(*runnings)
+    exploded = gammas.select(
+        "left_id",
+        "right_id",
+        F.explode(F.array(*steps)).alias("s"),
+        run_arr.alias("__run"),
+        (odds / (odds + F.lit(1.0))).alias("posterior"),
+    )
+    return exploded.select(
+        "left_id",
+        "right_id",
+        F.col("s.step").alias("step"),
+        F.col("s.term").alias("term"),
+        F.col("s.gamma_level").alias("gamma_level"),
+        F.col("s.contribution").alias("contribution"),
+        F.element_at("__run", F.col("s.step") + 1).alias("running_weight"),
+        "posterior",
+    )

@@ -355,3 +355,61 @@ def test_blocking_rule_profile_null_keys_never_join(spark):
     a = spark.createDataFrame([(1, None)], "left_id long, k string")
     b = spark.createDataFrame([(2, None)], "right_id long, k string")
     assert blocking_rule_profile(a, b, [F.col("k")]).count() == 0
+
+
+def test_fs_explain_waterfall_decomposition(spark):
+    """fs_explain's per-term rows reconstruct fs_score exactly: the prior
+    row carries the prior log-odds, each field row carries its level's
+    log2 Bayes factor, contributions sum to the pair's match_weight, the
+    running weight walks the same path, and the repeated posterior equals
+    fs_score's (no TF adjustment here)."""
+    from ditto_spark.operators.fellegi import fs_explain
+
+    fields = [
+        FieldComparison("name", 3, exact_fuzzy_gamma(max_dist=1)),
+        FieldComparison("city", 2, exact_gamma()),
+    ]
+    params = {
+        "name": ([0.05, 0.15, 0.8], [0.9, 0.08, 0.02]),
+        "city": ([0.2, 0.8], [0.7, 0.3]),
+    }
+    prior = 0.2
+    a = spark.createDataFrame(
+        [(1, "b", "anna", "oslo"), (2, "b", "bert", "rome")],
+        "left_id int, blk string, name string, city string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b", "anna", "oslo"), (11, "b", "berd", "lima")],
+        "right_id int, blk string, name string, city string",
+    )
+    gam = comparison_vectors(a, b, "blk", fields)
+    expl = fs_explain(gam, fields, params, prior).collect()
+    scored = {
+        (r["left_id"], r["right_id"]): r
+        for r in fs_score(gam, fields, params, prior).collect()
+    }
+    by_pair = {}
+    for r in expl:
+        by_pair.setdefault((r["left_id"], r["right_id"]), []).append(r)
+    assert set(by_pair) == set(scored) and len(by_pair) == 4
+    prior_w = math.log2(prior / (1 - prior))
+    for key, rows in by_pair.items():
+        rows.sort(key=lambda r: r["step"])
+        assert [r["term"] for r in rows] == ["prior", "name", "city"]
+        assert rows[0]["gamma_level"] is None
+        assert abs(rows[0]["contribution"] - prior_w) < 1e-12
+        total = sum(r["contribution"] for r in rows)
+        assert abs(total - scored[key]["match_weight"]) < 1e-9
+        run = prior_w
+        for r in rows[1:]:
+            run += r["contribution"]
+            assert abs(r["running_weight"] - run) < 1e-9
+        for r in rows:
+            assert abs(r["posterior"] - scored[key]["posterior"]) < 1e-9
+    # spot-check one known contribution: exact-match name (gamma 2)
+    exact_name = [
+        r for r in by_pair[(1, 10)] if r["term"] == "name"
+    ][0]
+    assert exact_name["gamma_level"] == 2
+    want = math.log2((0.8 + 1e-9) / (0.02 + 1e-9))
+    assert abs(exact_name["contribution"] - want) < 1e-9
