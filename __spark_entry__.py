@@ -902,6 +902,70 @@ def _oph_oracle() -> str:
     """
 
 
+def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors, Weinberger et al.
+    2009: sign-hashed token counts folded into a fixed dim — the
+    model-free, vocabulary-free text vectorizer feeding the ANN stack.
+    Oracle variant: dim=8, md5-portable index/sign hashes, unit weights →
+    every component is an exact signed integer, order-independent and
+    bit-identical in SQL. Production keeps xxhash64 + IDF weights +
+    L2-normalization (pytest-gated)."""
+    from ditto_spark.operators.ann import feature_hash_vectors
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = B.tokenize(docs, "text")
+    hash_fn = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    sign_fn = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), t)), 1, 8), 16, 10)
+        .cast("bigint") % 2 == 0
+    )
+    fh = feature_hash_vectors(
+        toks, id_col="doc_id", dim=8, l2_normalize=False,
+        hash_fn=hash_fn, sign_fn=sign_fn,
+    )
+    return fh.select(
+        "doc_id",
+        *[
+            F.element_at("fh", i + 1).cast("long").alias(f"v{i}")
+            for i in range(8)
+        ],
+    )
+
+
+_HASHED_VECTORS_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 AS i,
+             CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sw
+      FROM toks WHERE tok <> ''
+    ),
+    agg AS (
+      SELECT doc_id,
+             coalesce(sum(sw) FILTER (i = 0), 0) AS v0,
+             coalesce(sum(sw) FILTER (i = 1), 0) AS v1,
+             coalesce(sum(sw) FILTER (i = 2), 0) AS v2,
+             coalesce(sum(sw) FILTER (i = 3), 0) AS v3,
+             coalesce(sum(sw) FILTER (i = 4), 0) AS v4,
+             coalesce(sum(sw) FILTER (i = 5), 0) AS v5,
+             coalesce(sum(sw) FILTER (i = 6), 0) AS v6,
+             coalesce(sum(sw) FILTER (i = 7), 0) AS v7
+      FROM t2 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.v0, 0) AS v0, coalesce(a.v1, 0) AS v1,
+           coalesce(a.v2, 0) AS v2, coalesce(a.v3, 0) AS v3,
+           coalesce(a.v4, 0) AS v4, coalesce(a.v5, 0) AS v5,
+           coalesce(a.v6, 0) AS v6, coalesce(a.v7, 0) AS v7
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_crowd_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 crowd majority (analyze_gpt.py:68-83): mean label per task > 0.5,
     worker/task/label derived deterministically from events."""
@@ -4186,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_md5_signature": q_minhash_md5_signature,
         "oph_signature": q_oph_signature,
         "weighted_minhash_signature": q_weighted_minhash_signature,
+        "hashed_doc_vectors": q_hashed_doc_vectors,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
@@ -4683,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),
         "fs_explain": _fs_explain_oracle_sql(),
+        "hashed_doc_vectors": _HASHED_VECTORS_ORACLE,
         "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "allpairs_jaccard": _ALLPAIRS_ORACLE,

@@ -651,3 +651,87 @@ def knn_vote(
         .where(F.col("__rn") == 1)
         .select("query_id", F.col("__lbl").alias(label_col), "votes")
     )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    dim: int = 64,
+    seed: int = 11,
+    weights_col: str | None = None,
+    l2_normalize: bool = True,
+    out_col: str = "fh",
+    hash_fn=None,
+    sign_fn=None,
+) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. ICML 2009 /
+    Moody 1989): a MODEL-FREE text vectorizer — each token t adds
+    sign(t)·w(t) to component pmod(hash(t), dim) — whose inner products
+    are unbiased estimates of the underlying bag-of-words inner products
+    (the sign hash cancels collision cross-terms in expectation). The
+    output array<double> drops straight into this module's ANN stack
+    (cosine_topk_*, embedding_near_dup_pairs, rp_project, semantic_dedup),
+    giving the B1 sentence-encoding slot a dense-vector path that needs no
+    model weights and no vocabulary: dim is FIXED at plan time, so there
+    is no token index to build, broadcast, or keep consistent across runs
+    — the vectorizer is a pure function of the text.
+
+    ZERO-shuffle Catalyst projection (same discipline as rp_project): one
+    hash per token, then dim filtered array-aggregates — branch-predictable
+    ALU compares inside whole-stage codegen, no explode, no join. Token
+    multiplicity counts (TF); pass weights_col (aligned array, e.g. IDF)
+    to reweight. With unit weights every component is an exact signed
+    integer count — order-independent, bit-identical cross-engine (the
+    DuckDB oracle checks exactly that variant).
+
+    hash_fn (string col → bigint) / sign_fn (string col → boolean) default
+    to xxhash64; pass md5-based ones for engine portability.
+    """
+    if hash_fn is None:
+        hash_fn = lambda t: F.xxhash64(t, F.lit(seed))  # noqa: E731
+    if sign_fn is None:
+        sign_fn = lambda t: (  # noqa: E731
+            F.pmod(F.xxhash64(t, F.lit(seed * 31 + 7)), F.lit(2)) == 0
+        )
+    toks = F.col(tokens_col)
+    if weights_col is None:
+        wts = F.transform(toks, lambda t: F.lit(1.0))
+    else:
+        wts = F.transform(F.col(weights_col), lambda x: x.cast("double"))
+    pairs = F.zip_with(
+        toks,
+        wts,
+        lambda t, w: F.struct(
+            F.pmod(hash_fn(t), F.lit(dim)).alias("i"),
+            F.when(sign_fn(t), w).otherwise(-w).alias("sw"),
+        ),
+    )
+    comps = [
+        F.aggregate(
+            F.filter(pairs, lambda p: p["i"] == j),
+            F.lit(0.0),
+            lambda acc, p: acc + p["sw"],
+        )
+        for j in range(dim)
+    ]
+    # two projections: the bin array materializes as a named column first,
+    # so the normalization pass references it instead of re-evaluating the
+    # dim filtered aggregates (SPARK-36718: CollapseProject keeps non-cheap
+    # aliases referenced more than once)
+    base = df.select(F.col(id_col), F.array(*comps).alias(out_col))
+    if not l2_normalize:
+        return base
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(out_col), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(
+            norm > 0, F.transform(F.col(out_col), lambda x: x / norm)
+        )
+        .otherwise(F.col(out_col))
+        .alias(out_col),
+    )

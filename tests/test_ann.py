@@ -363,3 +363,119 @@ def test_knn_vote_tie_takes_smallest_label(spark):
     )
     [r] = knn_vote(neighbors, labels).collect()
     assert (r["query_id"], r["label"], r["votes"]) == (7, 2, 2)
+
+
+def _fh_portable_hashes():
+    hash_fn = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    sign_fn = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), t)), 1, 8), 16, 10)
+        .cast("bigint") % 2 == 0
+    )
+    return hash_fn, sign_fn
+
+
+def _fh_ref(tokens, dim):
+    import hashlib
+
+    v = [0.0] * dim
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        s = int(hashlib.md5(("s:" + t).encode()).hexdigest()[:8], 16)
+        v[h % dim] += 1.0 if s % 2 == 0 else -1.0
+    return v
+
+
+def test_feature_hash_matches_python_reference(spark):
+    """Bin/sign/accumulate structure exact vs a from-scratch Python impl
+    on the portable md5 hashes, incl. token multiplicity (TF) and the
+    empty-doc zero vector (normalization guard)."""
+    from ditto_spark.operators.ann import feature_hash_vectors
+
+    # NB: ["alpha","beta","alpha","gamma"] at dim=8 cancels to the zero
+    # vector (all four land in bin 3 with signs -,-,+,+) — kept out of the
+    # unit-norm check but exactly the case the norm>0 guard exists for
+    rows = [
+        (0, ["alpha", "beta", "alpha", "delta"]),
+        (1, ["beta"]),
+        (2, []),
+        (3, ["alpha", "beta", "alpha", "gamma"]),  # full cancellation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    hash_fn, sign_fn = _fh_portable_hashes()
+    got = {
+        r["doc_id"]: list(r["fh"])
+        for r in feature_hash_vectors(
+            df, dim=8, l2_normalize=False, hash_fn=hash_fn, sign_fn=sign_fn
+        ).collect()
+    }
+    for i, toks in rows:
+        assert got[i] == _fh_ref(toks, 8), f"doc {i}"
+    # normalized: unit norm for non-empty docs, zero vector stays zero
+    nrm = {
+        r["doc_id"]: list(r["fh"])
+        for r in feature_hash_vectors(
+            df, dim=8, hash_fn=hash_fn, sign_fn=sign_fn
+        ).collect()
+    }
+    assert abs(sum(x * x for x in nrm[0]) - 1.0) < 1e-12
+    assert nrm[2] == [0.0] * 8
+    assert nrm[3] == [0.0] * 8  # cancellation hits the norm>0 guard too
+
+
+def test_feature_hash_inner_product_tracks_token_cosine(spark):
+    """Unbiasedness in practice: at dim=256 the hashed-vector cosine
+    tracks the exact bag-of-words cosine within 0.15 for high/low-overlap
+    pairs, identical docs hash identically, and the projection is
+    partition-invariant."""
+    from ditto_spark.operators.ann import feature_hash_vectors
+
+    a = [f"tok{i}" for i in range(30)]
+    docs = [
+        (0, a),
+        (1, list(a)),                          # identical
+        (2, a[:24] + [f"x{i}" for i in range(6)]),   # cos = 0.8
+        (3, [f"y{i}" for i in range(30)]),     # disjoint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    fh = feature_hash_vectors(df, dim=256)
+    rows = {r["doc_id"]: np.array(r["fh"]) for r in fh.collect()}
+    assert np.allclose(rows[0], rows[1])
+
+    def cos(x, y):
+        return float(np.dot(x, y))  # already L2-normalized
+
+    def exact(t1, t2):
+        s1, s2 = set(t1), set(t2)
+        return len(s1 & s2) / (len(s1) ** 0.5 * len(s2) ** 0.5)
+
+    assert abs(cos(rows[0], rows[2]) - exact(a, docs[2][1])) < 0.15
+    assert abs(cos(rows[0], rows[3])) < 0.15
+    fh2 = {
+        r["doc_id"]: list(r["fh"])
+        for r in feature_hash_vectors(df.repartition(7), dim=256).collect()
+    }
+    assert {k: list(v) for k, v in rows.items()} == fh2
+
+
+def test_feature_hash_feeds_ann_stack(spark):
+    """Composition: hashed vectors drive cosine_topk_bruteforce — the
+    nearest neighbor of each templated doc is its near-duplicate."""
+    from ditto_spark.operators.ann import feature_hash_vectors
+
+    base = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, base + [f"doc{i}"]))
+        rows.append((2 * i + 1, base + [f"doc{i}", "extra"]))  # near-dup
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    fh = feature_hash_vectors(df, dim=128, out_col="v").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    q = fh.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    top1 = cosine_topk_bruteforce(fh, q, k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in top1.collect()}
+    pairmate = lambda i: i + 1 if i % 2 == 0 else i - 1  # noqa: E731
+    matches = sum(1 for q, n in got.items() if n == pairmate(q))
+    assert matches >= 18, f"only {matches}/20 nearest neighbors are the planted near-dups"
