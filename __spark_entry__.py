@@ -3527,6 +3527,107 @@ def _monge_elkan_oracle() -> str:
 """
 
 
+def q_soft_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-TF-IDF comparator (Cohen-Ravikumar-Fienberg 2003) over the same
+    soundex-blocked distinct part-name pairs as monge_elkan_pairs, with IDF
+    built from the names corpus itself (ln((N+1)/(df+1))) — rare-token soft
+    agreement outweighs boilerplate agreement, the IDF dimension
+    Monge-Elkan lacks. Whole construction (DF index, weights, norms,
+    argmax-by-JW with deterministic ties, θ-gate, sum) replicated in the
+    DuckDB oracle over its bit-identical builtin Jaro-Winkler."""
+    from ditto_spark.operators.phonetic import soft_tfidf_scores, soundex_key
+
+    part = _load(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("n"))
+        .distinct()
+        .withColumn("sx", soundex_key(F.split(F.col("n"), " ")[0]))
+        .where(F.col("sx").isNotNull())
+    )
+    a = names.select(F.col("n").alias("n1"), "sx")
+    b = names.select(F.col("n").alias("n2"), "sx")
+    pairs = a.join(b, "sx").where(F.col("n1") < F.col("n2")).select("n1", "n2")
+    toks = names.select("n", F.explode(F.split("n", " ")).alias("token"))
+    dfx = toks.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    nn = names.select(F.count(F.lit(1)).alias("__n"))
+    idf_df = dfx.crossJoin(F.broadcast(nn)).select(
+        "token",
+        F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)).alias("idf"),
+    )
+    out = soft_tfidf_scores(pairs, "n1", "n2", ["n1", "n2"], idf_df, theta=0.9)
+    return out.select("n1", "n2", F.round("soft_tfidf", 9).alias("soft_tfidf"))
+
+
+def _soft_tfidf_oracle() -> str:
+    from ditto_spark.operators.phonetic import soundex_sql
+
+    jw = "jaro_winkler_similarity"
+    return f"""
+    WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+    keyed AS (
+      SELECT n, {soundex_sql("string_split(n, ' ')[1]")} AS sx FROM names
+    ),
+    pairs AS (
+      SELECT a.n AS n1, b.n AS n2 FROM keyed a
+      JOIN keyed b ON a.sx = b.sx AND a.n < b.n
+      WHERE a.sx IS NOT NULL
+    ),
+    toks AS (
+      SELECT DISTINCT n, unnest(string_split(n, ' ')) AS token FROM names
+    ),
+    dfx AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    nn AS (SELECT count(*) AS n FROM names),
+    idf AS (
+      SELECT token, ln((nn.n + 1.0) / (df + 1.0)) AS idf FROM dfx, nn
+    ),
+    atf AS (
+      SELECT n1, n2, tok AS at, count(*) AS tf FROM (
+        SELECT n1, n2, unnest(string_split(n1, ' ')) AS tok FROM pairs)
+      GROUP BY 1, 2, 3
+    ),
+    aw AS (
+      SELECT n1, n2, at, ln(tf + 1.0) * i.idf AS w
+      FROM atf JOIN idf i ON atf.at = i.token
+    ),
+    an AS (SELECT n1, n2, sqrt(sum(w * w)) AS nrm FROM aw GROUP BY 1, 2),
+    av AS (
+      SELECT aw.n1, aw.n2, at, w / nrm AS av
+      FROM aw JOIN an USING (n1, n2)
+    ),
+    btf AS (
+      SELECT n1, n2, tok AS bt, count(*) AS tf FROM (
+        SELECT n1, n2, unnest(string_split(n2, ' ')) AS tok FROM pairs)
+      GROUP BY 1, 2, 3
+    ),
+    bw AS (
+      SELECT n1, n2, bt, ln(tf + 1.0) * i.idf AS w
+      FROM btf JOIN idf i ON btf.bt = i.token
+    ),
+    bn AS (SELECT n1, n2, sqrt(sum(w * w)) AS nrm FROM bw GROUP BY 1, 2),
+    bv AS (
+      SELECT bw.n1, bw.n2, bt, w / nrm AS bv
+      FROM bw JOIN bn USING (n1, n2)
+    ),
+    crossed AS (
+      SELECT av.n1, av.n2, at, av.av, bt, bv.bv, {jw}(at, bt) AS s
+      FROM av JOIN bv ON av.n1 = bv.n1 AND av.n2 = bv.n2
+    ),
+    best AS (
+      SELECT n1, n2, at, av, bt, bv, s FROM crossed
+      QUALIFY row_number() OVER (
+        PARTITION BY n1, n2, at ORDER BY s DESC, bt DESC) = 1
+    ),
+    scored AS (
+      SELECT n1, n2, sum(av * bv * s) AS soft_tfidf
+      FROM best WHERE s > 0.9 GROUP BY n1, n2
+    )
+    SELECT p.n1, p.n2, round(coalesce(sc.soft_tfidf, 0.0), 9) AS soft_tfidf
+    FROM pairs p LEFT JOIN scored sc USING (n1, n2)
+"""
+
+
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance threshold self-join (blocking.edit_distance_join
     — Gravano et al. q-gram filters + EDJoin prefix filtering) over the
@@ -4333,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_jw_pairs": q_soundex_jw_pairs,
         "pprl_dice_pairs": q_pprl_dice_pairs,
         "monge_elkan_pairs": q_monge_elkan_pairs,
+        "soft_tfidf_pairs": q_soft_tfidf_pairs,
         "edit_distance_pairs": q_edit_distance_pairs,
         "blocking_rule_profile": q_blocking_rule_profile,
         "exact_quantiles": q_exact_quantiles,
@@ -5272,6 +5374,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_jw_pairs": _soundex_jw_oracle(),
         "pprl_dice_pairs": _pprl_oracle(),
         "monge_elkan_pairs": _monge_elkan_oracle(),
+        "soft_tfidf_pairs": _soft_tfidf_oracle(),
         "edit_distance_pairs": _EDIT_DISTANCE_ORACLE,
         "blocking_rule_profile": _BLOCKING_RULE_PROFILE_ORACLE,
         "exact_quantiles": _EXACT_QUANTILES_ORACLE,

@@ -169,3 +169,112 @@ def test_monge_elkan_symmetric_order_invariant(spark):
     fwd = monge_elkan_scores(df, "a", "b", ["pid"]).collect()[0]["monge_elkan"]
     rev = monge_elkan_scores(df, "b", "a", ["pid"]).collect()[0]["monge_elkan"]
     assert abs(fwd - rev) < 1e-12
+
+
+def _py_jaro(s1, s2):
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    mw = max(len(s1), len(s2)) // 2 - 1
+    m1 = [False] * len(s1)
+    m2 = [False] * len(s2)
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - mw), min(len(s2), i + mw + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len(s1)):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len(s1) + matches / len(s2) + (matches - t) / matches) / 3
+
+
+def _py_jw(s1, s2, p=0.1, gate=0.7):
+    j = _py_jaro(s1, s2)
+    if j <= gate:
+        return j
+    pre = 0
+    for a, b in zip(s1, s2):
+        if a != b or pre == 4:
+            break
+        pre += 1
+    return j + pre * p * (1 - j)
+
+
+def _py_soft_tfidf(t1, t2, idf, theta=0.9):
+    import math as m
+
+    def vec(toks):
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        w = {t: m.log(c + 1.0) * idf[t] for t, c in tf.items()}
+        nrm = m.sqrt(sum(x * x for x in w.values()))
+        return {t: x / nrm for t, x in w.items()}
+
+    va, vb = vec(t1), vec(t2)
+    total = 0.0
+    for at, av in va.items():
+        best = max(
+            ((_py_jw(at, bt), bt) for bt in vb), key=lambda x: (x[0], x[1])
+        )
+        if best[0] > theta:
+            total += av * vb[best[1]] * best[0]
+    return total
+
+
+def test_soft_tfidf_matches_python_reference(spark):
+    """Operator ≡ from-scratch Python soft-TF-IDF (textbook JW inner,
+    log(tf+1)·idf weights, L2 norms, θ-gate, argmax ties → higher token)."""
+    from ditto_spark.operators.phonetic import soft_tfidf_scores
+
+    idf = {
+        "smith": 2.0, "smiths": 2.1, "john": 1.0, "the": 0.1,
+        "baker": 1.8, "contractor": 1.5,
+    }
+    rows = [
+        (1, "john smith the", "john smiths the"),     # soft surname match
+        (2, "john smith", "baker contractor"),        # nothing close -> 0
+        (3, "the the john", "john the"),              # tf>1 on one side
+    ]
+    pairs = spark.createDataFrame(rows, "pid int, l string, r string")
+    idf_df = spark.createDataFrame(
+        list(idf.items()), "token string, idf double"
+    )
+    got = {
+        r["pid"]: r["soft_tfidf"]
+        for r in soft_tfidf_scores(
+            pairs, "l", "r", ["pid"], idf_df, theta=0.9
+        ).collect()
+    }
+    for pid, l, r in rows:
+        want = _py_soft_tfidf(l.split(), r.split(), idf)
+        assert abs(got[pid] - want) < 1e-9, f"pair {pid}: {got[pid]} vs {want}"
+    assert got[2] == 0.0
+    # identical strings score exactly 1 (cosine of identical unit vectors)
+    ident = spark.createDataFrame(
+        [(9, "john smith", "john smith")], "pid int, l string, r string"
+    )
+    one = soft_tfidf_scores(ident, "l", "r", ["pid"], idf_df).collect()[0]
+    assert abs(one["soft_tfidf"] - 1.0) < 1e-12
+    # theta gates: at theta=0.99 the smith/smiths bridge disappears
+    strict = {
+        r["pid"]: r["soft_tfidf"]
+        for r in soft_tfidf_scores(
+            pairs, "l", "r", ["pid"], idf_df, theta=0.99
+        ).collect()
+    }
+    assert strict[1] < got[1]
