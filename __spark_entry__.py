@@ -2128,6 +2128,74 @@ def _fs_score_oracle_sql() -> str:
 """
 
 
+_FS_U_TARGET, _FS_U_SEED = 2000, 17
+
+
+def q_fs_u_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u-probability estimation from deterministic random pairs (Splink's
+    estimate_u_using_random_sampling): md5-dyadic sample of each FS record
+    side sized for ~2000 cross pairs, gamma marginals + Laplace smoothing
+    = u. The whole device — rate from counts, per-id sampling rule, cross
+    join, gamma levels, smoothing, full grid — replicates in SQL."""
+    from ditto_spark.operators.fellegi import estimate_u_random
+
+    a, b = _fs_records(_load(spark, sf_dir, "documents"))
+    out = estimate_u_random(
+        a, b, _fs_fields(), target_pairs=_FS_U_TARGET, seed=_FS_U_SEED
+    )
+    return out.select(
+        "field", "gamma_level", F.round("u_prob", 9).alias("u_prob")
+    )
+
+
+def _fs_u_random_oracle() -> str:
+    t, s = _FS_U_TARGET, _FS_U_SEED
+    return _FS_CTE + f"""
+    , r AS (
+      SELECT least(1.0, sqrt({t}.0 /
+        ((SELECT count(*) FROM fa) * (SELECT count(*) FROM fb)))) AS rate
+    ),
+    sa AS (
+      SELECT * FROM fa
+      WHERE ('0x' || substr(md5('{s}:a:' || left_id), 1, 6))::BIGINT
+            / 16777216.0 < (SELECT rate FROM r)
+    ),
+    sb AS (
+      SELECT * FROM fb
+      WHERE ('0x' || substr(md5('{s}:b:' || right_id), 1, 6))::BIGINT
+            / 16777216.0 < (SELECT rate FROM r)
+    ),
+    g AS (
+      SELECT CASE WHEN sa.title = sb.title THEN 2
+                  WHEN levenshtein(sa.title, sb.title) <= 2 THEN 1
+                  ELSE 0 END AS gamma_title,
+             CASE WHEN sa.src = sb.src THEN 1 ELSE 0 END AS gamma_src,
+             CASE WHEN abs(sa.ln - sb.ln) <= 10 THEN 2
+                  WHEN abs(sa.ln - sb.ln) <= 50 THEN 1
+                  ELSE 0 END AS gamma_len
+      FROM sa CROSS JOIN sb
+    ),
+    longf AS (
+      SELECT 'title' AS field, gamma_title AS lvl FROM g
+      UNION ALL SELECT 'src', gamma_src FROM g
+      UNION ALL SELECT 'len', gamma_len FROM g
+    ),
+    cnt AS (SELECT field, lvl, count(*) AS c FROM longf GROUP BY 1, 2),
+    tot AS (
+      SELECT (SELECT count(*) FROM sa) * (SELECT count(*) FROM sb) AS t
+    ),
+    grid(field, lvl, levels) AS (VALUES
+      ('title', 0, 3), ('title', 1, 3), ('title', 2, 3),
+      ('src', 0, 2), ('src', 1, 2),
+      ('len', 0, 3), ('len', 1, 3), ('len', 2, 3))
+    SELECT grid.field, grid.lvl AS gamma_level,
+           round((coalesce(cnt.c, 0) + 0.5) / (tot.t + 0.5 * grid.levels), 9)
+             AS u_prob
+    FROM grid LEFT JOIN cnt ON grid.field = cnt.field AND grid.lvl = cnt.lvl
+    CROSS JOIN tot
+"""
+
+
 def q_fs_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-weight waterfall (Splink waterfall-chart data): one row per
     scoring term per pair — prior log-odds, then each field's log2 Bayes
@@ -4406,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_params": q_fs_em_params,
         "fs_match_scores": q_fs_match_scores,
         "fs_explain": q_fs_explain,
+        "fs_u_random": q_fs_u_random,
         "fs_linkage": q_fs_linkage,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cluster_agreement": q_cluster_agreement,
@@ -4850,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_params": _fs_em_oracle_sql(),
         "fs_match_scores": _fs_score_oracle_sql(),
         "fs_explain": _fs_explain_oracle_sql(),
+        "fs_u_random": _fs_u_random_oracle(),
         "hashed_doc_vectors": _HASHED_VECTORS_ORACLE,
         "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,

@@ -490,3 +490,107 @@ def fs_explain(
         F.element_at("__run", F.col("s.step") + 1).alias("running_weight"),
         "posterior",
     )
+
+
+def estimate_u_random(
+    a: DataFrame,
+    b: DataFrame,
+    fields: list[FieldComparison],
+    target_pairs: int = 1_000_000,
+    seed: int = 17,
+    alpha: float = 0.5,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """u-probability estimation from RANDOM pairs — Splink's
+    estimate_u_using_random_sampling step. At corpus scale a uniformly
+    random A×B pair is a non-match with probability ~1, so the gamma-level
+    marginals over a random pair sample estimate u = P(gamma | non-match)
+    directly: no labels, no EM, and it covers rare agreement levels that
+    blocked-pair EM starves on (blocked pairs are similarity-biased —
+    exactly the wrong sample for u).
+
+    Sampling is DETERMINISTIC (md5-dyadic per id, same device as the
+    blocking-recall audit): each side keeps rows with u01(id) < rate,
+    rate = min(1, sqrt(target_pairs / (|A|·|B|))), so the sample cross
+    join holds ~target_pairs rows however large the corpus — the n² stays
+    confined to a ~√target × √target sample while both side scans remain
+    full-corpus-parallel. The two count() jobs are estimation-time only.
+    Laplace-smoothed: u = (cnt + alpha) / (total + alpha·levels), so
+    never-observed levels get a proper small mass instead of 0 (log2
+    weights stay finite). Output: (field, gamma_level, u_prob), every
+    (field, level) present."""
+    spark = a.sparkSession
+    if sample_rate is None:
+        na = a.count()
+        nb = b.count()
+        sample_rate = min(1.0, (target_pairs / (na * nb)) ** 0.5)
+
+    def samp(df: DataFrame, tag: str, id_col: str) -> DataFrame:
+        u01 = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.lit(tag), F.col(id_col))),
+                    1, 6,
+                ),
+                16, 10,
+            ).cast("bigint")
+            / F.lit(float(1 << 24))
+        )
+        return df.where(u01 < F.lit(sample_rate))
+
+    la = samp(a, "a", left_id).select(
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in fields]
+    )
+    rb = samp(b, "b", right_id).select(
+        *[F.col(f.name).alias(f"__r_{f.name}") for f in fields]
+    )
+    pairs = la.crossJoin(rb)
+    gam = pairs.select(
+        *[
+            f.gamma(F.col(f"__l_{f.name}"), F.col(f"__r_{f.name}"))
+            .cast("int")
+            .alias(f.name)
+            for f in fields
+        ]
+    )
+    longf = gam.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f.name).alias("field"),
+                        F.col(f.name).alias("gamma_level"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    cnt = longf.groupBy("field", "gamma_level").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = spark.createDataFrame(
+        [(f.name, lvl, f.levels) for f in fields for lvl in range(f.levels)],
+        "field string, gamma_level int, levels int",
+    )
+    # |pairs| = |la|·|rb| exactly — two 1-row aggs instead of re-running
+    # the sample cross join for its count
+    tot = (
+        la.agg(F.count(F.lit(1)).alias("__ca"))
+        .crossJoin(rb.agg(F.count(F.lit(1)).alias("__cb")))
+        .select((F.col("__ca") * F.col("__cb")).alias("tot"))
+    )
+    return (
+        grid.join(cnt, ["field", "gamma_level"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "field",
+            "gamma_level",
+            (
+                (F.coalesce("cnt", F.lit(0)) + F.lit(alpha))
+                / (F.col("tot") + F.lit(alpha) * F.col("levels"))
+            ).alias("u_prob"),
+        )
+    )

@@ -413,3 +413,65 @@ def test_fs_explain_waterfall_decomposition(spark):
     assert exact_name["gamma_level"] == 2
     want = math.log2((0.8 + 1e-9) / (0.02 + 1e-9))
     assert abs(exact_name["contribution"] - want) < 1e-9
+
+
+def test_estimate_u_random_matches_bruteforce(spark):
+    """u marginals equal an independent Python brute force over the SAME
+    deterministic md5 sample: sampling rule, gamma levels, Laplace
+    smoothing, and the full (field, level) grid incl. never-observed
+    levels."""
+    import hashlib
+
+    from ditto_spark.operators.fellegi import estimate_u_random
+
+    fields = [
+        FieldComparison("src", 2, exact_gamma()),
+        FieldComparison("ln", 3, numeric_band_gamma(tight=5, loose=20)),
+    ]
+    rows_a = [(i, f"s{i % 4}", 10 * i) for i in range(40)]
+    rows_b = [(j, f"s{j % 4}", 10 * j + 3) for j in range(35)]
+    a = spark.createDataFrame(rows_a, "left_id int, src string, ln int")
+    b = spark.createDataFrame(rows_b, "right_id int, src string, ln int")
+    target, seed, alpha = 400, 17, 0.5
+    got = {
+        (r["field"], r["gamma_level"]): r["u_prob"]
+        for r in estimate_u_random(
+            a, b, fields, target_pairs=target, seed=seed, alpha=alpha
+        ).collect()
+    }
+    assert set(got) == {("src", 0), ("src", 1)} | {
+        ("ln", k) for k in range(3)
+    }
+
+    rate = min(1.0, (target / (len(rows_a) * len(rows_b))) ** 0.5)
+
+    def keep(tag, rid):
+        h = hashlib.md5(f"{seed}:{tag}:{rid}".encode()).hexdigest()[:6]
+        return int(h, 16) / float(1 << 24) < rate
+
+    sa = [r for r in rows_a if keep("a", r[0])]
+    sb = [r for r in rows_b if keep("b", r[0])]
+    tot = len(sa) * len(sb)
+    assert tot > 50  # the sample is real
+    cnt = {}
+    for _, asrc, aln in sa:
+        for _, bsrc, bln in sb:
+            g_src = 1 if asrc == bsrc else 0
+            d = abs(aln - bln)
+            g_ln = 2 if d <= 5 else (1 if d <= 20 else 0)
+            cnt[("src", g_src)] = cnt.get(("src", g_src), 0) + 1
+            cnt[("ln", g_ln)] = cnt.get(("ln", g_ln), 0) + 1
+    for (fname, lv), u in got.items():
+        levels = 2 if fname == "src" else 3
+        want = (cnt.get((fname, lv), 0) + alpha) / (tot + alpha * levels)
+        assert abs(u - want) < 1e-12, f"{fname}/{lv}: {u} vs {want}"
+    # random-pair src agreement ~ 1/4 (uniform over 4 sources)
+    assert abs(got[("src", 1)] - 0.25) < 0.1
+    # determinism
+    again = {
+        (r["field"], r["gamma_level"]): r["u_prob"]
+        for r in estimate_u_random(
+            a, b, fields, target_pairs=target, seed=seed, alpha=alpha
+        ).collect()
+    }
+    assert again == got
