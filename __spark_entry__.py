@@ -966,6 +966,104 @@ _HASHED_VECTORS_ORACLE = """
 """
 
 
+def q_ht_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-corrected (stratified Horvitz-Thompson) confusion estimates
+    from a partial labeled sample — how linkage quality is actually
+    measured when the candidate set is too large to label. Deterministic
+    synthetic design over documents: prob from md5 per pair, a ~1/3
+    md5-sampled labeled subset, tau=0.5; estimator + weights + uncovered
+    accounting all replicated in SQL."""
+    from ditto_spark.operators.evaluate import sampling_corrected_confusion
+
+    docs = _load(spark, sf_dir, "documents")
+    h = lambda s, tag: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(tag), s)), 1, 8),
+            16, 10,
+        ).cast("bigint")
+    )
+    scored = docs.select(
+        F.col("doc_id").alias("left_id"),
+        (F.col("doc_id") + 100000).alias("right_id"),
+        ((h(F.col("doc_id"), "p") % 1000) / 1000.0).alias("prob"),
+    )
+    labeled = scored.where(h(F.col("left_id"), "s") % 3 == 0).select(
+        "left_id",
+        "right_id",
+        (h(F.col("left_id"), "y") % 2).cast("int").alias("label"),
+    )
+    out = sampling_corrected_confusion(scored, labeled, tau=0.5)
+    return out.select(
+        F.round("est_tp", 6).alias("est_tp"),
+        F.round("est_fp", 6).alias("est_fp"),
+        F.round("est_fn", 6).alias("est_fn"),
+        F.round("est_tn", 6).alias("est_tn"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        "n_labeled",
+        "uncovered_pairs",
+    )
+
+
+_HT_CONFUSION_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id AS left_id, doc_id + 100000 AS right_id,
+             (('0x' || substr(md5('p:' || doc_id), 1, 8))::BIGINT % 1000)
+               / 1000.0 AS prob
+      FROM documents
+    ),
+    labeled AS (
+      SELECT left_id, right_id,
+             (('0x' || substr(md5('y:' || left_id), 1, 8))::BIGINT % 2)::INT
+               AS label
+      FROM scored
+      WHERE ('0x' || substr(md5('s:' || left_id), 1, 8))::BIGINT % 3 = 0
+    ),
+    full_s AS (
+      SELECT least(CAST(floor(prob * 10) AS INT), 9) AS s FROM scored
+    ),
+    sizes AS (SELECT s, count(*) AS N_full FROM full_s GROUP BY s),
+    lab AS (
+      SELECT least(CAST(floor(sc.prob * 10) AS INT), 9) AS s,
+             CASE WHEN sc.prob > 0.5 THEN 1 ELSE 0 END AS p,
+             l.label AS y
+      FROM labeled l JOIN scored sc USING (left_id, right_id)
+    ),
+    cells AS (
+      SELECT s, count(*) AS n_lab,
+             sum(p * y) AS tp, sum(p * (1 - y)) AS fp,
+             sum((1 - p) * y) AS fn, sum((1 - p) * (1 - y)) AS tn
+      FROM lab GROUP BY s
+    ),
+    j AS (SELECT * FROM sizes LEFT JOIN cells USING (s)),
+    est AS (
+      SELECT
+        sum(CASE WHEN n_lab > 0 THEN N_full * tp / n_lab END) AS est_tp,
+        sum(CASE WHEN n_lab > 0 THEN N_full * fp / n_lab END) AS est_fp,
+        sum(CASE WHEN n_lab > 0 THEN N_full * fn / n_lab END) AS est_fn,
+        sum(CASE WHEN n_lab > 0 THEN N_full * tn / n_lab END) AS est_tn,
+        sum(coalesce(n_lab, 0)) AS n_labeled,
+        sum(CASE WHEN n_lab IS NULL THEN N_full ELSE 0 END)
+          AS uncovered_pairs
+      FROM j
+    )
+    SELECT round(est_tp, 6) AS est_tp, round(est_fp, 6) AS est_fp,
+           round(est_fn, 6) AS est_fn, round(est_tn, 6) AS est_tn,
+           round(CASE WHEN est_tp + est_fp > 0
+                      THEN est_tp / (est_tp + est_fp) ELSE 0.0 END, 6)
+             AS precision,
+           round(CASE WHEN est_tp + est_fn > 0
+                      THEN est_tp / (est_tp + est_fn) ELSE 0.0 END, 6)
+             AS recall,
+           round(CASE WHEN 2 * est_tp + est_fp + est_fn > 0
+                      THEN 2 * est_tp / (2 * est_tp + est_fp + est_fn)
+                      ELSE 0.0 END, 6) AS f1,
+           n_labeled, uncovered_pairs
+    FROM est
+"""
+
+
 def q_crowd_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 crowd majority (analyze_gpt.py:68-83): mean label per task > 0.5,
     worker/task/label derived deterministically from events."""
@@ -4420,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_signature": q_oph_signature,
         "weighted_minhash_signature": q_weighted_minhash_signature,
         "hashed_doc_vectors": q_hashed_doc_vectors,
+        "ht_confusion": q_ht_confusion,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
@@ -4921,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_explain": _fs_explain_oracle_sql(),
         "fs_u_random": _fs_u_random_oracle(),
         "hashed_doc_vectors": _HASHED_VECTORS_ORACLE,
+        "ht_confusion": _HT_CONFUSION_ORACLE,
         "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "allpairs_jaccard": _ALLPAIRS_ORACLE,

@@ -771,3 +771,127 @@ def stabilize_cluster_ids(
             F.col("__prev_cid").isNotNull().alias("carried"),
         )
     )
+
+
+def _tarjan_bridges(nodes, adj):
+    """Iterative Tarjan bridge finding on a simple undirected graph:
+    returns the set of (min, max) edges whose removal disconnects their
+    component. Explicit stack — cluster diameter never hits the Python
+    recursion limit."""
+    disc: dict = {}
+    low: dict = {}
+    timer = 0
+    out = []
+    for root in nodes:
+        if root in disc:
+            continue
+        disc[root] = low[root] = timer
+        timer += 1
+        stack = [(root, None, iter(adj[root]))]
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue  # simple graph: the one tree edge back
+                if w in disc:
+                    low[v] = min(low[v], disc[w])
+                else:
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append((w, v, iter(adj[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if low[v] > disc[parent]:
+                        out.append((min(parent, v), max(parent, v)))
+    return set(out)
+
+
+def cluster_bridge_edges(
+    edges: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """Flag BRIDGE edges inside each entity cluster — edges whose removal
+    splits the cluster (Tarjan 1974). The sharpest chained-false-merge
+    review signal after transitive closure: a giant cluster held together
+    by one low-score bridge is almost always two entities, and the bridge
+    IS the pair to send to clerical review (complements
+    cluster_graph_metrics' density/weakest-edge aggregates by naming the
+    exact culprit edge). Output: every intra-cluster edge with an
+    is_bridge flag.
+
+    Distributed shape: edges join their cluster id (one node-keyed join;
+    cross-cluster edges dropped, same contract as cluster_graph_metrics),
+    then ONE applyInPandas group per cluster runs linear-time Tarjan —
+    per-group cost O(V+E) of THAT cluster only, so the stage is bounded by
+    the largest cluster, not the corpus. Clusters larger than
+    max_cluster_size (post-CC pathologies that should have been split
+    upstream) are NOT silently analyzed: their edges return is_bridge NULL
+    + skipped=true so the caller sees the gap. Bridge order inside the
+    group is deterministic (sorted edge input, sorted adjacency)."""
+    import pandas as pd
+
+    le = assignment.select(
+        F.col(id_col).alias("left_id"), F.col(cluster_col).alias("__ca")
+    )
+    re_ = assignment.select(
+        F.col(id_col).alias("right_id"), F.col(cluster_col).alias("__cb")
+    )
+    e = (
+        edges.select("left_id", "right_id")
+        .join(le, "left_id")
+        .join(re_, "right_id")
+        .where(F.col("__ca") == F.col("__cb"))
+        .select("left_id", "right_id", F.col("__ca").alias(cluster_col))
+    )
+    id_t = dict(edges.dtypes)["left_id"]
+    cl_t = dict(assignment.dtypes)[cluster_col]
+    schema = (
+        f"{cluster_col} {cl_t}, left_id {id_t}, right_id {id_t}, "
+        "is_bridge boolean, skipped boolean"
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+        cl = pdf[cluster_col].iloc[0]
+        nodes = sorted(set(pdf["left_id"]) | set(pdf["right_id"]))
+        if len(nodes) > max_cluster_size:
+            return pd.DataFrame(
+                {
+                    cluster_col: pdf[cluster_col],
+                    "left_id": pdf["left_id"],
+                    "right_id": pdf["right_id"],
+                    "is_bridge": pd.array([None] * len(pdf), dtype="boolean"),
+                    "skipped": True,
+                }
+            )
+        adj: dict = {n: [] for n in nodes}
+        for a, b in zip(pdf["left_id"], pdf["right_id"]):
+            if a != b:
+                adj[a].append(b)
+                adj[b].append(a)
+        for n in nodes:
+            adj[n].sort()
+        br = _tarjan_bridges(nodes, adj)
+        isb = [
+            (min(a, b), max(a, b)) in br and a != b
+            for a, b in zip(pdf["left_id"], pdf["right_id"])
+        ]
+        return pd.DataFrame(
+            {
+                cluster_col: cl,
+                "left_id": pdf["left_id"],
+                "right_id": pdf["right_id"],
+                "is_bridge": pd.array(isb, dtype="boolean"),
+                "skipped": False,
+            }
+        )
+
+    return e.groupBy(cluster_col).applyInPandas(per_cluster, schema)

@@ -417,7 +417,7 @@ def roc_auc(
     hist = (
         scored_with_labels.groupBy(F.col(prob_col).alias("s"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_lab"),
             F.sum(F.col(label_col).cast("long")).alias("pos"),
         )
         .withColumn("neg", F.col("n") - F.col("pos"))
@@ -474,7 +474,7 @@ def calibration_bins(
         F.col(label_col).cast("int").alias("y"),
     )
     per = b.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("n_lab"),
         F.avg("p").alias("mean_prob"),
         F.avg("y").alias("frac_pos"),
     )
@@ -538,7 +538,7 @@ def platt_scale(
     hist = (
         scored_with_labels.groupBy(F.col(score_col).alias("s"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_lab"),
             F.sum(F.col(label_col).cast("long")).alias("pos"),
         )
         .withColumn("neg", F.col("n") - F.col("pos"))
@@ -589,4 +589,83 @@ def platt_scale(
         [(round(a, ndigits), round(b, ndigits), p_tot, q_tot,
           round(float(nll_row["nll"]), ndigits))],
         "a double, b double, n_pos long, n_neg long, nll double",
+    )
+
+
+def sampling_corrected_confusion(
+    scored: DataFrame,
+    labeled: DataFrame,
+    tau: float,
+    n_strata: int = 10,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    keys: tuple[str, str] = ("left_id", "right_id"),
+) -> DataFrame:
+    """Population confusion estimates from a PARTIAL labeled sample —
+    stratified Horvitz-Thompson estimation, the standard design when the
+    candidate set is too large to label (you label a few hundred pairs per
+    score stratum, e.g. the clerical_review_sample output, and weight each
+    labeled pair by its stratum's inverse inclusion probability):
+
+        est_cell = Σ_s (N_s / n_s) · cell_count_in_labeled(s)
+
+    with N_s the stratum size in the FULL scored candidate set and n_s its
+    labeled count. Unbiased for every confusion cell under any per-stratum
+    sampling design with known N_s/n_s — in particular the boundary-heavy
+    designs that would wildly bias a naive sample mean. Labeling the whole
+    set (n_s = N_s) reduces every estimate to the exact confusion matrix
+    (pytest-pinned against confusion_f1).
+
+    Strata are equal-width prob bins: floor(prob·n_strata), top-clamped —
+    the same binning clerical_review_sample uses, exact in int arithmetic.
+    Plan: two stratum-keyed partial aggs (full table: counts only; labeled:
+    cell counts) + one ≤n_strata-row join — nothing data-sized shuffles but
+    bare (stratum, counts) rows. Strata with labels absent contribute their
+    labeled cells only if n_s > 0; strata with N_s > 0 but n_s = 0 are
+    REPORTED via uncovered_pairs instead of silently dropped.
+
+    Output (one row): est_tp/fp/fn/tn, precision, recall, f1 (within the
+    scored candidate set), n_labeled, uncovered_pairs."""
+    stratum = F.least(
+        F.floor(F.col(prob_col) * n_strata).cast("int"), F.lit(n_strata - 1)
+    )
+    full = scored.select(*keys, stratum.alias("__s"))
+    sizes = full.groupBy("__s").agg(F.count(F.lit(1)).alias("N_full"))
+    lab = (
+        labeled.join(scored.select(*keys, prob_col), list(keys))
+        .select(
+            *keys,
+            stratum.alias("__s"),
+            (F.col(prob_col) > F.lit(tau)).cast("int").alias("p"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+    )
+    cells = lab.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("n_lab"),
+        F.sum(F.col("p") * F.col("y")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("y")).alias("fn"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).alias("tn"),
+    )
+    j = sizes.join(cells, "__s", "left")
+    w = F.col("N_full") / F.col("n_lab")
+    est = j.agg(
+        F.sum(F.when(F.col("n_lab") > 0, w * F.col("tp"))).alias("est_tp"),
+        F.sum(F.when(F.col("n_lab") > 0, w * F.col("fp"))).alias("est_fp"),
+        F.sum(F.when(F.col("n_lab") > 0, w * F.col("fn"))).alias("est_fn"),
+        F.sum(F.when(F.col("n_lab") > 0, w * F.col("tn"))).alias("est_tn"),
+        F.sum(F.coalesce(F.col("n_lab"), F.lit(0))).alias("n_labeled"),
+        F.sum(F.when(F.col("n_lab").isNull(), F.col("N_full")).otherwise(F.lit(0)))
+        .alias("uncovered_pairs"),
+    )
+    tp, fp, fn = F.col("est_tp"), F.col("est_fp"), F.col("est_fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)
+    ).otherwise(F.lit(0.0))
+    return est.select(
+        "est_tp", "est_fp", "est_fn", "est_tn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        "n_labeled", "uncovered_pairs",
     )

@@ -172,3 +172,63 @@ def test_platt_scale_partition_invariant_and_deterministic(spark):
 def test_platt_scale_single_class_raises(spark):
     with pytest.raises(ValueError, match="both classes"):
         platt_scale(_scored_df(spark, [0.2, 0.8], [0, 0]))
+
+
+def test_sampling_corrected_confusion_full_labels_exact(spark):
+    """n_s = N_s in every stratum -> HT estimates ARE the exact confusion
+    matrix; uncovered_pairs = 0."""
+    from ditto_spark.operators.evaluate import sampling_corrected_confusion
+
+    rows = [
+        (i, i + 100, p, y)
+        for i, (p, y) in enumerate(
+            [(0.95, 1), (0.9, 1), (0.85, 0), (0.6, 1), (0.4, 0),
+             (0.35, 0), (0.15, 1), (0.05, 0)]
+        )
+    ]
+    scored = spark.createDataFrame(
+        [(a, b, p) for a, b, p, _ in rows],
+        "left_id int, right_id int, prob double",
+    )
+    labeled = spark.createDataFrame(
+        [(a, b, y) for a, b, _, y in rows],
+        "left_id int, right_id int, label int",
+    )
+    out = sampling_corrected_confusion(scored, labeled, tau=0.5).collect()[0]
+    # exact: preds = prob > 0.5 -> tp=3 (0.95,0.9,0.6), fp=1 (0.85),
+    # fn=1 (0.15), tn=3
+    assert (out["est_tp"], out["est_fp"], out["est_fn"], out["est_tn"]) == (
+        3.0, 1.0, 1.0, 3.0,
+    )
+    assert abs(out["precision"] - 0.75) < 1e-12
+    assert abs(out["recall"] - 0.75) < 1e-12
+    assert out["uncovered_pairs"] == 0 and out["n_labeled"] == 8
+
+
+def test_sampling_corrected_confusion_ht_weights_and_uncovered(spark):
+    """Hand-checked HT arithmetic: stratum 9 (N=4) fully labeled, stratum 0
+    (N=6) labels 2 of 6 -> its cells weigh 3x; stratum 5 (N=2) unlabeled ->
+    reported as uncovered, not silently dropped."""
+    from ditto_spark.operators.evaluate import sampling_corrected_confusion
+
+    hi = [(i, 900 + i, 0.95) for i in range(4)]          # stratum 9
+    mid = [(50 + i, 950 + i, 0.55) for i in range(2)]    # stratum 5
+    lo = [(100 + i, 990 + i, 0.05) for i in range(6)]    # stratum 0
+    scored = spark.createDataFrame(
+        hi + mid + lo, "left_id int, right_id int, prob double"
+    )
+    labeled = spark.createDataFrame(
+        # stratum 9: 3 true matches, 1 false positive
+        [(0, 900, 1), (1, 901, 1), (2, 902, 1), (3, 903, 0),
+         # stratum 0: one labeled miss (fn), one true negative
+         (100, 990, 1), (101, 991, 0)],
+        "left_id int, right_id int, label int",
+    )
+    out = sampling_corrected_confusion(scored, labeled, tau=0.5).collect()[0]
+    # weights: stratum 9 -> 4/4 = 1; stratum 0 -> 6/2 = 3
+    assert out["est_tp"] == 3.0 and out["est_fp"] == 1.0
+    assert out["est_fn"] == 3.0 and out["est_tn"] == 3.0
+    assert out["uncovered_pairs"] == 2  # the unlabeled 0.55 stratum
+    assert out["n_labeled"] == 6
+    assert abs(out["precision"] - 0.75) < 1e-12
+    assert abs(out["recall"] - 0.5) < 1e-12

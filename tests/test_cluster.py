@@ -409,3 +409,78 @@ def test_stabilize_new_records_without_history(spark):
     }
     assert got["a"] == ("p1", True)
     assert got["z"] == ("n7", False)
+
+
+def test_cluster_bridge_edges_vs_bruteforce(spark):
+    """Tarjan bridges ≡ remove-edge-and-check-connectivity brute force on
+    a mixed graph: chain (all bridges), triangle (none), barbell (only the
+    bar), plus a cross-cluster edge that must be dropped."""
+    from itertools import combinations
+
+    from ditto_spark.operators.cluster import cluster_bridge_edges
+
+    # cluster A: chain 1-2-3-4; cluster B: triangle 10-11-12 + pendant 13
+    # + second triangle 14-15-16 bridged by 12-14 (barbell); edge 4-10
+    # straddles clusters and must vanish
+    edges = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (10, 12), (11, 12), (12, 13),
+        (14, 15), (14, 16), (15, 16), (12, 14),
+        (4, 10),
+    ]
+    e = spark.createDataFrame(edges, "left_id long, right_id long")
+    assign = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3, 4)]
+        + [(i, 2) for i in (10, 11, 12, 13, 14, 15, 16)],
+        "conv_id long, cluster_id long",
+    )
+    out = cluster_bridge_edges(e, assign).collect()
+    got = {(r["left_id"], r["right_id"]): r["is_bridge"] for r in out}
+    assert (4, 10) not in got  # cross-cluster edge dropped
+    assert not any(r["skipped"] for r in out)
+
+    # brute force per cluster
+    def connected(nodes, es):
+        if not nodes:
+            return True
+        seen = {next(iter(nodes))}
+        frontier = [next(iter(nodes))]
+        adj = {n: set() for n in nodes}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        while frontier:
+            v = frontier.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    frontier.append(w)
+        return seen == set(nodes)
+
+    clusters = {1: {1, 2, 3, 4}, 2: {10, 11, 12, 13, 14, 15, 16}}
+    for cl, nodes in clusters.items():
+        ces = [(a, b) for a, b in edges if a in nodes and b in nodes]
+        for edge in ces:
+            rest = [x for x in ces if x != edge]
+            # a bridge disconnects the component it lives in
+            comp_nodes = nodes
+            want = not connected(comp_nodes, rest)
+            assert got[edge] == want, f"edge {edge}: {got[edge]} vs {want}"
+    # spot checks
+    assert got[(1, 2)] and got[(3, 4)] and got[(12, 13)] and got[(12, 14)]
+    assert not got[(10, 11)] and not got[(15, 16)]
+
+
+def test_cluster_bridge_edges_oversize_skip(spark):
+    from ditto_spark.operators.cluster import cluster_bridge_edges
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3)], "left_id long, right_id long"
+    )
+    assign = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "conv_id long, cluster_id long"
+    )
+    out = cluster_bridge_edges(e, assign, max_cluster_size=2).collect()
+    assert len(out) == 2
+    assert all(r["skipped"] for r in out)
+    assert all(r["is_bridge"] is None for r in out)
