@@ -2294,6 +2294,44 @@ def _fs_u_random_oracle() -> str:
 """
 
 
+def q_fs_m_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-probability estimation from labeled matches (Splink's
+    estimate_m_from_pairwise_labels; the supervised twin of fs_u_random):
+    gamma-level marginals over blocked pairs whose label is 1 — here the
+    deterministic planted truth left_id == right_id (the b side derives
+    from the same doc). Laplace smoothing + full grid, all in SQL."""
+    from ditto_spark.operators.fellegi import estimate_m_from_labels
+
+    gam = _fs_gammas(_load(spark, sf_dir, "documents")).withColumn(
+        "label", (F.col("left_id") == F.col("right_id")).cast("int")
+    )
+    out = estimate_m_from_labels(gam, _fs_fields())
+    return out.select(
+        "field", "gamma_level", F.round("m_prob", 9).alias("m_prob")
+    )
+
+
+_FS_M_LABELED_ORACLE = _FS_CTE + """
+    , pos AS (SELECT * FROM gam WHERE left_id = right_id),
+    longf AS (
+      SELECT 'title' AS field, gamma_title AS lvl FROM pos
+      UNION ALL SELECT 'src', gamma_src FROM pos
+      UNION ALL SELECT 'len', gamma_len FROM pos
+    ),
+    cnt AS (SELECT field, lvl, count(*) AS c FROM longf GROUP BY 1, 2),
+    tot AS (SELECT count(*) AS t FROM pos),
+    grid(field, lvl, levels) AS (VALUES
+      ('title', 0, 3), ('title', 1, 3), ('title', 2, 3),
+      ('src', 0, 2), ('src', 1, 2),
+      ('len', 0, 3), ('len', 1, 3), ('len', 2, 3))
+    SELECT grid.field, grid.lvl AS gamma_level,
+           round((coalesce(cnt.c, 0) + 0.5) / (tot.t + 0.5 * grid.levels), 9)
+             AS m_prob
+    FROM grid LEFT JOIN cnt ON grid.field = cnt.field AND grid.lvl = cnt.lvl
+    CROSS JOIN tot
+"""
+
+
 def q_fs_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-weight waterfall (Splink waterfall-chart data): one row per
     scoring term per pair — prior log-odds, then each field's log2 Bayes
@@ -4574,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_scores": q_fs_match_scores,
         "fs_explain": q_fs_explain,
         "fs_u_random": q_fs_u_random,
+        "fs_m_labeled": q_fs_m_labeled,
         "fs_linkage": q_fs_linkage,
         "allpairs_jaccard": q_allpairs_jaccard,
         "cluster_agreement": q_cluster_agreement,
@@ -5019,6 +5058,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_match_scores": _fs_score_oracle_sql(),
         "fs_explain": _fs_explain_oracle_sql(),
         "fs_u_random": _fs_u_random_oracle(),
+        "fs_m_labeled": _FS_M_LABELED_ORACLE,
         "hashed_doc_vectors": _HASHED_VECTORS_ORACLE,
         "ht_confusion": _HT_CONFUSION_ORACLE,
         "fs_linkage": _fs_linkage_oracle_sql(),

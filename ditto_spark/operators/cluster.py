@@ -773,20 +773,23 @@ def stabilize_cluster_ids(
     )
 
 
-def _tarjan_bridges(nodes, adj):
-    """Iterative Tarjan bridge finding on a simple undirected graph:
-    returns the set of (min, max) edges whose removal disconnects their
-    component. Explicit stack — cluster diameter never hits the Python
-    recursion limit."""
+def _tarjan_cuts(nodes, adj):
+    """Iterative Tarjan cut analysis on a simple undirected graph: one DFS
+    yields BOTH the bridges (edges whose removal disconnects their
+    component, as (min, max) tuples) and the articulation points (nodes
+    whose removal does). Explicit stack — cluster diameter never hits the
+    Python recursion limit."""
     disc: dict = {}
     low: dict = {}
     timer = 0
-    out = []
+    bridges = []
+    arts = set()
     for root in nodes:
         if root in disc:
             continue
         disc[root] = low[root] = timer
         timer += 1
+        root_children = 0
         stack = [(root, None, iter(adj[root]))]
         while stack:
             v, parent, it = stack[-1]
@@ -807,8 +810,19 @@ def _tarjan_bridges(nodes, adj):
                 if parent is not None:
                     low[parent] = min(low[parent], low[v])
                     if low[v] > disc[parent]:
-                        out.append((min(parent, v), max(parent, v)))
-    return set(out)
+                        bridges.append((min(parent, v), max(parent, v)))
+                    if parent == root:
+                        root_children += 1
+                    elif low[v] >= disc[parent]:
+                        arts.add(parent)
+        if root_children >= 2:
+            arts.add(root)
+    return set(bridges), arts
+
+
+def _tarjan_bridges(nodes, adj):
+    """Bridges only — see _tarjan_cuts."""
+    return _tarjan_cuts(nodes, adj)[0]
 
 
 def cluster_bridge_edges(
@@ -825,7 +839,8 @@ def cluster_bridge_edges(
     IS the pair to send to clerical review (complements
     cluster_graph_metrics' density/weakest-edge aggregates by naming the
     exact culprit edge). Output: every intra-cluster edge with an
-    is_bridge flag.
+    is_bridge flag plus per-endpoint articulation-point flags (nodes
+    whose removal splits the cluster — same single Tarjan DFS).
 
     Distributed shape: edges join their cluster id (one node-keyed join;
     cross-cluster edges dropped, same contract as cluster_graph_metrics),
@@ -855,7 +870,8 @@ def cluster_bridge_edges(
     cl_t = dict(assignment.dtypes)[cluster_col]
     schema = (
         f"{cluster_col} {cl_t}, left_id {id_t}, right_id {id_t}, "
-        "is_bridge boolean, skipped boolean"
+        "is_bridge boolean, left_is_articulation boolean, "
+        "right_is_articulation boolean, skipped boolean"
     )
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -863,12 +879,15 @@ def cluster_bridge_edges(
         cl = pdf[cluster_col].iloc[0]
         nodes = sorted(set(pdf["left_id"]) | set(pdf["right_id"]))
         if len(nodes) > max_cluster_size:
+            na = pd.array([None] * len(pdf), dtype="boolean")
             return pd.DataFrame(
                 {
                     cluster_col: pdf[cluster_col],
                     "left_id": pdf["left_id"],
                     "right_id": pdf["right_id"],
-                    "is_bridge": pd.array([None] * len(pdf), dtype="boolean"),
+                    "is_bridge": na,
+                    "left_is_articulation": na,
+                    "right_is_articulation": na,
                     "skipped": True,
                 }
             )
@@ -879,7 +898,7 @@ def cluster_bridge_edges(
                 adj[b].append(a)
         for n in nodes:
             adj[n].sort()
-        br = _tarjan_bridges(nodes, adj)
+        br, arts = _tarjan_cuts(nodes, adj)
         isb = [
             (min(a, b), max(a, b)) in br and a != b
             for a, b in zip(pdf["left_id"], pdf["right_id"])
@@ -890,6 +909,12 @@ def cluster_bridge_edges(
                 "left_id": pdf["left_id"],
                 "right_id": pdf["right_id"],
                 "is_bridge": pd.array(isb, dtype="boolean"),
+                "left_is_articulation": pd.array(
+                    [a in arts for a in pdf["left_id"]], dtype="boolean"
+                ),
+                "right_is_articulation": pd.array(
+                    [b in arts for b in pdf["right_id"]], dtype="boolean"
+                ),
                 "skipped": False,
             }
         )

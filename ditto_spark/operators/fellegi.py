@@ -594,3 +594,78 @@ def estimate_u_random(
             ).alias("u_prob"),
         )
     )
+
+
+def estimate_m_from_labels(
+    gammas: DataFrame,
+    fields: list[FieldComparison],
+    label_col: str = "label",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """m-probability estimation from labeled matches — the supervised twin
+    of estimate_u_random (Splink's estimate_m_from_pairwise_labels): m =
+    P(gamma level | match) is just the gamma-level marginal over pairs
+    labeled 1 (clerical decisions, golden records, or planted fixtures).
+    Same Laplace smoothing and full (field, level) grid contract as the u
+    estimator, so the two outputs join directly into fs_score's params.
+    One data-sized filter + one tiny groupBy; estimation state is
+    O(Σ levels)."""
+    spark = gammas.sparkSession
+    pos = gammas.where(F.col(label_col).cast("int") == 1)
+    longf = pos.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f.name).alias("field"),
+                        F.col(f"gamma_{f.name}").alias("gamma_level"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    cnt = longf.groupBy("field", "gamma_level").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = spark.createDataFrame(
+        [(f.name, lvl, f.levels) for f in fields for lvl in range(f.levels)],
+        "field string, gamma_level int, levels int",
+    )
+    tot = pos.select(F.count(F.lit(1)).alias("tot"))
+    return (
+        grid.join(cnt, ["field", "gamma_level"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "field",
+            "gamma_level",
+            (
+                (F.coalesce("cnt", F.lit(0)) + F.lit(alpha))
+                / (F.col("tot") + F.lit(alpha) * F.col("levels"))
+            ).alias("m_prob"),
+        )
+    )
+
+
+def params_from_estimates(
+    m_df: DataFrame,
+    u_df: DataFrame,
+    fields: list[FieldComparison],
+) -> dict[str, tuple[list[float], list[float]]]:
+    """Assemble fs_score's params dict from the two estimator outputs —
+    estimate_m_from_labels (supervised m) + estimate_u_random (sampled u),
+    the standard Splink estimation split. Both inputs are O(Σ levels)
+    rows, so the collect is estimation-state-sized, never data-sized."""
+    mm = {
+        (r["field"], r["gamma_level"]): r["m_prob"] for r in m_df.collect()
+    }
+    uu = {
+        (r["field"], r["gamma_level"]): r["u_prob"] for r in u_df.collect()
+    }
+    out: dict[str, tuple[list[float], list[float]]] = {}
+    for f in fields:
+        out[f.name] = (
+            [mm[(f.name, lvl)] for lvl in range(f.levels)],
+            [uu[(f.name, lvl)] for lvl in range(f.levels)],
+        )
+    return out

@@ -484,3 +484,55 @@ def test_cluster_bridge_edges_oversize_skip(spark):
     assert len(out) == 2
     assert all(r["skipped"] for r in out)
     assert all(r["is_bridge"] is None for r in out)
+
+
+def test_cluster_articulation_points_vs_bruteforce(spark):
+    """Articulation flags ≡ remove-node-and-check-connectivity brute force
+    on the same chain/triangle-pendant/barbell graph."""
+    from ditto_spark.operators.cluster import cluster_bridge_edges
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (10, 12), (11, 12), (12, 13),
+        (14, 15), (14, 16), (15, 16), (12, 14),
+    ]
+    e = spark.createDataFrame(edges, "left_id long, right_id long")
+    assign = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3, 4)]
+        + [(i, 2) for i in (10, 11, 12, 13, 14, 15, 16)],
+        "conv_id long, cluster_id long",
+    )
+    rows = cluster_bridge_edges(e, assign).collect()
+    art = {}
+    for r in rows:
+        art[r["left_id"]] = r["left_is_articulation"]
+        art[r["right_id"]] = r["right_is_articulation"]
+
+    def connected(nodes, es):
+        nodes = set(nodes)
+        if not nodes:
+            return True
+        adj = {n: set() for n in nodes}
+        for a, b in es:
+            if a in nodes and b in nodes:
+                adj[a].add(b)
+                adj[b].add(a)
+        start = next(iter(nodes))
+        seen, frontier = {start}, [start]
+        while frontier:
+            v = frontier.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    frontier.append(w)
+        return seen == nodes
+
+    clusters = {1: {1, 2, 3, 4}, 2: {10, 11, 12, 13, 14, 15, 16}}
+    for nodes in clusters.values():
+        ces = [(a, b) for a, b in edges if a in nodes and b in nodes]
+        for n in nodes:
+            want = not connected(nodes - {n}, ces)
+            assert art[n] == want, f"node {n}: {art[n]} vs {want}"
+    # spot checks: chain interior + barbell junctions are articulations
+    assert art[2] and art[3] and art[12] and art[14]
+    assert not art[1] and not art[11] and not art[16]

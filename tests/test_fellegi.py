@@ -475,3 +475,83 @@ def test_estimate_u_random_matches_bruteforce(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_estimate_m_from_labels_marginals(spark):
+    """m marginals over labeled matches: hand-checked Laplace-smoothed
+    counts, full grid incl. a never-observed level, non-matches ignored."""
+    from ditto_spark.operators.fellegi import estimate_m_from_labels
+
+    fields = [
+        FieldComparison("name", 3, exact_fuzzy_gamma()),
+        FieldComparison("city", 2, exact_gamma()),
+    ]
+    gam = spark.createDataFrame(
+        # (gamma_name, gamma_city, label): 4 matches, 2 non-matches
+        [(2, 1, 1), (2, 1, 1), (1, 1, 1), (2, 0, 1), (0, 0, 0), (1, 0, 0)],
+        "gamma_name int, gamma_city int, label int",
+    )
+    got = {
+        (r["field"], r["gamma_level"]): r["m_prob"]
+        for r in estimate_m_from_labels(gam, fields, alpha=0.5).collect()
+    }
+    tot = 4
+    want = {
+        ("name", 0): 0.5 / (tot + 1.5),        # never observed in matches
+        ("name", 1): 1.5 / (tot + 1.5),
+        ("name", 2): 3.5 / (tot + 1.5),
+        ("city", 0): 1.5 / (tot + 1.0),
+        ("city", 1): 3.5 / (tot + 1.0),
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_supervised_m_sampled_u_scoring_roundtrip(spark):
+    """Integration of the estimation split: m from labeled matches, u from
+    random pairs, assembled into fs_score — planted duplicates score far
+    above planted non-matches, and posterior separates them cleanly at
+    0.5."""
+    from ditto_spark.operators.fellegi import (
+        estimate_m_from_labels,
+        estimate_u_random,
+        fs_score,
+        params_from_estimates,
+    )
+
+    fields = [
+        FieldComparison("name", 3, exact_fuzzy_gamma(max_dist=1)),
+        FieldComparison("city", 2, exact_gamma()),
+    ]
+    # corpus: 30 records per side; i == j is a true match (same name
+    # modulo a 1-char typo on every 5th, same city); off-diagonal shares
+    # city 1/3 of the time
+    def name(i):
+        # distinct-i names differ in >=2 chars, so random pairs never sit
+        # inside the fuzzy level and gamma=1 stays match-informative
+        return f"entity-{i * 13 % 997:03d}-{i:03d}"
+
+    a = spark.createDataFrame(
+        [(i, "b", name(i), f"c{i % 3}") for i in range(30)],
+        "left_id int, blk string, name string, city string",
+    )
+    b = spark.createDataFrame(
+        [
+            (j, "b", (name(j) if j % 5 else name(j)[:-1]), f"c{j % 3}")
+            for j in range(30)
+        ],
+        "right_id int, blk string, name string, city string",
+    )
+    gam = comparison_vectors(a, b, "blk", fields)
+    labeled = gam.withColumn(
+        "label", (F.col("left_id") == F.col("right_id")).cast("int")
+    )
+    m_df = estimate_m_from_labels(labeled, fields)
+    u_df = estimate_u_random(a, b, fields, sample_rate=1.0)
+    params = params_from_estimates(m_df, u_df, fields)
+    scored = fs_score(gam, fields, params, prior=1.0 / 30.0)
+    rows = scored.collect()
+    pos = [r["posterior"] for r in rows if r["left_id"] == r["right_id"]]
+    neg = [r["posterior"] for r in rows if r["left_id"] != r["right_id"]]
+    assert min(pos) > 0.5 > max(neg)
