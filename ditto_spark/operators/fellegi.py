@@ -83,6 +83,25 @@ def exact_gamma() -> Callable[[Column, Column], Column]:
     return g
 
 
+def null_aware(
+    inner: Callable[[Column, Column], Column],
+) -> Callable[[Column, Column], Column]:
+    """Wrap a gamma so a NULL on either side maps to level -1 — the
+    Splink-style explicit missing level. A missing value is UNINFORMATIVE
+    (weight 0 in fs_score/fs_explain, excluded from estimate_fs /
+    estimate_u_random / estimate_m_from_labels marginals), never a
+    disagreement: without this, null == null evaluates to NULL and the
+    CASE chain silently lands on the full disagreement weight — the
+    classic missing-data bias in naive FS implementations."""
+
+    def g(left: Column, right: Column) -> Column:
+        return F.when(
+            left.isNull() | right.isNull(), F.lit(-1)
+        ).otherwise(inner(left, right))
+
+    return g
+
+
 def numeric_band_gamma(
     tight: float, loose: float
 ) -> Callable[[Column, Column], Column]:
@@ -195,23 +214,27 @@ def estimate_fs(
         u[f.name] = np.asarray(u0, dtype=np.float64)
     lam = float(prior)
 
+    obs = G >= 0  # level -1 = missing (null_aware): uninformative
+    Gc = np.where(obs, G, 0)  # safe index; masked out below
     for _ in range(iters):
         num = np.full(len(c), lam)
         den_u = np.full(len(c), 1.0 - lam)
         for i, f in enumerate(fields):
-            num = num * m[f.name][G[:, i]]
-            den_u = den_u * u[f.name][G[:, i]]
+            num = num * np.where(obs[:, i], m[f.name][Gc[:, i]], 1.0)
+            den_u = den_u * np.where(obs[:, i], u[f.name][Gc[:, i]], 1.0)
         w = num / (num + den_u)
         wm = w * c
         wu = (1.0 - w) * c
         lam = float(wm.sum() / c.sum())
         for i, f in enumerate(fields):
+            wmi = wm * obs[:, i]
+            wui = wu * obs[:, i]
             m[f.name] = np.bincount(
-                G[:, i], weights=wm, minlength=f.levels
-            ) / wm.sum()
+                Gc[:, i], weights=wmi, minlength=f.levels
+            ) / wmi.sum()
             u[f.name] = np.bincount(
-                G[:, i], weights=wu, minlength=f.levels
-            ) / wu.sum()
+                Gc[:, i], weights=wui, minlength=f.levels
+            ) / wui.sum()
 
     spark = gammas.sparkSession
     rows = [
@@ -268,6 +291,8 @@ def fs_score(
             expr = F.when(F.col(f"gamma_{f.name}") == i, F.lit(lvl_w[i])).otherwise(
                 expr
             )
+        # missing level (-1, null_aware): uninformative — weight 0
+        expr = F.when(F.col(f"gamma_{f.name}") == -1, F.lit(0.0)).otherwise(expr)
         w = w + expr
 
     out = gammas.withColumn("match_weight", w)
@@ -446,7 +471,10 @@ def fs_explain(
             expr = F.when(
                 F.col(f"gamma_{f.name}") == i, F.lit(lvl_w[i])
             ).otherwise(expr)
-        return expr
+        # missing level (-1, null_aware): uninformative — weight 0
+        return F.when(
+            F.col(f"gamma_{f.name}") == -1, F.lit(0.0)
+        ).otherwise(expr)
 
     steps = [
         F.struct(
@@ -568,29 +596,27 @@ def estimate_u_random(
             )
         ).alias("x")
     ).select("x.*")
-    cnt = longf.groupBy("field", "gamma_level").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # missing level (-1, null_aware) is excluded: marginals condition on
+    # the field being OBSERVED on both sides, so totals are per-field
+    cnt = (
+        longf.where(F.col("gamma_level") >= 0)
+        .groupBy("field", "gamma_level")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     grid = spark.createDataFrame(
         [(f.name, lvl, f.levels) for f in fields for lvl in range(f.levels)],
         "field string, gamma_level int, levels int",
     )
-    # |pairs| = |la|·|rb| exactly — two 1-row aggs instead of re-running
-    # the sample cross join for its count
-    tot = (
-        la.agg(F.count(F.lit(1)).alias("__ca"))
-        .crossJoin(rb.agg(F.count(F.lit(1)).alias("__cb")))
-        .select((F.col("__ca") * F.col("__cb")).alias("tot"))
-    )
+    tot = cnt.groupBy("field").agg(F.sum("cnt").alias("tot"))
     return (
         grid.join(cnt, ["field", "gamma_level"], "left")
-        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tot), "field", "left")
         .select(
             "field",
             "gamma_level",
             (
                 (F.coalesce("cnt", F.lit(0)) + F.lit(alpha))
-                / (F.col("tot") + F.lit(alpha) * F.col("levels"))
+                / (F.coalesce("tot", F.lit(0)) + F.lit(alpha) * F.col("levels"))
             ).alias("u_prob"),
         )
     )
@@ -625,23 +651,26 @@ def estimate_m_from_labels(
             )
         ).alias("x")
     ).select("x.*")
-    cnt = longf.groupBy("field", "gamma_level").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # missing level (-1, null_aware) excluded; per-field observed totals
+    cnt = (
+        longf.where(F.col("gamma_level") >= 0)
+        .groupBy("field", "gamma_level")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     grid = spark.createDataFrame(
         [(f.name, lvl, f.levels) for f in fields for lvl in range(f.levels)],
         "field string, gamma_level int, levels int",
     )
-    tot = pos.select(F.count(F.lit(1)).alias("tot"))
+    tot = cnt.groupBy("field").agg(F.sum("cnt").alias("tot"))
     return (
         grid.join(cnt, ["field", "gamma_level"], "left")
-        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tot), "field", "left")
         .select(
             "field",
             "gamma_level",
             (
                 (F.coalesce("cnt", F.lit(0)) + F.lit(alpha))
-                / (F.col("tot") + F.lit(alpha) * F.col("levels"))
+                / (F.coalesce("tot", F.lit(0)) + F.lit(alpha) * F.col("levels"))
             ).alias("m_prob"),
         )
     )

@@ -555,3 +555,72 @@ def test_supervised_m_sampled_u_scoring_roundtrip(spark):
     pos = [r["posterior"] for r in rows if r["left_id"] == r["right_id"]]
     neg = [r["posterior"] for r in rows if r["left_id"] != r["right_id"]]
     assert min(pos) > 0.5 > max(neg)
+
+
+def test_null_aware_gamma_missing_is_uninformative(spark):
+    """null_aware: a NULL on either side -> level -1; fs_score gives it
+    weight 0 (identical posterior to not comparing the field at all);
+    estimate_fs / estimate_u_random / estimate_m_from_labels exclude it
+    from marginals. Without the wrapper, NULLs fall to the disagreement
+    weight — the bias this exists to kill."""
+    from ditto_spark.operators.fellegi import (
+        estimate_m_from_labels,
+        estimate_u_random,
+        fs_score,
+        null_aware,
+    )
+
+    fields = [
+        FieldComparison("name", 3, exact_fuzzy_gamma(max_dist=1)),
+        FieldComparison("city", 2, null_aware(exact_gamma())),
+    ]
+    a = spark.createDataFrame(
+        [(1, "b", "anna", "oslo"), (2, "b", "bert", None)],
+        "left_id int, blk string, name string, city string",
+    )
+    b = spark.createDataFrame(
+        [(10, "b", "anna", "oslo"), (11, "b", "bert", None)],
+        "right_id int, blk string, name string, city string",
+    )
+    gam = comparison_vectors(a, b, "blk", fields)
+    lv = {
+        (r["left_id"], r["right_id"]): r["gamma_city"] for r in gam.collect()
+    }
+    assert lv[(2, 11)] == -1 and lv[(1, 11)] == -1 and lv[(1, 10)] == 1
+
+    params = {
+        "name": ([0.05, 0.15, 0.8], [0.9, 0.08, 0.02]),
+        "city": ([0.2, 0.8], [0.7, 0.3]),
+    }
+    scored = {
+        (r["left_id"], r["right_id"]): r["match_weight"]
+        for r in fs_score(gam, fields, params, prior=0.5).collect()
+    }
+    # pair (2,11): exact name, missing city -> weight = name weight only
+    name_only = fs_score(
+        gam, fields[:1], {"name": params["name"]}, prior=0.5
+    )
+    w_name = {
+        (r["left_id"], r["right_id"]): r["match_weight"]
+        for r in name_only.collect()
+    }
+    assert abs(scored[(2, 11)] - w_name[(2, 11)]) < 1e-12
+
+    # marginals: city u/m totals count only the observed (1,10) pair family
+    u_df = estimate_u_random(a, b, fields, sample_rate=1.0)
+    u = {
+        (r["field"], r["gamma_level"]): r["u_prob"] for r in u_df.collect()
+    }
+    # observed city comparisons: (1,10) agree, (2,10)... city null on 2 ->
+    # only pairs with BOTH cities present: (1,10) agree => cnt {1:1}, tot 1
+    assert abs(u[("city", 1)] - (1 + 0.5) / (1 + 1.0)) < 1e-12
+    assert abs(u[("city", 0)] - 0.5 / (1 + 1.0)) < 1e-12
+    lab = gam.withColumn(
+        "label", (F.col("left_id") == F.col("right_id") - 9).cast("int")
+    )
+    m_df = estimate_m_from_labels(lab, fields)
+    m = {
+        (r["field"], r["gamma_level"]): r["m_prob"] for r in m_df.collect()
+    }
+    # matches: (1,10) city observed-agree; (2,11) city missing -> tot 1
+    assert abs(m[("city", 1)] - (1 + 0.5) / (1 + 1.0)) < 1e-12
