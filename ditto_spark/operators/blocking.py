@@ -65,6 +65,7 @@ def minhash_signatures(
     shingles_col: str = "shingles",
     num_perm: int = 64,
     seed: int = 1,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingles[]) → (id, sig: array<bigint> of length num_perm).
 
@@ -96,7 +97,11 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("__sh64"), _perm_hash(i)))
         for i in range(num_perm)
     ]
-    return df.select(F.col(id_col), F.array(*mins).alias("sig"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.array(*mins).alias("sig"),
+    )
 
 
 def lsh_bands(

@@ -144,6 +144,98 @@ def streaming_lsh_candidates(
     return out
 
 
+def streaming_lsh_self_candidates(
+    stream: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "entity_text",
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+    delay: str = "1 minute",
+    shingle_n: int = 2,
+    num_perm: int = 64,
+    num_bands: int = 21,
+    rows_per_band: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """STREAM-STREAM near-dup candidates: arriving entities match OTHER
+    in-flight entities within an event-time horizon — the complement of
+    streaming_lsh_candidates (stream vs static corpus index). Canonical
+    use: burst dedup — the same conversation resubmitted minutes apart
+    pairs up before either lands in the corpus.
+
+    Streaming-legal shape: signature+banding is a stateless projection;
+    pair generation is a WATERMARKED stream-stream self equi-join on
+    (band_idx, band_key) with the time-range predicate
+    a.ts − horizon ≤ b.ts ≤ a.ts + horizon. The range bound + watermark
+    (delay) lets the state store evict band rows once they can no longer
+    match — join state is bounded by horizon × arrival rate × num_bands,
+    not by stream lifetime. Band-duplicate pairs collapse via
+    dropDuplicatesWithinWatermark on the id pair (a second stateful
+    operator — append-mode chaining, Spark ≥ 3.5); left_id < right_id
+    emits each pair once. est_jaccard rides along (both sides carry their
+    signatures through the band rows — heavier state, identical estimate
+    to the batch path)."""
+    sig = minhash_signatures(
+        shingle(tokenize(stream, text_col), shingle_n),
+        id_col,
+        num_perm=num_perm,
+        extra_cols=(ts_col,),
+    )
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                    )
+                ).alias("band_key"),
+            ),
+        )
+    )
+    bands = (
+        sig.select(id_col, ts_col, "sig", band.alias("b"))
+        .select(
+            id_col, ts_col, "sig",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
+        .withWatermark(ts_col, delay)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    lo = F.col(f"a.{ts_col}") - F.expr(f"INTERVAL {horizon}")
+    hi = F.col(f"a.{ts_col}") + F.expr(f"INTERVAL {horizon}")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col(f"b.{ts_col}") >= lo)
+        & (F.col(f"b.{ts_col}") <= hi)
+    )
+    joined = a.join(b, cond)
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = joined.select(
+        F.col(f"a.{id_col}").alias("left_id"),
+        F.col(f"b.{id_col}").alias("right_id"),
+        F.col(f"a.{ts_col}").alias("left_ts"),
+        (agree / F.lit(float(num_perm))).alias("est_jaccard"),
+    ).dropDuplicatesWithinWatermark(["left_id", "right_id"])
+    if threshold is not None:
+        out = out.where(F.col("est_jaccard") >= threshold)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Stateful sessionization: raw turn stream → serialized conversations
 # ---------------------------------------------------------------------------

@@ -334,3 +334,49 @@ def test_hot_key_monitor_replay_is_skipped(spark, tmp_path):
         for r in spark.read.parquet(counters).collect()
     }
     assert all(v == 8 for v in final.values())
+
+
+def test_streaming_lsh_self_candidates_horizon(spark, tmp_path):
+    """Stream-stream self-join: in-flight near-dups within the event-time
+    horizon pair up exactly once with the right estimate; the same text
+    arriving outside the horizon does NOT pair; unrelated texts never
+    pair."""
+    from ditto_spark.streaming.incremental import (
+        streaming_lsh_self_candidates,
+    )
+
+    txt = "omega psi chi phi upsilon tau sigma rho pi omicron xi nu"
+    other = "completely different words about rivers and boats flowing far"
+    rows = [
+        ("x1", txt, "2026-01-01 10:00:00"),
+        ("x2", txt, "2026-01-01 10:05:00"),   # within 10m of x1 -> pair
+        ("y1", txt, "2026-01-01 12:00:00"),   # > horizon from x1/x2
+        ("z1", other, "2026-01-01 10:01:00"), # unrelated
+    ]
+    src = str(tmp_path / "selfjoin_src")
+    df = spark.createDataFrame(
+        rows, "conv_id string, entity_text string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, entity_text string, ts timestamp"
+    ).parquet(src)
+    pairs = streaming_lsh_self_candidates(
+        stream, horizon="10 minutes", threshold=0.5
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("self_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from self_sink").collect()
+    found = {(r["left_id"], r["right_id"]): r["est_jaccard"] for r in got}
+    assert ("x1", "x2") in found, f"got {found}"
+    assert found[("x1", "x2")] == 1.0  # identical texts, identical sigs
+    for k in found:
+        assert k == ("x1", "x2"), f"unexpected pair {k}"
+    # exactly once despite 21 band collisions
+    assert len(got) == 1
