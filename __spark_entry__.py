@@ -324,6 +324,52 @@ def q_serialize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_structure_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-shape blocking keys (serialize.conversation_structure_
+    keys) over the events-as-transcripts mapping: per user, the ordered
+    event-type sequence hash + turn count + power-of-2 total-text bucket —
+    the structural complement of content LSH for conversation linkage.
+    One ordering-in-agg groupBy; every expression engine-portable."""
+    from ditto_spark.operators.serialize import conversation_structure_keys
+
+    ev = _load(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+        F.format_string("%.2f", F.col("value")).alias("text"),
+    )
+    keys = conversation_structure_keys(
+        turns, order_cols=("ts", "event_id")
+    )
+    return keys.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "role_seq_hash",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+    )
+
+
+_STRUCTURE_KEYS_ORACLE = """
+    WITH t AS (
+      SELECT user_id AS conv_id, ts, event_id, event_type AS role,
+             printf('%.2f', value) AS text
+      FROM events
+    ),
+    agg AS (
+      SELECT conv_id, count(*) AS n_turns,
+             md5(string_agg(role, '|' ORDER BY ts, event_id))
+               AS role_seq_hash,
+             sum(length(text)) AS chars
+      FROM t GROUP BY conv_id
+    )
+    SELECT conv_id, n_turns, role_seq_hash,
+           length(bin(chars))::BIGINT AS len_bucket
+    FROM agg
+"""
+
+
 def q_collapse_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-hygiene pass: drop consecutive repeated turns within an
     actor's (ts, event_id)-ordered stream (retry loops, duplicated tool
@@ -4557,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_minhash_signature": q_weighted_minhash_signature,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "ht_confusion": q_ht_confusion,
+        "structure_keys": q_structure_keys,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
@@ -5061,6 +5108,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_m_labeled": _FS_M_LABELED_ORACLE,
         "hashed_doc_vectors": _HASHED_VECTORS_ORACLE,
         "ht_confusion": _HT_CONFUSION_ORACLE,
+        "structure_keys": _STRUCTURE_KEYS_ORACLE,
         "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "allpairs_jaccard": _ALLPAIRS_ORACLE,

@@ -99,3 +99,78 @@ def collapse_repeated_turns(
         .where((F.col("__rn") == 1) | ~F.col("__dup"))
         .drop("__rn", "__dup")
     )
+
+
+def conversation_structure_keys(
+    transcripts: DataFrame,
+    id_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Transcript-shape blocking keys — the structural complement of text
+    LSH for conversation linkage: two runs of the same agent dialog keep
+    their turn structure even when the wording drifts (paraphrase,
+    truncation, tool-output noise), so blocking on SHAPE recovers pairs a
+    content blocker misses. Per conversation:
+
+        n_turns        turn count
+        role_seq_hash  md5 of the '|'-joined role sequence in turn order
+        len_bucket     bit-length of total text chars (power-of-2 bucket:
+                       integer-exact, no float log)
+
+    ONE groupBy (the serializer's same ordering-in-agg trick: array_sort
+    of (order, role, len) structs inside the aggregate — no separate
+    window exchange). All expressions engine-portable."""
+    t = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(role_col).alias("__role"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
+    )
+    agg = transcripts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(t)).alias("__ts")
+    )
+    roles = F.concat_ws(
+        "|", F.transform(F.col("__ts"), lambda s: s["__role"])
+    )
+    chars = F.aggregate(
+        F.col("__ts"), F.lit(0), lambda acc, s: acc + s["__len"]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.size("__ts").alias("n_turns"),
+        F.md5(roles).alias("role_seq_hash"),
+        F.length(F.conv(chars.cast("string"), 10, 2)).alias("len_bucket"),
+    )
+
+
+def structure_blocking_pairs(
+    keys: DataFrame,
+    id_col: str = "conv_id",
+    join_cols: tuple[str, ...] = ("role_seq_hash", "len_bucket"),
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Equi-join blocking on conversation-structure keys with a
+    frequency cut: key groups larger than max_bucket are ubiquitous
+    shapes (every 2-turn Q/A conversation shares one) and are dropped
+    BEFORE the self-join — the same skew discipline as suffix blocking;
+    pair text-LSH candidates with these via unionByName + dropDuplicates.
+    Output: (left_id, right_id) distinct, left < right."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*join_cols)
+    bounded = keys.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
+    )
+    left = bounded.select(
+        *join_cols, F.col(id_col).alias("left_id")
+    )
+    right = bounded.select(
+        *join_cols, F.col(id_col).alias("right_id")
+    )
+    return (
+        left.join(right.hint("shuffle_hash"), list(join_cols))
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )

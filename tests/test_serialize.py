@@ -113,3 +113,65 @@ def test_collapse_repeated_turns_partition_invariant(spark):
         for r in collapse_repeated_turns(df.repartition(13)).collect()
     )
     assert a == b and 0 < len(a) < 200
+
+
+def test_conversation_structure_keys_and_blocking(spark):
+    """Shape keys: same role sequence + same length bucket pair up even
+    with different wording; different turn structure does not; ubiquitous
+    shapes are frequency-cut; ordering invariance under shuffled input."""
+    from ditto_spark.operators.serialize import (
+        conversation_structure_keys,
+        structure_blocking_pairs,
+    )
+
+    def conv(cid, texts_roles):
+        return [
+            (cid, i, r, t) for i, (r, t) in enumerate(texts_roles)
+        ]
+
+    rows = (
+        conv("a", [("user", "hello there"), ("assistant", "hi friend")])
+        + conv("b", [("user", "howdy pal!!"), ("assistant", "greetings")])
+        # same roles as a/b but much longer -> other len bucket
+        + conv("c", [("user", "x" * 500), ("assistant", "y" * 500)])
+        # different role structure
+        + conv("d", [("user", "hello there"), ("user", "hi friend")])
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    keys = conversation_structure_keys(df)
+    k = {r["conv_id"]: r for r in keys.collect()}
+    assert k["a"]["n_turns"] == 2 and k["a"]["role_seq_hash"] == k["b"]["role_seq_hash"]
+    assert k["a"]["role_seq_hash"] == k["c"]["role_seq_hash"]
+    assert k["a"]["role_seq_hash"] != k["d"]["role_seq_hash"]
+    # chars: a = 11 + 9 = 20 -> bit_length 5; c = 1000 -> 10
+    assert k["a"]["len_bucket"] == 5 and k["c"]["len_bucket"] == 10
+
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in structure_blocking_pairs(keys).collect()
+    }
+    assert pairs == {("a", "b")}
+
+    # frequency cut: 300 identical shapes > max_bucket drop out entirely
+    many = [
+        (f"m{i}", 0, "user", "zzz") for i in range(300)
+    ] + [(f"m{i}", 1, "assistant", "w") for i in range(300)]
+    big = spark.createDataFrame(
+        many, "conv_id string, turn_idx int, role string, text string"
+    )
+    cut = structure_blocking_pairs(
+        conversation_structure_keys(big), max_bucket=200
+    )
+    assert cut.count() == 0
+
+    # partition invariance
+    k2 = {
+        r["conv_id"]: (r["n_turns"], r["role_seq_hash"], r["len_bucket"])
+        for r in conversation_structure_keys(df.repartition(7)).collect()
+    }
+    assert k2 == {
+        c: (r["n_turns"], r["role_seq_hash"], r["len_bucket"])
+        for c, r in k.items()
+    }
