@@ -370,6 +370,84 @@ _STRUCTURE_KEYS_ORACLE = """
 """
 
 
+def q_turn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-granularity transcript comparator
+    (serialize.turn_alignment_scores): strict positional fingerprint
+    agreement + order-free turn-set Jaccard over adjacent-user candidate
+    pairs on the events-as-transcripts mapping. Arrays built in one
+    ordering-in-agg groupBy; both measures pure codegen; fully replicated
+    in SQL (ordered list agg + positional compare + list set ops)."""
+    from ditto_spark.operators.serialize import turn_alignment_scores
+
+    ev = _load(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("role"),
+        F.format_string("%.2f", F.col("value")).alias("text"),
+    )
+    users = turns.select("conv_id").distinct()
+    pairs = (
+        users.where(F.col("conv_id") % 7 == 0)
+        .select(F.col("conv_id").alias("left_id"))
+        .join(
+            users.select((F.col("conv_id") - 1).alias("left_id"),
+                         F.col("conv_id").alias("right_id")),
+            "left_id",
+        )
+    )
+    out = turn_alignment_scores(
+        pairs, turns, order_cols=("ts", "event_id")
+    )
+    return out.select(
+        "left_id",
+        "right_id",
+        F.round("aligned_frac", 9).alias("aligned_frac"),
+        F.round("turn_jaccard", 9).alias("turn_jaccard"),
+    )
+
+
+_TURN_ALIGNMENT_ORACLE = """
+    WITH t AS (
+      SELECT user_id AS conv_id, ts, event_id,
+             md5(event_type || '|' || printf('%.2f', value)) AS fp
+      FROM events
+    ),
+    fps AS (
+      SELECT conv_id, list(fp ORDER BY ts, event_id) AS l
+      FROM t GROUP BY conv_id
+    ),
+    pairs AS (
+      SELECT a.conv_id AS left_id, b.conv_id AS right_id
+      FROM fps a JOIN fps b ON b.conv_id = a.conv_id + 1
+      WHERE a.conv_id % 7 = 0
+    ),
+    j AS (
+      SELECT p.left_id, p.right_id, a.l AS lf, b.l AS rf
+      FROM pairs p
+      JOIN fps a ON a.conv_id = p.left_id
+      JOIN fps b ON b.conv_id = p.right_id
+    ),
+    m AS (
+      SELECT left_id, right_id,
+             coalesce(list_sum(list_transform(
+               range(1, least(len(lf), len(rf)) + 1),
+               i -> CASE WHEN lf[i] = rf[i] THEN 1 ELSE 0 END)), 0)
+               AS aligned,
+             greatest(len(lf), len(rf)) AS denom,
+             len(list_filter(list_distinct(lf),
+                             x -> list_contains(rf, x))) AS i_n,
+             len(list_distinct(list_concat(lf, rf))) AS u_n
+      FROM j
+    )
+    SELECT left_id, right_id,
+           round(aligned * 1.0 / denom, 9) AS aligned_frac,
+           round(i_n * 1.0 / u_n, 9) AS turn_jaccard
+    FROM m
+"""
+
+
 def q_collapse_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-hygiene pass: drop consecutive repeated turns within an
     actor's (ts, event_id)-ordered stream (retry loops, duplicated tool
@@ -4604,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "ht_confusion": q_ht_confusion,
         "structure_keys": q_structure_keys,
+        "turn_alignment": q_turn_alignment,
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
@@ -5109,6 +5188,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_doc_vectors": _HASHED_VECTORS_ORACLE,
         "ht_confusion": _HT_CONFUSION_ORACLE,
         "structure_keys": _STRUCTURE_KEYS_ORACLE,
+        "turn_alignment": _TURN_ALIGNMENT_ORACLE,
         "fs_linkage": _fs_linkage_oracle_sql(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "allpairs_jaccard": _ALLPAIRS_ORACLE,

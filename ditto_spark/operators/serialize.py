@@ -174,3 +174,63 @@ def structure_blocking_pairs(
         .select("left_id", "right_id")
         .distinct()
     )
+
+
+def turn_alignment_scores(
+    pairs: DataFrame,
+    transcripts: DataFrame,
+    id_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Transcript-pair comparator at TURN granularity — the verify step
+    matching how conversations actually duplicate: whole turns repeat or
+    disappear; characters within a turn rarely drift independently. Two
+    measures per candidate pair:
+
+        aligned_frac  fraction of positions whose turn fingerprints agree
+                      under strict turn-order alignment (denominator =
+                      longer side; a truncated rerun scores len_short/len_long)
+        turn_jaccard  order-free overlap of the distinct turn-fingerprint
+                      sets — robust to reordering/insertion where strict
+                      alignment collapses
+
+    Plan: ONE ordering-in-agg groupBy builds each conversation's ordered
+    turn-fingerprint array (md5(role|text) per turn); two id-keyed joins
+    attach the arrays to the pair table; both measures are zip_with /
+    array_intersect codegen — no Python, no window, per-pair cost bounded
+    by its own turn counts."""
+    t = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(role_col),
+                F.coalesce(F.col(text_col), F.lit("")),
+            )
+        ).alias("__fp"),
+    )
+    fps = transcripts.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(t)), lambda s: s["__fp"]
+        ).alias("fps")
+    )
+    la = fps.select(F.col(id_col).alias("left_id"), F.col("fps").alias("lf"))
+    rb = fps.select(F.col(id_col).alias("right_id"), F.col("fps").alias("rf"))
+    j = pairs.join(la, "left_id").join(rb, "right_id")
+    aligned = F.aggregate(
+        F.zip_with("lf", "rf", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0)),  # len mismatch → null
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("lf"), F.array_distinct("rf")))
+    union = F.size(F.array_union("lf", "rf"))
+    return j.select(
+        "left_id",
+        "right_id",
+        (aligned / F.greatest(F.size("lf"), F.size("rf"))).alias(
+            "aligned_frac"
+        ),
+        (inter / union).alias("turn_jaccard"),
+    )

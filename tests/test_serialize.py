@@ -175,3 +175,42 @@ def test_conversation_structure_keys_and_blocking(spark):
         c: (r["n_turns"], r["role_seq_hash"], r["len_bucket"])
         for c, r in k.items()
     }
+
+
+def test_turn_alignment_scores_known_values(spark):
+    """Hand-computed alignment: identical convs -> (1, 1); truncated rerun
+    -> (2/3, 2/3); reordered turns -> aligned 0 yet turn_jaccard 1;
+    disjoint -> (0, 0)."""
+    from ditto_spark.operators.serialize import turn_alignment_scores
+
+    def conv(cid, turns):
+        return [(cid, i, r, t) for i, (r, t) in enumerate(turns)]
+
+    base = [("user", "q1"), ("assistant", "a1"), ("user", "q2")]
+    rows = (
+        conv("a", base)
+        + conv("b", base)                      # identical
+        + conv("c", base[:2])                  # truncation
+        + conv("d", [base[1], base[0], base[2]])  # reorder
+        + conv("e", [("user", "zzz")])         # disjoint
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e")],
+        "left_id string, right_id string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (
+            round(r["aligned_frac"], 9),
+            round(r["turn_jaccard"], 9),
+        )
+        for r in turn_alignment_scores(pairs, df).collect()
+    }
+    assert got[("a", "b")] == (1.0, 1.0)
+    assert got[("a", "c")] == (round(2 / 3, 9), round(2 / 3, 9))
+    assert got[("a", "d")][0] < 1.0 and got[("a", "d")][1] == 1.0
+    # reorder: position 2 ('q2' vs 'q2'... d = [a1, q1, q2]) -> only pos 3 aligns
+    assert got[("a", "d")][0] == round(1 / 3, 9)
+    assert got[("a", "e")] == (0.0, 0.0)
