@@ -235,11 +235,10 @@ def block_minhash_lsh(
     4× (measured 80s → 29s at sf0.1). At cluster scale this persist is the
     `signatures` checkpoint table (north_rule lineage/resume).
 
-    sig_mode: "perm" (default) = num_perm independent seeded rehashes per
-    shingle (minhash_signatures); "oph" = one-permutation hashing with
-    rotation densification (oph_signatures) — one hash evaluation per
-    shingle instead of num_perm, the scale path when the signature stage
-    is hashing-CPU-bound. Identical downstream contract either way."""
+    sig_mode: "perm" (default) = num_perm seeded int64 rehashes per
+    shingle (minhash_signatures — measured fastest at num_perm=64); "oph"
+    = one-permutation hashing (oph_signatures), the single-hash-pass
+    construction. Identical downstream contract either way."""
     from pyspark.sql import Window
 
     assert num_bands * rows_per_band <= num_perm
@@ -1133,13 +1132,20 @@ def oph_signatures(
 ) -> DataFrame:
     """One-permutation hashing with rotation densification (Li, Owen &
     Zhang NIPS 2012; Shrivastava & Li ICML 2014 — public algorithms): an
-    O(|shingles|)-HASH MinHash signature, vs minhash_signatures'
-    O(|shingles| · num_perm) hash evaluations — at 10^12 turns the
-    signature stage is CPU-bound on hashing, and OPH removes the num_perm
-    factor (64 hash evaluations per shingle → 1) at equivalent estimator
-    quality for |shingles| ≳ num_bins. (The remaining O(num_bins ·
-    |shingles|) integer bin-compares are branch-predictable ALU ops, not
-    hash rounds.)
+    O(|shingles|)-HASH MinHash signature — one hash evaluation per shingle
+    vs the classic one-per-(shingle, permutation).
+
+    Measured caveat (honest numbers, sf0.1-scale transcripts, local[8],
+    min of 3): this repo's minhash_signatures already collapses the
+    per-permutation cost to an int64 rehash via two-level hashing, and at
+    num_perm=64 that path runs the signature stage ~3x FASTER than this
+    OPH implementation (2.2 s vs 6.2 s) — the O(num_bins·|shingles|)
+    bin-filter compares plus the densification scan outweigh the saved
+    integer rehashes at this width. OPH is kept as the standard
+    single-hash-pass construction (contract-compatible via sig_mode="oph"
+    everywhere signatures are consumed): its win materializes when
+    signatures must come from ONE pass over the shingles (very large
+    num_perm, or an expensive/streamed hash), not at the pipeline default.
 
     Construction: each shingle hashes ONCE to h = xxhash64(shingle, seed);
     bin = pmod(h, num_bins) splits the hash space into num_bins ranges;
@@ -1180,17 +1186,23 @@ def oph_signatures(
     with_m = with_h.withColumn("__m2", F.concat(raw, raw))
 
     def densify(i):
-        win = F.slice(F.col("__m2"), i + 1, num_bins)
-        tagged = F.transform(
-            win, lambda v, d: F.struct(v.alias("v"), d.alias("d"))
-        )
-        # try_: a row with NO shingles filters to an empty array, and the
-        # strict element_at raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT
-        first = F.try_element_at(
-            F.filter(tagged, lambda s: s["v"].isNotNull()), F.lit(1)
+        # nearest non-empty bin to the right = min index j in [i, i+nb)
+        # with m2[j] non-null — int arithmetic only (a struct-tagging
+        # formulation measured 4x slower: per-element boxing dominates)
+        pos = F.array_min(
+            F.transform(
+                F.sequence(F.lit(i), F.lit(i + num_bins - 1)),
+                lambda j: F.when(
+                    F.element_at(F.col("__m2"), j + 1).isNotNull(), j
+                ),
+            )
         )
         return F.when(
-            first.isNotNull(), tag_fn(first["v"], first["d"])
+            pos.isNotNull(),
+            tag_fn(
+                F.element_at(F.col("__m2"), pos + 1),
+                (pos - F.lit(i)).cast("int"),
+            ),
         ).otherwise(F.lit(0))
 
     return with_m.select(

@@ -417,7 +417,7 @@ def roc_auc(
     hist = (
         scored_with_labels.groupBy(F.col(prob_col).alias("s"))
         .agg(
-            F.count(F.lit(1)).alias("n_lab"),
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.col(label_col).cast("long")).alias("pos"),
         )
         .withColumn("neg", F.col("n") - F.col("pos"))
@@ -474,7 +474,7 @@ def calibration_bins(
         F.col(label_col).cast("int").alias("y"),
     )
     per = b.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_lab"),
+        F.count(F.lit(1)).alias("n"),
         F.avg("p").alias("mean_prob"),
         F.avg("y").alias("frac_pos"),
     )
@@ -538,7 +538,7 @@ def platt_scale(
     hist = (
         scored_with_labels.groupBy(F.col(score_col).alias("s"))
         .agg(
-            F.count(F.lit(1)).alias("n_lab"),
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.col(label_col).cast("long")).alias("pos"),
         )
         .withColumn("neg", F.col("n") - F.col("pos"))
