@@ -1082,10 +1082,10 @@ _HASHED_VECTORS_ORACLE = """
       FROM t2 GROUP BY doc_id
     )
     SELECT d.doc_id,
-           coalesce(a.v0, 0) AS v0, coalesce(a.v1, 0) AS v1,
-           coalesce(a.v2, 0) AS v2, coalesce(a.v3, 0) AS v3,
-           coalesce(a.v4, 0) AS v4, coalesce(a.v5, 0) AS v5,
-           coalesce(a.v6, 0) AS v6, coalesce(a.v7, 0) AS v7
+           coalesce(a.v0, 0)::BIGINT AS v0, coalesce(a.v1, 0)::BIGINT AS v1,
+           coalesce(a.v2, 0)::BIGINT AS v2, coalesce(a.v3, 0)::BIGINT AS v3,
+           coalesce(a.v4, 0)::BIGINT AS v4, coalesce(a.v5, 0)::BIGINT AS v5,
+           coalesce(a.v6, 0)::BIGINT AS v6, coalesce(a.v7, 0)::BIGINT AS v7
     FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
@@ -1167,8 +1167,8 @@ _HT_CONFUSION_ORACLE = """
         sum(CASE WHEN n_lab > 0 THEN N_full * fp / n_lab END) AS est_fp,
         sum(CASE WHEN n_lab > 0 THEN N_full * fn / n_lab END) AS est_fn,
         sum(CASE WHEN n_lab > 0 THEN N_full * tn / n_lab END) AS est_tn,
-        sum(coalesce(n_lab, 0)) AS n_labeled,
-        sum(CASE WHEN n_lab IS NULL THEN N_full ELSE 0 END)
+        sum(coalesce(n_lab, 0))::BIGINT AS n_labeled,
+        sum(CASE WHEN n_lab IS NULL THEN N_full ELSE 0 END)::BIGINT
           AS uncovered_pairs
       FROM j
     )
