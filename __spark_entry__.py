@@ -4546,6 +4546,94 @@ _TEMP_MIX_ORACLE = f"""
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): fit hashed unigram+bigram bag
+    models (dim=64, add-1 smoothing) on a target domain (source='src0')
+    vs the raw pool, weight every document by its log-likelihood ratio,
+    and Gumbel-top-k resample 100 docs — sampling without replacement
+    proportional to the importance weight. Plan: one explode + two
+    narrow groupBys (int keys) fit the ENTIRE model as a 64-row
+    broadcast table; selection is a TakeOrderedAndProject top-k, so no
+    corpus-sized sort or single-partition shuffle exists at any scale.
+    md5 bucket/noise hashes keep every step engine-portable."""
+    from ditto_spark.operators.sampling import (
+        dsir_importance_weights,
+        dsir_log_ratios,
+        dsir_resample,
+        hashed_gram_buckets,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    raw_b = hashed_gram_buckets(docs, "text", "doc_id", dim=64)
+    tgt_b = hashed_gram_buckets(
+        docs.where(F.col("source") == "src0"), "text", "doc_id", dim=64
+    )
+    lr = dsir_log_ratios(raw_b, tgt_b, dim=64, alpha=1.0)
+    w = dsir_importance_weights(raw_b, lr, "doc_id")
+    out = dsir_resample(w, k=100, id_col="doc_id", seed=29)
+    return out.select(
+        "doc_id", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+_DSIR_ORACLE = """
+    WITH toks0 AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM toks0 WHERE tok <> ''
+    ),
+    grams AS (
+      SELECT doc_id, source, tok AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, source,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+      FROM toks
+      QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+    ),
+    bk AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % 64 AS bucket,
+             count(*)::BIGINT AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    grid AS (SELECT range AS bucket FROM range(64)),
+    rawd AS (SELECT bucket, sum(c)::DOUBLE AS n FROM bk GROUP BY 1),
+    rawt AS (SELECT sum(c)::DOUBLE AS N FROM bk),
+    tgtd AS (
+      SELECT bucket, sum(c)::DOUBLE AS n FROM bk
+      WHERE source = 'src0' GROUP BY 1
+    ),
+    tgtt AS (SELECT sum(c)::DOUBLE AS N FROM bk WHERE source = 'src0'),
+    lr AS (
+      SELECT g.bucket,
+             ln((coalesce(t.n, 0) + 1.0) / (tt.N + 64.0))
+               - ln((coalesce(r.n, 0) + 1.0) / (rt.N + 64.0)) AS log_ratio
+      FROM grid g
+      LEFT JOIN tgtd t USING (bucket)
+      LEFT JOIN rawd r USING (bucket)
+      CROSS JOIN tgtt tt CROSS JOIN rawt rt
+    ),
+    w AS (
+      SELECT doc_id, sum(c * log_ratio) AS log_weight
+      FROM bk JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT doc_id, round(log_weight, 6) AS log_weight
+    FROM w
+    ORDER BY log_weight
+            - ln(-ln((('0x' || substr(md5('29:' || doc_id), 1, 6))::BIGINT
+                      + 0.5) / 16777216.0)) DESC,
+          doc_id ASC
+    LIMIT 100
+"""
+
+
 _ACCENT_INJECT = {
     "a": "á", "e": "é", "i": "í", "o": "ö", "u": "ü",
     "n": "ñ", "c": "ç", "l": "ł", "s": "š",
@@ -4747,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_hot_bigrams": q_cms_hot_bigrams,
         "temperature_mix": q_temperature_mix,
+        "dsir_select": q_dsir_select,
         "accent_fold": q_accent_fold,
         "join_size_estimate": q_join_size_estimate,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
@@ -5692,6 +5781,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _HLL_ORACLE,
         "cms_hot_bigrams": _cms_oracle(),
         "temperature_mix": _TEMP_MIX_ORACLE,
+        "dsir_select": _DSIR_ORACLE,
         "accent_fold": _accent_fold_oracle(),
         "join_size_estimate": _join_size_oracle(),
         "weighted_jaccard_pairs": _WEIGHTED_JACCARD_ORACLE,

@@ -314,3 +314,148 @@ def temperature_mix_sample(
         .where(u < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document hashed n-gram bucket counts: whitespace unigrams (plus
+    word bigrams when `bigrams`), each gram folded to
+    ``conv(md5(gram)[:15], 16, 10) % dim`` — the vocabulary-free feature
+    map DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") fits its bag-of-hashed-ngrams models on.
+    Returns (id_col, bucket, c).
+
+    Scale shape: one explode to |tokens| rows of (id, int) width, one
+    partial-aggregated groupBy on (id, bucket) — no text in any shuffle
+    key, no window, no skew beyond document length (bounded upstream by
+    the curation pipeline). md5 keeps the bucket assignment engine-portable
+    for the DuckDB oracle; production swaps xxhash64 one-for-one.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = toks
+    if bigrams:
+        n = F.size(toks)
+        big = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        grams = F.concat(toks, big)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(dim),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(
+    raw_buckets: DataFrame,
+    target_buckets: DataFrame,
+    dim: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log importance ratios log p_target[b] - log p_raw[b]
+    from hashed-gram bucket counts (`hashed_gram_buckets` output), with
+    add-alpha smoothing over all `dim` buckets: p[b] = (c_b + alpha) /
+    (C + alpha*dim). Returns exactly `dim` rows (bucket, log_ratio) —
+    the entire fitted DSIR model, small enough to broadcast regardless
+    of corpus size.
+
+    Scale shape: two partial-aggregated groupBys on an int key (the only
+    corpus-sized work), then dim-row arithmetic; the totals ride along
+    via a 1-row cross join (broadcast). Never collects.
+    """
+    spark = raw_buckets.sparkSession
+    grid = spark.range(dim).select(F.col("id").cast("bigint").alias("bucket"))
+
+    def dist(b: DataFrame, tag: str) -> DataFrame:
+        cnt = b.groupBy("bucket").agg(F.sum("c").alias("bn"))
+        tot = cnt.agg(F.sum("bn").alias("btot"))
+        return (
+            grid.join(cnt, "bucket", "left")
+            .crossJoin(tot)
+            .select(
+                "bucket",
+                F.log(
+                    (F.coalesce("bn", F.lit(0)) + F.lit(alpha))
+                    / (F.col("btot") + F.lit(alpha * dim))
+                ).alias(f"logp_{tag}"),
+            )
+        )
+    return (
+        dist(target_buckets, "t")
+        .join(dist(raw_buckets, "r"), "bucket")
+        .select(
+            "bucket",
+            (F.col("logp_t") - F.col("logp_r")).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw_buckets: DataFrame,
+    log_ratios: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR log importance weight: sum_b c_doc[b] *
+    log_ratio[b] — the log-likelihood ratio of the document under the
+    target vs raw hashed-ngram models. Returns (id_col, log_weight).
+
+    Scale shape: the dim-row model joins broadcast-sized onto the bucket
+    counts (AQE upgrades it), then one partial-aggregated groupBy on the
+    id — the corpus-sized work is two narrow shuffles keyed on int/id.
+    """
+    return (
+        raw_buckets.join(F.broadcast(log_ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("log_ratio")).alias("log_weight"))
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Gumbel top-k importance resampling: rank documents by
+    log_weight + Gumbel noise and keep the k largest — equivalent to
+    sampling k documents WITHOUT replacement with probability
+    proportional to exp(log_weight) (Vieira 2014, "Gumbel-max trick and
+    weighted reservoir sampling"), which is exactly DSIR's resampling
+    step. Deterministic and engine-portable: u = (md5-derived 24-bit
+    fraction + 2^-25) in (0,1), g = -ln(-ln(u)).
+
+    Scale shape: a global top-k — Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    so no full sort and no single-partition shuffle ever materializes.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 24))
+    )
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        weights.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

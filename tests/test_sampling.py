@@ -257,3 +257,124 @@ def test_temperature_mix_subset_of_input_no_upsampling(spark):
     ids = [r["doc_id"] for r in out.select("doc_id").collect()]
     assert len(ids) == len(set(ids))  # no duplication
     assert set(ids) <= set(range(525))
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_corpus(spark):
+    rows = [
+        # target-flavored docs: heavy on "spark sql" grams
+        (0, "spark sql join spark sql agg", "t"),
+        (1, "spark sql window spark sql", "t"),
+        # raw-only flavored docs
+        (2, "cat dog bird cat dog", "r"),
+        (3, "fish cow horse fish cow", "r"),
+        (4, "spark sql cat dog", "r"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+
+
+def test_hashed_gram_buckets_counts_unigrams_and_bigrams(spark):
+    from ditto_spark.operators.sampling import hashed_gram_buckets
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    out = hashed_gram_buckets(df, "text", "doc_id", dim=1024).collect()
+    # grams: a, b, a, "a b", "b a" -> 5 total occurrences
+    assert sum(r["c"] for r in out) == 5
+
+
+def test_hashed_gram_buckets_empty_tokens_filtered(spark):
+    from ditto_spark.operators.sampling import hashed_gram_buckets
+
+    a = hashed_gram_buckets(
+        spark.createDataFrame([(1, "a  b")], ["doc_id", "text"]),
+        "text", "doc_id", dim=64,
+    ).collect()
+    b = hashed_gram_buckets(
+        spark.createDataFrame([(1, "a b")], ["doc_id", "text"]),
+        "text", "doc_id", dim=64,
+    ).collect()
+    assert sorted((r["bucket"], r["c"]) for r in a) == sorted(
+        (r["bucket"], r["c"]) for r in b
+    )
+
+
+def test_dsir_weights_match_numpy(spark):
+    """log_weight must equal the hand-computed hashed-ngram LLR."""
+    import hashlib
+    import math as m
+
+    from ditto_spark.operators.sampling import (
+        dsir_importance_weights,
+        dsir_log_ratios,
+        hashed_gram_buckets,
+    )
+
+    dim, alpha = 32, 1.0
+    docs = _dsir_corpus(spark)
+    raw_b = hashed_gram_buckets(docs, "text", "doc_id", dim=dim)
+    tgt_b = hashed_gram_buckets(
+        docs.where(F.col("grp") == "t"), "text", "doc_id", dim=dim
+    )
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            raw_b, dsir_log_ratios(raw_b, tgt_b, dim=dim, alpha=alpha)
+        ).collect()
+    }
+
+    def grams(text):
+        toks = [t for t in text.split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim
+
+    rows = _dsir_corpus(spark).collect()
+    raw_cnt, tgt_cnt = {}, {}
+    for r in rows:
+        for g in grams(r["text"]):
+            b = bucket(g)
+            raw_cnt[b] = raw_cnt.get(b, 0) + 1
+            if r["grp"] == "t":
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    R, T = sum(raw_cnt.values()), sum(tgt_cnt.values())
+    lr = {
+        b: m.log((tgt_cnt.get(b, 0) + alpha) / (T + alpha * dim))
+        - m.log((raw_cnt.get(b, 0) + alpha) / (R + alpha * dim))
+        for b in range(dim)
+    }
+    for r in rows:
+        want = sum(lr[bucket(g)] for g in grams(r["text"]))
+        assert abs(got[r["doc_id"]] - want) < 1e-9, r["doc_id"]
+    # target-flavored docs must out-weigh raw-only docs
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+def test_dsir_resample_topk_and_determinism(spark):
+    from ditto_spark.operators.sampling import (
+        dsir_importance_weights,
+        dsir_log_ratios,
+        dsir_resample,
+        hashed_gram_buckets,
+    )
+
+    docs = _dsir_corpus(spark)
+    raw_b = hashed_gram_buckets(docs, "text", "doc_id", dim=32)
+    tgt_b = hashed_gram_buckets(
+        docs.where(F.col("grp") == "t"), "text", "doc_id", dim=32
+    )
+    w = dsir_importance_weights(raw_b, dsir_log_ratios(raw_b, tgt_b, dim=32))
+    out = dsir_resample(w, k=3, seed=29)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in dsir_resample(w.repartition(7), k=3, seed=29).collect()
+    )
+    assert ids1 == ids2 and len(ids1) == 3
+    # k >= corpus keeps everything
+    assert dsir_resample(w, k=100).count() == 5
+    # a different seed may pick a different set but stays deterministic
+    s1 = sorted(r["doc_id"] for r in dsir_resample(w, k=3, seed=99).collect())
+    s2 = sorted(r["doc_id"] for r in dsir_resample(w, k=3, seed=99).collect())
+    assert s1 == s2
