@@ -4750,6 +4750,116 @@ def _join_size_oracle() -> str:
 """
 
 
+def q_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-band blocking over events: pairs of same-type events whose
+    timestamps lie within 120 s — the duplicate-submission / retry-linkage
+    range join. The Spark path rewrites the O(n²) theta join as a
+    dense-integer bucket equi-join (earlier side replicated to exactly two
+    buckets); the oracle runs the literal inequality join, so a hash match
+    proves the bucketization lossless."""
+    from ditto_spark.operators.blocking import time_band_pairs
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_id"), "event_type", "ts"
+    )
+    return time_band_pairs(
+        ev, "ts", 120, id_col="event_id", equi_cols=["event_type"]
+    )
+
+
+_TIME_BAND_ORACLE = """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT a.event_type, a.event_id AS left_id, b.event_id AS right_id,
+           (b.es - a.es)::BIGINT AS delta_sec
+    FROM e a JOIN e b
+      ON a.event_type = b.event_type
+     AND (b.es > a.es OR (b.es = a.es AND b.event_id > a.event_id))
+     AND b.es - a.es <= 120
+"""
+
+
+_BLOOM_M_WORDS, _BLOOM_K = 64, 5
+
+
+def q_bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter state (64 words x 63 usable bits, k=5) over
+    the user ids that made a >120-value purchase — the master-key sketch
+    an incremental-linkage run broadcasts to prune update feeds. The word
+    table derives from md5 arithmetic only, so the oracle rebuilds every
+    word bit-for-bit; union + bit_or mergeability is pinned in pytest."""
+    from ditto_spark.operators.sketch import bloom_words
+
+    ev = _load(spark, sf_dir, "events")
+    keys = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 120))
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    return bloom_words(keys, "k", m_words=_BLOOM_M_WORDS, k=_BLOOM_K)
+
+
+def _bloom_oracle() -> str:
+    m_bits = _BLOOM_M_WORDS * 63
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT user_id::VARCHAR AS k FROM events
+      WHERE event_type = 'purchase' AND value > 120
+    ), bits AS (
+      SELECT ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 15))::BIGINT
+               % {m_bits} AS bit
+      FROM keys CROSS JOIN unnest([0, 1, 2, 3, 4]) u(j)
+    )
+    SELECT (bit // 63)::INT AS idx,
+           bit_or(1::BIGINT << (bit % 63)::INT)::BIGINT AS word
+    FROM bits GROUP BY 1
+"""
+
+
+def q_bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction end-to-end: error events are pruned by
+    the broadcast word vector of q_bloom_filter_words' master keys BEFORE
+    the exact semi-join that removes the false positives. Because Bloom
+    filters admit no false negatives, the result is row-identical to the
+    plain semi-join the oracle runs — while the shuffle only carries the
+    surviving fraction (the 100 TB incremental-linkage pattern)."""
+    from ditto_spark.operators.sketch import (
+        bloom_dense_vector,
+        bloom_prune,
+        bloom_words,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    keys = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 120))
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    words = bloom_dense_vector(
+        bloom_words(keys, "k", m_words=_BLOOM_M_WORDS, k=_BLOOM_K),
+        _BLOOM_M_WORDS,
+    )
+    probe = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("user_id").cast("string").alias("k")
+    )
+    pruned = bloom_prune(probe, "k", words, k=_BLOOM_K)
+    return pruned.join(F.broadcast(keys), "k", "left_semi").select(
+        "event_id", "user_id"
+    )
+
+
+_BLOOM_PRUNE_ORACLE = """
+    SELECT event_id, user_id FROM events e
+    WHERE event_type = 'error' AND user_id IN (
+      SELECT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 120
+    )
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "serialize_events": q_serialize_events,
@@ -4838,6 +4948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "accent_fold": q_accent_fold,
         "join_size_estimate": q_join_size_estimate,
+        "time_band_pairs": q_time_band_pairs,
+        "bloom_filter_words": q_bloom_filter_words,
+        "bloom_prune_semijoin": q_bloom_prune_semijoin,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "blocking_recall": q_blocking_recall,
         "collapse_turns": q_collapse_turns,
@@ -5784,6 +5897,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_ORACLE,
         "accent_fold": _accent_fold_oracle(),
         "join_size_estimate": _join_size_oracle(),
+        "time_band_pairs": _TIME_BAND_ORACLE,
+        "bloom_filter_words": _bloom_oracle(),
+        "bloom_prune_semijoin": _BLOOM_PRUNE_ORACLE,
         "weighted_jaccard_pairs": _WEIGHTED_JACCARD_ORACLE,
         "blocking_recall": _blocking_recall_oracle(),
         "collapse_turns": _COLLAPSE_TURNS_ORACLE,

@@ -1364,3 +1364,74 @@ def weighted_minhash_lsh(
     if threshold is not None:
         pairs = pairs.where(F.col("est_jaccard") >= threshold)
     return pairs
+
+
+def time_band_pairs(
+    df: DataFrame,
+    ts_col: str,
+    band_seconds: int,
+    id_col: str = "doc_id",
+    equi_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temporal-band blocking: every pair of records (optionally agreeing
+    on ``equi_cols``) whose timestamps lie within ``band_seconds`` of each
+    other — the range-join form of blocking every event pipeline needs
+    (duplicate-submission detection, retry linkage, near-simultaneous
+    sessions) that naive SQL expresses as an O(n²) theta join.
+
+    Returns (equi_cols..., left_id, right_id, delta_sec) with the earlier
+    record on the left (ties broken by id), 0 <= delta_sec <= band, each
+    qualifying unordered pair exactly once.
+
+    Scale shape: the inequality predicate becomes a dense-integer
+    equi-join. Each record gets bucket = floor(epoch/band); the EARLIER
+    side replicates to (bucket, bucket+1) — factor exactly 2, independent
+    of band or skew — and the later side keeps its own bucket. Any pair
+    within the band has the later record in the earlier's bucket or the
+    next one, so the equi-join on (equi_cols, bucket) finds every pair
+    exactly once (the two exploded buckets are distinct values). Hot time
+    windows (a bucket holding b records contributes <= b² candidates) are
+    the residual skew; AQE skew-join splits those stragglers, and `band`
+    itself is the knob that sizes bucket occupancy. Timestamps reduce to
+    whole epoch seconds via unix_timestamp (floor — DuckDB's
+    floor(epoch(ts)) matches, so the oracle is engine-exact)."""
+    if band_seconds < 1:
+        raise ValueError(f"band_seconds must be >= 1, got {band_seconds}")
+    equi_cols = list(equi_cols or [])
+    base = df.select(
+        *equi_cols,
+        F.col(id_col),
+        F.unix_timestamp(F.col(ts_col)).alias("tb_e"),
+    ).where(F.col("tb_e").isNotNull())
+    bucket = F.floor(F.col("tb_e") / band_seconds).cast("long")
+    lhs = base.select(
+        *equi_cols,
+        F.col(id_col).alias("left_id"),
+        F.col("tb_e").alias("tb_le"),
+        F.explode(F.array(bucket, bucket + 1)).alias("tb_b"),
+    )
+    rhs = base.select(
+        *equi_cols,
+        F.col(id_col).alias("right_id"),
+        F.col("tb_e").alias("tb_re"),
+        bucket.alias("tb_b"),
+    )
+    return (
+        lhs.join(rhs, equi_cols + ["tb_b"])
+        .where(
+            (
+                (F.col("tb_re") > F.col("tb_le"))
+                | (
+                    (F.col("tb_re") == F.col("tb_le"))
+                    & (F.col("right_id") > F.col("left_id"))
+                )
+            )
+            & (F.col("tb_re") - F.col("tb_le") <= band_seconds)
+        )
+        .select(
+            *equi_cols,
+            "left_id",
+            "right_id",
+            (F.col("tb_re") - F.col("tb_le")).cast("long").alias("delta_sec"),
+        )
+    )

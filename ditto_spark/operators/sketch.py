@@ -347,3 +347,129 @@ def cms_join_size(
         .cast("long")
         .alias("est_join_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): mergeable membership sketch + semi-join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_WORD = 63  # bit 63 never set -> words stay positive in
+#                           signed-64 engines (Spark bigint, DuckDB BIGINT)
+DEFAULT_BLOOM_WORDS = 256
+DEFAULT_BLOOM_K = 5
+
+
+def _shl1(bitpos: Column) -> Column:
+    """1L << bitpos for a COLUMN shift amount (F.shiftleft only accepts a
+    Python-int literal there)."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), bitpos.cast("int")
+    )
+
+
+def _bloom_bit(value: Column, j: int, m_bits: int) -> Column:
+    """Bit position of hash j for ``value``: the first 60 bits of
+    md5(j ':' value) mod m_bits. Engine-portable — the DuckDB oracle
+    computes ('0x' || substr(md5(j || ':' || v), 1, 15))::BIGINT % m_bits."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), value)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(m_bits)
+
+
+def bloom_words(
+    df: DataFrame,
+    value_col: str,
+    m_words: int = DEFAULT_BLOOM_WORDS,
+    k: int = DEFAULT_BLOOM_K,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable Bloom-filter state: one row per (group, word index) with
+    the bit-or of every member value's k hash bits falling in that word.
+    Nulls are ignored (membership of NULL is undefined in SQL semantics).
+    Only non-zero words appear; absent word = 0.
+
+    Like the HLL/CMS sketches above, the state is engine-portable md5
+    arithmetic, so it persists to stage tables, merges across batches and
+    engines (union + bit_or — `test_sketch.py` pins halves == whole), and
+    the DuckDB oracle rebuilds it bit-for-bit (`bloom_filter_words`).
+
+    Scale shape: bit positions are a zero-shuffle codegen projection
+    (k rows per input row); the only shuffle is ONE map-side-combinable
+    groupBy whose output is <= m_words rows per group regardless of input
+    size — a 10^12-key build still ships at most m_words rows per group."""
+    if m_words < 1 or k < 1:
+        raise ValueError(f"need m_words >= 1 and k >= 1, got {m_words}, {k}")
+    group_cols = list(group_cols or [])
+    m_bits = m_words * BLOOM_BITS_PER_WORD
+    v = F.col(value_col)
+    bits = df.where(v.isNotNull()).select(
+        *group_cols,
+        F.explode(
+            F.array(*[_bloom_bit(v, j, m_bits) for j in range(k)])
+        ).alias("bit"),
+    )
+    return (
+        bits.select(
+            *group_cols,
+            (F.col("bit") / BLOOM_BITS_PER_WORD).cast("int").alias("idx"),
+            _shl1(F.col("bit") % BLOOM_BITS_PER_WORD).alias("mask"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_dense_vector(words_df: DataFrame, m_words: int) -> list[int]:
+    """Collect a (single-group) word table into the dense driver-side
+    vector `bloom_might_contain_expr` embeds. The collect moves at most
+    m_words rows — the same legitimacy class as a broadcast-join build
+    side; this is how the filter crosses from the build job to the probe
+    job (or from a stage table into a later run)."""
+    vec = [0] * m_words
+    for r in words_df.select("idx", "word").collect():
+        vec[int(r["idx"])] = int(r["word"])
+    return vec
+
+
+def bloom_might_contain_expr(
+    value: Column,
+    words: list[int],
+    k: int = DEFAULT_BLOOM_K,
+) -> Column:
+    """Membership test as a pure Catalyst projection over the dense word
+    vector (a plan literal — zero shuffle, zero Python, stays inside
+    WholeStageCodegen). False positives possible (rate ~ (1-e^{-kn/m})^k),
+    false negatives impossible — the property the pruning use relies on."""
+    m_bits = len(words) * BLOOM_BITS_PER_WORD
+    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    checks = []
+    for j in range(k):
+        bit = _bloom_bit(value, j, m_bits)
+        word = F.element_at(arr, (bit / BLOOM_BITS_PER_WORD).cast("int") + 1)
+        mask = _shl1(bit % BLOOM_BITS_PER_WORD)
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prune(
+    df: DataFrame,
+    value_col: str,
+    words: list[int],
+    k: int = DEFAULT_BLOOM_K,
+) -> DataFrame:
+    """Semi-join reduction (Bernstein & Chiu 1981 applied via Bloom, the
+    classic distributed-query bloom-join): keep only rows whose
+    ``value_col`` MIGHT be in the filter, before paying for the real
+    shuffle join. Because false negatives are impossible, `prune -> exact
+    join` returns exactly `exact join` — the end-to-end identity the
+    `bloom_prune_semijoin` oracle checks — while the shuffle only carries
+    the surviving fraction. This is the standard pattern for incremental
+    linkage at 100 TB: master-side keys -> tiny word table -> prune the
+    daily update feed down to the rows that can possibly link."""
+    return df.where(bloom_might_contain_expr(F.col(value_col), words, k))

@@ -828,3 +828,105 @@ def test_weighted_token_replicas_matches_expr_path(spark):
         ).collect()
     }
     assert rel == exprd
+
+
+# ---------------------------------------------------------------------------
+# Temporal-band blocking
+# ---------------------------------------------------------------------------
+
+
+def _tb_events(spark, n=300, seed=7):
+    """Deterministic irregular timestamps: clumps + gaps + exact ties,
+    some spilling across band-bucket boundaries."""
+    rows = []
+    t = 1_700_000_000
+    for i in range(n):
+        # pseudo-random gap in [0, 97s] with frequent 0s (exact ties)
+        g = (i * i * 2654435761 + seed) % 98
+        if g % 7 == 0:
+            g = 0
+        t += g
+        rows.append((i, t, "t" + str(i % 3)))
+    return spark.createDataFrame(
+        rows, "doc_id long, epoch long, kind string"
+    ).select(
+        "doc_id", F.timestamp_seconds("epoch").alias("ts"), "kind", "epoch"
+    )
+
+
+def _tb_bruteforce(rows, band, keyed):
+    out = set()
+    for a in rows:
+        for b in rows:
+            if keyed and a["kind"] != b["kind"]:
+                continue
+            if (b["epoch"], b["doc_id"]) <= (a["epoch"], a["doc_id"]):
+                continue
+            if b["epoch"] - a["epoch"] <= band:
+                out.add((a["doc_id"], b["doc_id"], b["epoch"] - a["epoch"]))
+    return out
+
+
+def test_time_band_pairs_equals_bruteforce(spark):
+    from ditto_spark.operators.blocking import time_band_pairs
+
+    df = _tb_events(spark)
+    rows = df.collect()
+    for band in (1, 30, 64):
+        got = {
+            (r["left_id"], r["right_id"], r["delta_sec"])
+            for r in time_band_pairs(df, "ts", band, id_col="doc_id").collect()
+        }
+        assert got == _tb_bruteforce(rows, band, keyed=False), band
+
+
+def test_time_band_pairs_with_equi_key_equals_bruteforce(spark):
+    from ditto_spark.operators.blocking import time_band_pairs
+
+    df = _tb_events(spark)
+    rows = df.collect()
+    got = {
+        (r["left_id"], r["right_id"], r["delta_sec"])
+        for r in time_band_pairs(
+            df, "ts", 45, id_col="doc_id", equi_cols=["kind"]
+        ).collect()
+    }
+    assert got == _tb_bruteforce(rows, 45, keyed=True)
+
+
+def test_time_band_pairs_exactly_once_and_boundary(spark):
+    from ditto_spark.operators.blocking import time_band_pairs
+
+    # ids at epochs 0, band, band+1: (0,band) included at the boundary,
+    # (0, band+1) excluded, (band, band+1) included; plus an exact tie.
+    band = 60
+    df = spark.createDataFrame(
+        [(1, 0), (2, band), (3, band + 1), (4, band)],
+        "doc_id long, epoch long",
+    ).select("doc_id", F.timestamp_seconds("epoch").alias("ts"))
+    got = sorted(
+        (r["left_id"], r["right_id"], r["delta_sec"])
+        for r in time_band_pairs(df, "ts", band, id_col="doc_id").collect()
+    )
+    assert got == sorted(
+        [(1, 2, band), (1, 4, band), (2, 3, 1), (2, 4, 0), (4, 3, 1)]
+    )
+
+
+def test_time_band_pairs_partition_invariant(spark):
+    from ditto_spark.operators.blocking import time_band_pairs
+
+    df = _tb_events(spark, n=200)
+    a = {
+        tuple(r)
+        for r in time_band_pairs(
+            df.repartition(1), "ts", 30, id_col="doc_id"
+        ).select("left_id", "right_id", "delta_sec").collect()
+    }
+    b = {
+        tuple(r)
+        for r in time_band_pairs(
+            df.repartition(13, "kind"), "ts", 30, id_col="doc_id"
+        ).select("left_id", "right_id", "delta_sec").collect()
+    }
+    assert a == b

@@ -195,3 +195,97 @@ def test_cms_join_size_disjoint_is_zero(spark):
         cms_counters(a, "key", d=4, w=4096), cms_counters(b, "key", d=4, w=4096), d=4
     ).collect()[0]["est_join_size"]
     assert est == 0  # big w -> some row collision-free -> min hits 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from ditto_spark.operators.sketch import (
+        bloom_dense_vector,
+        bloom_might_contain_expr,
+        bloom_words,
+    )
+
+    df = _values_df(spark, 500, dup_factor=1).drop("grp")
+    words = bloom_dense_vector(bloom_words(df, "val", m_words=64, k=5), 64)
+    hits = df.select(
+        bloom_might_contain_expr(F.col("val"), words, k=5).alias("m")
+    ).collect()
+    assert all(r["m"] for r in hits)  # every inserted value must pass
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from ditto_spark.operators.sketch import (
+        bloom_dense_vector,
+        bloom_might_contain_expr,
+        bloom_words,
+    )
+
+    n, m_words, k = 1000, 256, 5
+    inserted = _values_df(spark, n, dup_factor=1).drop("grp")
+    words = bloom_dense_vector(
+        bloom_words(inserted, "val", m_words=m_words, k=k), m_words
+    )
+    absent = _values_df(spark, 2000, prefix="absent", dup_factor=1).drop("grp")
+    fp = (
+        absent.select(
+            bloom_might_contain_expr(F.col("val"), words, k=k).alias("m")
+        )
+        .where("m")
+        .count()
+    )
+    # theoretical rate (1 - e^{-kn/m})^k ~ 0.9% at these sizes; allow 4x
+    assert fp / 2000 < 0.04, fp
+
+
+def test_bloom_merge_halves_equals_whole(spark):
+    from ditto_spark.operators.sketch import bloom_dense_vector, bloom_words
+
+    df = _values_df(spark, 800, dup_factor=1).drop("grp")
+    a = df.where(F.length("val") % 2 == 0)
+    b = df.where(F.length("val") % 2 == 1)
+    whole = bloom_dense_vector(bloom_words(df, "val", m_words=64), 64)
+    wa = bloom_words(a, "val", m_words=64)
+    wb = bloom_words(b, "val", m_words=64)
+    merged_df = (
+        wa.unionByName(wb).groupBy("idx").agg(F.bit_or("word").alias("word"))
+    )
+    merged = bloom_dense_vector(merged_df, 64)
+    assert merged == whole
+
+
+def test_bloom_words_positive_and_bounded(spark):
+    from ditto_spark.operators.sketch import bloom_words
+
+    df = _values_df(spark, 2000, dup_factor=1).drop("grp")
+    rows = bloom_words(df, "val", m_words=32, k=5).collect()
+    assert all(0 <= r["idx"] < 32 for r in rows)
+    assert all(r["word"] > 0 for r in rows)  # bit 63 never used
+
+
+def test_bloom_prune_then_join_equals_exact_join(spark):
+    from ditto_spark.operators.sketch import (
+        bloom_dense_vector,
+        bloom_prune,
+        bloom_words,
+    )
+
+    # master keys 0..399, probe keys 200..999: overlap = 200..399
+    master = _values_df(spark, 400, dup_factor=1).drop("grp")
+    probe = (
+        spark.range(200, 1000)
+        .select(F.concat(F.lit("v"), F.col("id")).alias("val"))
+    )
+    words = bloom_dense_vector(bloom_words(master, "val", m_words=64), 64)
+    pruned = bloom_prune(probe, "val", words)
+    got = sorted(
+        r["val"]
+        for r in pruned.join(master.distinct(), "val", "left_semi").collect()
+    )
+    want = sorted(f"v{i}" for i in range(200, 400))
+    assert got == want
+    # and the prune itself kept a strict subset of the probe side
+    assert pruned.count() < probe.count()
