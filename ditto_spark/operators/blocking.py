@@ -804,6 +804,8 @@ def allpairs_jaccard_join(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_n: int = 1,
+    positional: bool = True,
+    debug_counts: dict | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard threshold self-join via prefix filtering
     (Bayardo, Ma & Srikant WWW'07 "Scaling Up All Pairs Similarity
@@ -822,7 +824,11 @@ def allpairs_jaccard_join(
     key distribution is biased away from hot tokens by construction
     (the skew-prone frequent tokens sit in suffixes and never enter the
     index). The PPJoin length filter (t*|A| <= |B| <= |A|/t) prunes
-    candidates inside the join before the verify attach. Verification
+    candidates inside the join before the verify attach, and with
+    ``positional=True`` the PPJoin positional filter additionally kills
+    matched-token rows whose best-case overlap 1 + min(|A|-i, |B|-j)
+    cannot reach the t/(1+t)·(|A|+|B|) overlap threshold — still
+    lossless (see inline proof), smaller dedup shuffle. Verification
     joins the full sorted-token arrays once per surviving candidate and
     computes F.size(array_intersect) in the JVM — no Python, no
     re-shuffle of the corpus. The per-doc rank window is partitioned by
@@ -877,27 +883,51 @@ def allpairs_jaccard_join(
     prefix = ranked.where(
         F.col("rnk")
         <= F.col("len") - F.ceil(F.lit(t) * F.col("len") - F.lit(1e-9)) + 1
-    ).select(id_col, "tok", "len")
+    ).select(id_col, "tok", "rnk", "len")
 
     l = prefix.select(
-        F.col(id_col).alias("left_id"), "tok", F.col("len").alias("la")
+        F.col(id_col).alias("left_id"),
+        "tok",
+        F.col("rnk").alias("ra"),
+        F.col("len").alias("la"),
     )
     r = prefix.select(
-        F.col(id_col).alias("right_id"), "tok", F.col("len").alias("lb")
+        F.col(id_col).alias("right_id"),
+        "tok",
+        F.col("rnk").alias("rb"),
+        F.col("len").alias("lb"),
     )
-    cand = (
-        l.join(r, "tok")
-        .where(
-            (F.col("left_id") < F.col("right_id"))
-            # same float-boundary bias as the prefix ceil: t*len can land a
-            # hair ABOVE an exact integer (0.56*25 = 14.000000000000002) and
-            # reject a pair with J exactly = t
-            & (F.col("lb") * F.lit(t) - F.lit(1e-9) <= F.col("la"))
-            & (F.col("la") * F.lit(t) - F.lit(1e-9) <= F.col("lb"))
+    joined = l.join(r, "tok").where(
+        (F.col("left_id") < F.col("right_id"))
+        # same float-boundary bias as the prefix ceil: t*len can land a
+        # hair ABOVE an exact integer (0.56*25 = 14.000000000000002) and
+        # reject a pair with J exactly = t
+        & (F.col("lb") * F.lit(t) - F.lit(1e-9) <= F.col("la"))
+        & (F.col("la") * F.lit(t) - F.lit(1e-9) <= F.col("lb"))
+    )
+    if positional:
+        # PPJoin positional filter (Xiao et al. WWW'08; set-oriented form
+        # per Vernica et al. SIGMOD'10): J >= t forces overlap
+        # I >= alpha = ceil(t/(1+t) * (la+lb)); for the FIRST common prefix
+        # token (positions ra, rb in the full frequency order) no common
+        # token precedes it, so I <= 1 + min(la-ra, lb-rb). A qualifying
+        # pair therefore always has at least one matched-token row passing
+        # 1 + min(la-ra, lb-rb) >= alpha — filtering rows (not pairs) stays
+        # LOSSLESS, while non-first matches of junk pairs die here instead
+        # of surviving to the dedup shuffle and set-verify join.
+        alpha = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("la") + F.col("lb")) - F.lit(1e-9)
         )
-        .select("left_id", "right_id")
-        .dropDuplicates(["left_id", "right_id"])
+        joined = joined.where(
+            F.lit(1)
+            + F.least(F.col("la") - F.col("ra"), F.col("lb") - F.col("rb"))
+            >= alpha
+        )
+    cand = joined.select("left_id", "right_id").dropDuplicates(
+        ["left_id", "right_id"]
     )
+    if debug_counts is not None:
+        debug_counts["candidates"] = cand.count()
 
     # verify-side sets only for docs that actually appear in a candidate —
     # the verify cost scales with the candidate set, not the corpus

@@ -930,3 +930,46 @@ def test_time_band_pairs_partition_invariant(spark):
         ).select("left_id", "right_id", "delta_sec").collect()
     }
     assert a == b
+
+
+def test_allpairs_positional_filter_lossless_and_reduces_candidates(spark):
+    """PPJoin positional filter: identical verified output, strictly
+    fewer (or equal) candidates than prefix+length filtering alone."""
+    from ditto_spark.operators.blocking import allpairs_jaccard_join
+
+    # Every doc: 2 globally-unique tokens, 1 rare "link" token shared with
+    # exactly one sibling, 11 ubiquitous fillers. len=14, t=0.8 -> prefix
+    # is the 3 rarest tokens, so sibling pairs (J = 12/16 = 0.75 < t)
+    # collide on the rank-3 link token and pass the length filter — only
+    # the positional bound (1 + min(14-3, 14-3) = 12 < alpha = 13) can
+    # kill them pre-verify. True matches are exact copies (first common
+    # token at rank 1 -> bound 14 >= 13 survives).
+    base = (
+        "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11"
+    )
+    rows = [
+        (i, f"u{i}a u{i}b link{i // 2} " + base) for i in range(40)
+    ] + [
+        (200 + i, f"u{2 * i}a u{2 * i}b link{i} " + base)
+        for i in range(5)  # exact copies of docs 0, 2, 4, 6, 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    on, off = {}, {}
+    got_on = {
+        (r["left_id"], r["right_id"], round(r["jaccard"], 9))
+        for r in allpairs_jaccard_join(
+            df, threshold=0.8, positional=True, debug_counts=on
+        ).collect()
+    }
+    got_off = {
+        (r["left_id"], r["right_id"], round(r["jaccard"], 9))
+        for r in allpairs_jaccard_join(
+            df, threshold=0.8, positional=False, debug_counts=off
+        ).collect()
+    }
+    assert got_on == got_off  # lossless
+    assert {(a, b) for a, b, _ in got_on} == {
+        (2 * i, 200 + i) for i in range(5)
+    }
+    assert on["candidates"] < off["candidates"], (on, off)
