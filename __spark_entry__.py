@@ -209,6 +209,121 @@ _DOC_DEDUP_ORACLE = (
 )
 
 
+# doc_curation: the composed funnel — each stage's oracle fragment is the
+# already-proven one (gopher_filter / exact_dedup / doc_dedup_clusters /
+# decontaminate), re-scoped to the previous stage's survivor set. The CASE
+# precedence mirrors the funnel order: a doc dropped at quality is absent
+# from every later keep set, so quality must be tested first.
+_DOC_CURATION_ORACLE = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), gd AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+  FROM corpus
+), gm AS (
+  SELECT doc_id,
+         len(toks) AS n, len(lns) AS nl,
+         list_sum(list_transform(toks, x -> length(x))) AS chars,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS n_ell,
+         len(list_filter(lns, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ') OR starts_with(l, '•'))) AS bullets,
+         len(list_filter(lns, l -> l LIKE '%...')) AS ell_lines,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM gd
+), qkeep AS (
+  SELECT doc_id FROM gm
+  WHERE n >= 20 AND n <= 100000
+    AND (CASE WHEN n > 0 THEN round(chars / n, 9) ELSE 0.0 END)
+        BETWEEN 2.0 AND 12.0
+    AND (CASE WHEN n > 0 THEN round((n_hash + n_ell) / n, 9) ELSE 0.0 END)
+        <= 0.1
+    AND (CASE WHEN nl > 0 THEN round(bullets / nl, 9) ELSE 0.0 END) <= 0.9
+    AND (CASE WHEN nl > 0 THEN round(ell_lines / nl, 9) ELSE 0.0 END) <= 0.3
+    AND (CASE WHEN n > 0 THEN round(alpha / n, 9) ELSE 0.0 END) >= 0.8
+    AND stop_hits >= 1
+), qs AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN qkeep USING (doc_id)
+), ekeep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon FROM qs
+  ) WHERE doc_id = canon
+), es AS (
+  SELECT qs.doc_id, qs.text FROM qs JOIN ekeep USING (doc_id)
+), sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM es),
+       unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+  WHERE len(l) >= 3
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 50
+), f AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS cs
+  FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), jp AS (
+  SELECT p.left_id, p.right_id
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.left_id
+  JOIN sizes sb ON sb.doc_id = p.right_id
+  WHERE p.cs / (sa.n_sh + sb.n_sh - p.cs) >= 0.5
+), edges AS (
+  SELECT left_id AS a, right_id AS b FROM jp
+  UNION ALL
+  SELECT right_id, left_id FROM jp
+), walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM es
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+), ndkeep AS (
+  SELECT node AS doc_id FROM walk GROUP BY node HAVING node = min(comp)
+), ns AS (
+  SELECT es.doc_id, es.text FROM es JOIN ndkeep USING (doc_id)
+), tsh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ns),
+       unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+  WHERE len(l) >= 3
+), tkeep AS (
+  SELECT s FROM tsh GROUP BY s HAVING count(*) <= 50
+), trf AS (
+  SELECT tsh.doc_id, tsh.s FROM tsh JOIN tkeep USING (s)
+), bsh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % 2 = 1),
+       unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+  WHERE len(l) >= 3
+), cont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, b.doc_id AS bench_id
+    FROM trf t JOIN bsh b ON t.s = b.s
+    GROUP BY 1, 2 HAVING count(*) >= 2
+  )
+)
+SELECT c.doc_id,
+       CASE WHEN q.doc_id IS NULL THEN 'quality'
+            WHEN e.doc_id IS NULL THEN 'exact'
+            WHEN n.doc_id IS NULL THEN 'near_dup'
+            WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept' END AS dropped_at
+FROM corpus c
+LEFT JOIN qkeep q USING (doc_id)
+LEFT JOIN ekeep e USING (doc_id)
+LEFT JOIN ndkeep n USING (doc_id)
+LEFT JOIN cont ct USING (doc_id)
+"""
+
+
 def _ann_vecs_cte(with_aug: bool) -> str:
     """Long-form (vid, d, val) embedding view; optionally unioned with the
     deterministic near-dup perturbation (matches _embeddings_with_near_dups)."""
@@ -3176,6 +3291,27 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus curation funnel (operators/curate.py):
+    quality gate (Gopher rules) → exact dedup (md5 fingerprint, min-id
+    canonical) → near-dup dedup (rare-shingle Jaccard ≥ 0.5 → connected
+    components → min-id representative) → benchmark decontamination
+    (shared-3-gram rule) over the parity split of documents (even doc_id
+    = corpus under curation, odd = benchmark set — q_decontaminate's
+    convention). One row per corpus doc: (doc_id, dropped_at) naming the
+    FIRST stage that removed it, or 'kept'. The DuckDB oracle composes
+    the same four proven stage oracles over the same survivor sets, so
+    the whole funnel — including the recursive CC — is hash-checked end
+    to end."""
+    from ditto_spark.operators.curate import curate_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return curate_documents(
+        docs.where(F.col("doc_id") % 2 == 0),
+        bench=docs.where(F.col("doc_id") % 2 == 1),
+    ).select("doc_id", "dropped_at")
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence packing: documents concatenated in doc_id
     order and cut into 512-token packs; each row is the doc-relative token
@@ -4893,6 +5029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "bcubed_doc_dedup": q_bcubed,
         "decontaminate": q_decontaminate,
+        "doc_curation": q_doc_curation,
         "pack_chunks": q_pack_chunks,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
@@ -5873,6 +6010,7 @@ def oracle_sql() -> dict[str, str]:
         "er_cross_candidates": _minhash_lsh_oracle(
             "l.doc_id % 2 = 0 AND r.doc_id % 2 = 1"
         ),
+        "doc_curation": _DOC_CURATION_ORACLE,
         "simhash_near_dup": _SIMHASH_ORACLE,
         "doc_dedup_clusters": _DOC_DEDUP_ORACLE,
         "media_features": """
