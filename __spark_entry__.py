@@ -4334,6 +4334,55 @@ _CONTAINMENT_ORACLE = _ORACLE_SHINGLE_CTE + """
 """
 
 
+def q_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered prefix-containment over the events stream read as
+    transcripts (user_id → conversation, (ts, event_id) → turn order,
+    event_type → turn fingerprint): pairs where one user's event sequence
+    is exactly another's first k events — the transcript-native duplication
+    mode (truncated rerun / continuation) the unordered containment join
+    scores low. Per-user sequences are capped at 2 + user_id % 4 events so
+    both the strict-prefix and the equal-sequence branches are exercised.
+    Join ships only (md5, int, id) — see serialize.prefix_containment_pairs."""
+    from ditto_spark.operators.serialize import prefix_containment_pairs
+
+    ev = _load(spark, sf_dir, "events")
+    tr = ev.select(
+        F.col("user_id").alias("conv_id"), "ts", "event_id", "event_type"
+    )
+    out = prefix_containment_pairs(
+        tr,
+        id_col="conv_id",
+        fingerprint_cols=("event_type",),
+        order_cols=("ts", "event_id"),
+        max_len=(F.lit(2) + F.pmod(F.col("conv_id"), F.lit(4))).cast("int"),
+    )
+    return out.select(
+        F.col("contained_id").cast("bigint").alias("contained_id"),
+        F.col("container_id").cast("bigint").alias("container_id"),
+        F.col("prefix_len").cast("bigint").alias("prefix_len"),
+        F.col("container_len").cast("bigint").alias("container_len"),
+    )
+
+
+_PREFIX_CONTAINMENT_ORACLE = """
+    WITH seq AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id)
+                   [1:(2 + CAST(user_id % 4 AS INT))] AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(a.user_id AS BIGINT) AS contained_id,
+           CAST(b.user_id AS BIGINT) AS container_id,
+           CAST(len(a.s) AS BIGINT) AS prefix_len,
+           CAST(len(b.s) AS BIGINT) AS container_len
+    FROM seq a JOIN seq b
+      ON a.user_id <> b.user_id
+     AND len(a.s) <= len(b.s)
+     AND b.s[1:len(a.s)] = a.s
+    WHERE len(a.s) < len(b.s) OR a.user_id < b.user_id
+"""
+
+
 def q_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH (bands, rows) design curve: detection probability
     1-(1-s^r)^b over a similarity grid for the pipeline's banding configs —
@@ -5112,6 +5161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "idf_cosine_pairs": q_idf_cosine_pairs,
         "containment_pairs": q_containment_pairs,
+        "prefix_containment": q_prefix_containment,
         "lsh_power_curve": q_lsh_power_curve,
         "bpe_token_stats": q_bpe_token_stats,
         "roc_auc": q_roc_auc,
@@ -6062,6 +6112,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_quantiles": _EXACT_QUANTILES_ORACLE,
         "idf_cosine_pairs": _IDF_COSINE_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
+        "prefix_containment": _PREFIX_CONTAINMENT_ORACLE,
         "lsh_power_curve": _LSH_POWER_ORACLE,
         "bpe_token_stats": _bpe_oracle(),
         "roc_auc": "WITH d AS (" + _SCORED_FOR_CALIBRATION + """

@@ -176,6 +176,148 @@ def structure_blocking_pairs(
     )
 
 
+def turn_prefix_hashes(
+    transcripts: DataFrame,
+    id_col: str = "conv_id",
+    fingerprint_cols: tuple[str, ...] = ("role", "text"),
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    max_len: F.Column | int | None = None,
+) -> DataFrame:
+    """Rolling prefix-hash chain per conversation: chain[i] is an md5 over
+    the first i+1 turn fingerprints in stable turn order, so two
+    conversations share chain[i] iff their first i+1 turns agree exactly.
+    The enabling structure for ordered prefix-containment detection
+    (retries, continuations, and truncated reruns in agent-transcript
+    corpora duplicate as PREFIX extensions, not as unordered overlaps —
+    the ordered complement of the shingle containment join).
+
+    Output: (id, seq_len, chain: array<string>).
+
+    Plan: the serializer's one ordering-in-agg groupBy (array_sort of
+    (order, fp) structs inside collect_list — no window exchange), then the
+    chain folds JVM-side via F.aggregate. The fold appends to an array
+    accumulator, so per-conversation cost is O(n_turns^2) array copies —
+    fine at transcript turn counts (tens), documented for longer streams.
+
+    ``max_len`` truncates each conversation's sequence first; it may be a
+    Column over id_col (per-entity cap) or an int.
+    """
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in fingerprint_cols
+            ],
+        )
+    )
+    t = F.struct(*[F.col(c) for c in order_cols], fp.alias("__fp"))
+    agg = transcripts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(t)).alias("__ts")
+    )
+    fps = F.transform(F.col("__ts"), lambda s: s["__fp"])
+    if max_len is not None:
+        ml = max_len if isinstance(max_len, F.Column) else F.lit(int(max_len))
+        fps = F.slice(fps, F.lit(1), ml)
+    chain = F.aggregate(
+        fps,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit("")),
+                        F.lit("|"),
+                        x,
+                    )
+                )
+            ),
+        ),
+    )
+    return agg.select(F.col(id_col), chain.alias("chain")).select(
+        id_col, F.size("chain").alias("seq_len"), "chain"
+    )
+
+
+def prefix_containment_pairs(
+    transcripts: DataFrame,
+    id_col: str = "conv_id",
+    fingerprint_cols: tuple[str, ...] = ("role", "text"),
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    max_len: F.Column | int | None = None,
+    canonical_only: bool = False,
+) -> DataFrame:
+    """Ordered prefix-containment detection: pairs (contained, container)
+    where the contained conversation's full turn-fingerprint sequence is
+    exactly the container's first ``prefix_len`` turns. Catches the
+    transcript-native duplication modes an unordered blocker scores low:
+    a rerun truncated by a crash, a continuation that extends an earlier
+    conversation, a conversation replayed verbatim then extended.
+
+    Equal sequences pair once (contained_id < container_id); strict
+    prefixes pair in containment direction regardless of id order.
+
+    Plan shape (the reason this scales): the join ships ONLY
+    (md5, int, id) rows — never turn text. The contained side is one row
+    per conversation (its full-sequence hash); the container side is one
+    row per (conversation, prefix length) — sum(n_turns) rows, the same
+    cardinality as the input table. Equi-join on (hash, length); a hot key
+    is a genuinely duplicated prefix group, whose pairs are the answer,
+    not skew noise. With ``canonical_only=True`` each contained
+    conversation keeps a single best container (longest, then min id) via
+    one id-keyed window — linear output for the dedup path instead of the
+    full pair set.
+
+    Output: (contained_id, container_id, prefix_len, container_len).
+    """
+    h = turn_prefix_hashes(
+        transcripts,
+        id_col=id_col,
+        fingerprint_cols=fingerprint_cols,
+        order_cols=order_cols,
+        max_len=max_len,
+    )
+    full = h.select(
+        F.col(id_col).alias("contained_id"),
+        F.col("seq_len").alias("prefix_len"),
+        F.try_element_at("chain", F.lit(-1)).alias("__h"),
+    )
+    pref = h.select(
+        F.col(id_col).alias("container_id"),
+        F.col("seq_len").alias("container_len"),
+        F.posexplode("chain").alias("__p", "__h"),
+    ).select(
+        "container_id",
+        "container_len",
+        (F.col("__p") + 1).alias("prefix_len"),
+        "__h",
+    )
+    pairs = (
+        full.join(pref, ["__h", "prefix_len"])
+        .where(
+            (F.col("contained_id") != F.col("container_id"))
+            & (
+                (F.col("prefix_len") < F.col("container_len"))
+                | (F.col("contained_id") < F.col("container_id"))
+            )
+        )
+        .select("contained_id", "container_id", "prefix_len", "container_len")
+    )
+    if canonical_only:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("contained_id").orderBy(
+            F.col("container_len").desc(), F.col("container_id").asc()
+        )
+        pairs = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return pairs
+
+
 def turn_alignment_scores(
     pairs: DataFrame,
     transcripts: DataFrame,

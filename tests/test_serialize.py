@@ -214,3 +214,58 @@ def test_turn_alignment_scores_known_values(spark):
     # reorder: position 2 ('q2' vs 'q2'... d = [a1, q1, q2]) -> only pos 3 aligns
     assert got[("a", "d")][0] == round(1 / 3, 9)
     assert got[("a", "e")] == (0.0, 0.0)
+
+
+def test_prefix_containment_pairs(spark):
+    """Planted containment: B extends A; C equals A; D shares A's first
+    turn but diverges at turn 1; E unrelated. Expected pairs:
+    (A,B), (C,B) strict prefixes; (A,C) equal-sequence tie (min id left);
+    D pairs with nobody (its full 2-turn sequence is not a prefix of
+    A/B/C — their turn 1 differs)."""
+    from ditto_spark.operators.serialize import prefix_containment_pairs
+
+    turns = {
+        "A": [("user", "hello"), ("assistant", "hi")],
+        "B": [("user", "hello"), ("assistant", "hi"), ("user", "more")],
+        "C": [("user", "hello"), ("assistant", "hi")],
+        "D": [("user", "hello"), ("assistant", "different")],
+        "E": [("user", "bye"), ("assistant", "later")],
+    }
+    rows = [
+        (cid, i, role, text, None, None)
+        for cid, ts in turns.items()
+        for i, (role, text) in enumerate(ts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["contained_id"], r["container_id"], r["prefix_len"], r["container_len"])
+        for r in prefix_containment_pairs(df).collect()
+    }
+    assert got == {("A", "B", 2, 3), ("C", "B", 2, 3), ("A", "C", 2, 2)}
+
+    # canonical_only: each contained conv keeps its single longest container
+    canon = {
+        (r["contained_id"], r["container_id"])
+        for r in prefix_containment_pairs(df, canonical_only=True).collect()
+    }
+    assert canon == {("A", "B"), ("C", "B")}
+
+
+def test_prefix_containment_partition_invariance(spark):
+    """Rolling-hash chains must not depend on physical layout."""
+    from ditto_spark.operators.serialize import prefix_containment_pairs
+    from ditto_spark.synth import generate_transcripts
+
+    t = generate_transcripts(spark, n_base=40, seed=11)
+    a = prefix_containment_pairs(t, max_len=3)
+    b = prefix_containment_pairs(
+        t.repartition(17).sortWithinPartitions(F.desc("turn_idx")), max_len=3
+    )
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+    # max_len=3 truncation makes duplicate groups share equal sequences:
+    # the planted dup groups must surface as equal-sequence pairs
+    assert a.count() > 0
