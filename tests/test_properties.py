@@ -170,3 +170,42 @@ def test_winnow_coverage_and_density_property(spark, seed, w):
     pos = sorted(p for _, p in got)
     for start in range(0, n_grams - w + 1):
         assert any(start <= p <= start + w - 1 for p in pos)
+
+
+@given(
+    st.lists(  # each conv: a sequence of small-alphabet turn tokens
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=5),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_prefix_containment_matches_bruteforce(spark, convs):
+    """prefix_containment_pairs == brute-force sequence-prefix comparison.
+    Small alphabet + short sequences force frequent prefix collisions."""
+    from ditto_spark.operators.serialize import prefix_containment_pairs
+
+    rows = [
+        (f"c{ci}", ti, "user", tok, None, None)
+        for ci, seq in enumerate(convs)
+        for ti, tok in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in prefix_containment_pairs(df).collect()
+    }
+    # brute force: fingerprint = (role, text) per turn
+    seqs = {f"c{ci}": [("user", t) for t in seq] for ci, seq in enumerate(convs)}
+    want = set()
+    for a, sa in seqs.items():
+        for b, sb in seqs.items():
+            if a == b or len(sa) > len(sb):
+                continue
+            if sb[: len(sa)] == sa and (len(sa) < len(sb) or a < b):
+                want.add((a, b))
+    assert got == want
