@@ -4334,6 +4334,69 @@ _CONTAINMENT_ORACLE = _ORACLE_SHINGLE_CTE + """
 """
 
 
+def q_match_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clerical-review evidence for the rare-shingle candidate pairs: the
+    top-5 shared tokens by corpus IDF, total shared-IDF mass, and shared
+    count per pair (scoring.match_evidence). Zero-overlap pairs kept with
+    empty evidence — 'no lexical evidence' is itself a review signal."""
+    from ditto_spark.operators.scoring import build_idf_df, match_evidence
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = _rare_shingle_pairs(docs).select("left_id", "right_id")
+    texts = docs.select("doc_id", "text")
+    pt = pairs.join(
+        texts.select(F.col("doc_id").alias("left_id"), F.col("text").alias("left_txt")),
+        "left_id",
+    ).join(
+        texts.select(
+            F.col("doc_id").alias("right_id"), F.col("text").alias("right_txt")
+        ),
+        "right_id",
+    )
+    idf = build_idf_df(docs.select(F.col("text").alias("txt")))
+    return match_evidence(pt, idf, k=5)
+
+
+_MATCH_EVIDENCE_ORACLE = _ORACLE_SHINGLE_CTE + """
+, toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS token
+    FROM documents
+), dfc AS (
+    SELECT token, count(*) AS df_cnt FROM toks GROUP BY token
+), corpus AS (SELECT count(*) AS n FROM documents
+), shared AS (
+    SELECT p.left_id, p.right_id, a.token,
+           ln(1 + corpus.n / d.df_cnt) AS w
+    FROM jp p
+    JOIN toks a ON a.doc_id = p.left_id
+    JOIN toks b ON b.doc_id = p.right_id AND b.token = a.token
+    JOIN dfc d ON d.token = a.token, corpus
+), ranked AS (
+    SELECT left_id, right_id, token, w,
+           row_number() OVER (PARTITION BY left_id, right_id
+                              ORDER BY w DESC, token ASC) AS rn,
+           sum(w) OVER (PARTITION BY left_id, right_id) AS tot,
+           count(*) OVER (PARTITION BY left_id, right_id) AS cnt
+    FROM shared
+), agg AS (
+    SELECT left_id, right_id,
+           string_agg(CASE WHEN rn <= 5 THEN token END, ' ' ORDER BY rn)
+               AS evidence,
+           round(max(tot), 6) AS evidence_weight,
+           max(cnt) AS n_overlap
+    FROM ranked GROUP BY left_id, right_id
+)
+SELECT p.left_id, p.right_id,
+       coalesce(a.evidence, '') AS evidence,
+       coalesce(a.evidence_weight, 0.0) AS evidence_weight,
+       CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM jp p
+LEFT JOIN agg a ON a.left_id = p.left_id AND a.right_id = p.right_id
+"""
+
+
 def q_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered prefix-containment over the events stream read as
     transcripts (user_id → conversation, (ts, event_id) → turn order,
@@ -5162,6 +5225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_cosine_pairs": q_idf_cosine_pairs,
         "containment_pairs": q_containment_pairs,
         "prefix_containment": q_prefix_containment,
+        "match_evidence": q_match_evidence,
         "lsh_power_curve": q_lsh_power_curve,
         "bpe_token_stats": q_bpe_token_stats,
         "roc_auc": q_roc_auc,
@@ -6113,6 +6177,7 @@ def oracle_sql() -> dict[str, str]:
         "idf_cosine_pairs": _IDF_COSINE_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
         "prefix_containment": _PREFIX_CONTAINMENT_ORACLE,
+        "match_evidence": _MATCH_EVIDENCE_ORACLE,
         "lsh_power_curve": _LSH_POWER_ORACLE,
         "bpe_token_stats": _bpe_oracle(),
         "roc_auc": "WITH d AS (" + _SCORED_FOR_CALIBRATION + """

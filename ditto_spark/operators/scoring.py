@@ -235,6 +235,81 @@ def score_pairs_tfidf_relational(
     )
 
 
+def match_evidence(
+    pairs_with_text: DataFrame,
+    idf_df: DataFrame,
+    k: int = 5,
+    default_idf: float = 0.0,
+    broadcast_idf: bool = True,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-pair match EVIDENCE for clerical review: the top-k shared tokens
+    by IDF weight (the terms that actually drive the lexical/surrogate
+    scorer's decision), the total shared-IDF mass, and the shared-token
+    count. The review-queue complement of `fellegi.fs_explain` — that one
+    decomposes a γ-vector model's weights per comparison field; this one
+    shows WHICH rare terms two free-text entities share, which is what a
+    human checks first ("both mention w1423 terrace-house serial XK-55").
+
+    Tokenizer is `idf_tokens_expr` (lowercased whitespace, distinct) —
+    lockstep with the IDF builders, so every shared token has a weight.
+    Tokens absent from the index weigh `default_idf` (0.0: unseen tokens
+    carry no evidence; the conservative review default).
+
+    Plan: array_intersect of the two token arrays BEFORE the explode (the
+    exploded table is sized by shared tokens only, ≪ both texts), one
+    broadcast join against the (token, idf) index, one pair-keyed groupBy
+    with ordering-in-agg top-k (array_sort of (−idf, token) structs — no
+    ranking window, no second shuffle), and one id-keyed left join to keep
+    zero-overlap pairs visible (evidence='', weight 0 — "no lexical
+    evidence" is a review signal, not a dropped row).
+
+    Output: (left_id, right_id, evidence, evidence_weight, n_overlap).
+    """
+    idf = idf_df.select("token", "idf")
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    shared = pairs_with_text.select(
+        "left_id",
+        "right_id",
+        F.explode(
+            F.array_intersect(
+                idf_tokens_expr("left_txt"), idf_tokens_expr("right_txt")
+            )
+        ).alias("token"),
+    )
+    weighted = shared.join(idf, "token", "left").select(
+        "left_id",
+        "right_id",
+        "token",
+        F.coalesce("idf", F.lit(float(default_idf))).alias("w"),
+    )
+    # ordering-in-agg top-k: sort (−w, token) structs inside the aggregate,
+    # slice k, project tokens — deterministic (idf desc, token asc) ties
+    ordered = F.array_sort(
+        F.collect_list(F.struct((-F.col("w")).alias("nw"), F.col("token")))
+    )
+    agg = weighted.groupBy("left_id", "right_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.slice(ordered, 1, k), lambda s: s["token"]),
+        ).alias("evidence"),
+        F.round(F.sum("w"), ndigits).alias("evidence_weight"),
+        F.count(F.lit(1)).alias("n_overlap"),
+    )
+    return (
+        pairs_with_text.select("left_id", "right_id")
+        .join(agg, ["left_id", "right_id"], "left")
+        .select(
+            "left_id",
+            "right_id",
+            F.coalesce("evidence", F.lit("")).alias("evidence"),
+            F.coalesce("evidence_weight", F.lit(0.0)).alias("evidence_weight"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )
+
+
 def numpy_cross_encoder_factory(
     vocab_size: int = 2048,
     hidden: int = 64,

@@ -420,3 +420,38 @@ def test_score_pairs_cached_duplicate_text_pairs_scored_once(spark, tmp_path):
     )
     out = score_pairs_cached(pairs, str(tmp_path / "c4"), score_fn=counting_score)
     assert out.count() == 4 and calls == [2]
+
+
+def test_match_evidence_known_values(spark):
+    """Hand corpus: 4 docs; 'xkz' appears in 2 docs (rare, heavy), 'the' in
+    all 4 (common, light). Pair (1,2) shares both; (3,4) shares nothing."""
+    import math
+
+    from ditto_spark.operators.scoring import build_idf_df, match_evidence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the xkz report"),
+            (2, "the xkz summary"),
+            (3, "the alpha file"),
+            (4, "beta notes only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idf = build_idf_df(docs.select(F.col("text").alias("txt")))
+    pt = spark.createDataFrame(
+        [
+            (1, 2, "the xkz report", "the xkz summary"),
+            (3, 4, "the alpha file", "beta notes only"),
+        ],
+        "left_id bigint, right_id bigint, left_txt string, right_txt string",
+    )
+    out = {r["left_id"]: r for r in match_evidence(pt, idf, k=1).collect()}
+    w_xkz = math.log(1 + 4 / 2)  # idf of the rare shared token
+    w_the = math.log(1 + 4 / 3)  # 'the' is in docs 1-3 only
+    r12 = out[1]
+    assert r12["evidence"] == "xkz"  # k=1 keeps the heaviest shared token
+    assert abs(r12["evidence_weight"] - round(w_xkz + w_the, 6)) < 1e-9
+    assert r12["n_overlap"] == 2
+    r34 = out[3]  # zero-overlap pair survives with empty evidence
+    assert (r34["evidence"], r34["evidence_weight"], r34["n_overlap"]) == ("", 0.0, 0)
