@@ -235,6 +235,118 @@ def score_pairs_tfidf_relational(
     )
 
 
+def score_pairs_progressive(
+    pairs_with_text: DataFrame,
+    threshold: float,
+    scorer_factory: Callable[[], Callable[[pd.Series, pd.Series], np.ndarray]] | None = None,
+    est_col: str = "est_jaccard",
+    n_batches: int = 4,
+) -> tuple[DataFrame, dict]:
+    """Progressive (pay-as-you-go) pairwise scoring with transitivity
+    pruning: candidate pairs are processed in descending blocker-estimate
+    order (fixed [0,1] bins on `est_col` — no global sort), and each batch
+    drops pairs whose endpoints ALREADY share a cluster before the Arrow
+    scorer sees them (Whang et al. 2013 pay-as-you-go ER, composed with
+    `cluster.merge_edge_batch`'s exact incremental CC).
+
+    Why the output is EXACTLY the non-progressive clusters: scoring only
+    ever ADDS edges, so components only grow; a pruned pair's endpoints
+    are in one component at prune time and therefore in one component at
+    the end, and an intra-component edge (whether the scorer would have
+    accepted or rejected it) never changes connected components. So the
+    final assignment equals CC(all passing edges of a score-everything
+    run) — only the per-pair probabilities of pruned pairs are never
+    computed (this returns CLUSTERS, not a complete score table).
+
+    Why at 100 TB: the LM scorer is the dominant stage cost (measured
+    50x run: score 355 s of 409 s total), and duplicate-heavy corpora
+    produce near-clique candidate groups — a k-clique needs only a
+    spanning tree's k−1 accepted edges to resolve, but a one-shot run
+    scores all k(k−1)/2. High-estimate batches resolve the cliques first;
+    later batches prune their remaining pairs for the cost of two id-keyed
+    joins + an edge-sized meta-CC per batch (driver-synchronized like the
+    CC loop itself).
+
+    Returns (assignments, stats): assignments (conv_id, cluster_id) over
+    nodes that appear in accepted edges (caller maps singletons to
+    themselves, as the pipeline does); stats records scored/pruned counts
+    per batch.
+    """
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    from ditto_spark.operators.cluster import merge_edge_batch
+
+    binned = pairs_with_text.withColumn(
+        "__bin",
+        F.least(
+            F.lit(n_batches - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.lit(1.0) - F.col(est_col)) * n_batches),
+            ),
+        ).cast("int"),
+    ).persist()
+    # empty assignment with the caller's id dtype (string conv ids here,
+    # bigint doc ids elsewhere — limit(0) keeps the schema generic)
+    assignments = (
+        pairs_with_text.select(F.col("left_id").alias("conv_id"))
+        .limit(0)
+        .withColumn("cluster_id", F.col("conv_id"))
+    )
+    stats: dict = {"n_batches": n_batches, "threshold": threshold, "batches": []}
+    for b in range(n_batches):
+        todo = binned.where(F.col("__bin") == b)
+        n_pruned = 0
+        joined = None
+        if b > 0:
+            a = assignments
+            joined = (
+                todo.join(
+                    a.select(
+                        F.col("conv_id").alias("left_id"),
+                        F.col("cluster_id").alias("__cl"),
+                    ),
+                    "left_id",
+                    "left",
+                )
+                .join(
+                    a.select(
+                        F.col("conv_id").alias("right_id"),
+                        F.col("cluster_id").alias("__cr"),
+                    ),
+                    "right_id",
+                    "left",
+                )
+                .withColumn(
+                    # both endpoints known AND same cluster (null-safe:
+                    # an unseen endpoint never prunes)
+                    "__pruned",
+                    F.coalesce(F.col("__cl") == F.col("__cr"), F.lit(False)),
+                )
+                .persist()
+            )
+            n_pruned = joined.where(F.col("__pruned")).count()
+            todo = joined.where(~F.col("__pruned")).drop(
+                "__cl", "__cr", "__pruned"
+            )
+        scored = score_pairs(todo, scorer_factory).persist()
+        n_scored = scored.count()
+        edges = scored.where(F.col("prob") > threshold).select(
+            "left_id", "right_id"
+        )
+        assignments = merge_edge_batch(assignments, edges).localCheckpoint()
+        scored.unpersist()
+        if joined is not None:
+            joined.unpersist()
+        stats["batches"].append(
+            {"bin": b, "scored": n_scored, "pruned": n_pruned}
+        )
+    binned.unpersist()
+    stats["pairs_scored"] = sum(x["scored"] for x in stats["batches"])
+    stats["pairs_pruned"] = sum(x["pruned"] for x in stats["batches"])
+    return assignments, stats
+
+
 def match_evidence(
     pairs_with_text: DataFrame,
     idf_df: DataFrame,

@@ -178,3 +178,26 @@ def test_cluster_agreement_trivial_partitions(spark):
     row1 = cluster_agreement(one, one).collect()[0]
     assert row1["adjusted_rand"] == 1.0
     assert row1["nmi"] == 0.0
+
+
+def test_progressive_pipeline_matches_one_shot(spark):
+    """dedup_transcripts_progressive must produce the exact clusters of the
+    one-shot flagship (transitivity pruning is output-preserving), while
+    scoring strictly fewer pairs."""
+    from ditto_spark.pipeline import (
+        PipelineConfig,
+        dedup_transcripts,
+        dedup_transcripts_progressive,
+    )
+    from ditto_spark.synth import generate_transcripts
+
+    t = generate_transcripts(spark, n_base=60, seed=42, max_dups=3, dup_prob=0.9)
+    cfg = PipelineConfig()
+    want = {
+        (r["conv_id"], r["cluster_id"])
+        for r in dedup_transcripts(t, cfg).clusters.collect()
+    }
+    clusters, stats = dedup_transcripts_progressive(t, cfg, n_batches=3)
+    got = {(r["conv_id"], r["cluster_id"]) for r in clusters.collect()}
+    assert got == want
+    assert stats["pairs_pruned"] > 0

@@ -455,3 +455,39 @@ def test_match_evidence_known_values(spark):
     assert r12["n_overlap"] == 2
     r34 = out[3]  # zero-overlap pair survives with empty evidence
     assert (r34["evidence"], r34["evidence_weight"], r34["n_overlap"]) == ("", 0.0, 0)
+
+
+def test_score_pairs_progressive_matches_one_shot(spark):
+    """Transitivity pruning must not change clusters (the theorem the
+    docstring states), and on planted duplicate groups (near-cliques) the
+    later batches must actually prune pairs."""
+    from ditto_spark.operators.blocking import block_minhash_lsh
+    from ditto_spark.operators.cluster import connected_components
+    from ditto_spark.operators.scoring import (
+        attach_pair_text,
+        score_pairs_progressive,
+    )
+    from ditto_spark.operators.serialize import serialize_conversations
+    from ditto_spark.synth import generate_transcripts
+
+    t = generate_transcripts(spark, n_base=80, seed=42, max_dups=3, dup_prob=0.9)
+    ser = serialize_conversations(t).persist()
+    cand = block_minhash_lsh(ser, text_col="block_text")
+    pt = attach_pair_text(
+        cand.select("left_id", "right_id", "est_jaccard"),
+        ser.select("conv_id", F.col("block_text").alias("entity_text")),
+    )
+    tau = 0.5
+
+    # one-shot reference: score everything, threshold, full CC
+    edges = score_pairs(pt).where(F.col("prob") > tau).select("left_id", "right_id")
+    want = {
+        (r["conv_id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+
+    prog, stats = score_pairs_progressive(pt, threshold=tau, n_batches=4)
+    got = {(r["conv_id"], r["cluster_id"]) for r in prog.collect()}
+    assert got == want
+    assert stats["pairs_pruned"] > 0  # cliques resolved early prune later pairs
+    assert stats["pairs_scored"] + stats["pairs_pruned"] == pt.count()
