@@ -76,7 +76,7 @@ def main() -> None:
         row = canon.agg(
             F.count("*").alias("n"),
             F.count_distinct("h").alias("nh"),
-            F.sum("h").alias("s"),
+            F.expr("bit_xor(h)").alias("s"),
         ).collect()[0]
         n_clusters = clusters.select("cluster_id").distinct().count()
         return int(row["n"]), n_clusters, int(row["s"])
