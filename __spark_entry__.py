@@ -1824,6 +1824,142 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k cosine — the compressed-index tier (FAISS
+    IVFADC shape, non-residual; Jégou et al. TPAMI 2011): md5-seeded coarse
+    quantizer (16 cells) routes queries to their 4 nearest cells; inverted
+    lists store 8 PQ codes per vector (16-entry codebook per 8-dim
+    subspace, md5-seeded) instead of 64 doubles; candidates are ranked by
+    asymmetric distance (full-precision query vs PQ reconstruction), the
+    top 20 exactly re-ranked with real vectors, top 5 kept. n_iter=0 keeps
+    every step deterministic md5 arithmetic + fixed-order float folds, so
+    the DuckDB oracle replicates seeding/assignment/encoding/ADC/re-rank
+    verbatim → full hash-checked parity. Replaces the dense blocked-matmul
+    retrieval of /root/reference/blocking/blocker.py:43-80 at 100 TB: the
+    shuffled index payload is m codes per row, dim·8/m× smaller."""
+    from ditto_spark.operators.ann import cosine_topk_ivfpq
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk_ivfpq(
+        emb, dim=_ANN_DIM, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
+        n_iter=0, queries=queries, rerank=20,
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_IVFPQ_TOPK_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM e ORDER BY h LIMIT 16
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS centroid_id, v AS cv
+      FROM seeds
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_inner_product(e.v, c.cv) /
+                  (sqrt(list_inner_product(e.v, e.v)) *
+                   sqrt(list_inner_product(c.cv, c.cv)))) DESC,
+                 c.centroid_id ASC) AS crk
+        FROM e CROSS JOIN cent c
+      ) WHERE crk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+    qn AS (SELECT query_id, sqrt(list_inner_product(qv, qv)) AS qn FROM q),
+    probe AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 (list_inner_product(q.qv, c.cv) /
+                  (sqrt(list_inner_product(q.qv, q.qv)) *
+                   sqrt(list_inner_product(c.cv, c.cv)))) DESC,
+                 c.centroid_id ASC) AS crk
+        FROM q CROSS JOIN cent c
+      ) WHERE crk <= 4
+    ),
+    subs AS (
+      SELECT e.vec_id, s.sub_id,
+             list_slice(e.v, s.sub_id*8 + 1, s.sub_id*8 + 8) AS sv
+      FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub_id) s
+    ),
+    cb AS (
+      SELECT sub_id, rn - 1 AS code, sv AS cw FROM (
+        SELECT sub_id, sv,
+               row_number() OVER (PARTITION BY sub_id ORDER BY
+                 md5(CAST(vec_id AS VARCHAR) || ':' ||
+                     CAST(sub_id AS VARCHAR)) ASC) AS rn
+        FROM subs
+      ) WHERE rn <= 16
+    ),
+    enc AS (
+      SELECT vec_id, sub_id, cw FROM (
+        SELECT subs.vec_id, subs.sub_id, cb.cw,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub_id
+                 ORDER BY
+                 (list_inner_product(subs.sv, subs.sv)
+                  - 2.0 * list_inner_product(subs.sv, cb.cw)
+                  + list_inner_product(cb.cw, cb.cw)) ASC,
+                 cb.code ASC) AS rk
+        FROM subs JOIN cb USING (sub_id)
+      ) WHERE rk = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a USING (centroid_id)
+      WHERE a.vec_id != p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list(list_inner_product(
+               list_slice(q.qv, en.sub_id*8 + 1, en.sub_id*8 + 8), en.cw)
+               ORDER BY en.sub_id)) AS dot,
+             list_sum(list(list_inner_product(en.cw, en.cw)
+               ORDER BY en.sub_id)) AS rn2
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN enc en ON en.vec_id = c.neighbor_id
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    approx AS (
+      SELECT a.query_id, a.neighbor_id,
+             row_number() OVER (PARTITION BY a.query_id ORDER BY
+               (CASE WHEN a.rn2 > 0
+                     THEN a.dot / (qn.qn * sqrt(a.rn2))
+                     ELSE -1.0 END) DESC,
+               a.neighbor_id ASC) AS ark
+      FROM adc a JOIN qn ON qn.query_id = a.query_id
+    ),
+    ex AS (
+      SELECT t.query_id, t.neighbor_id,
+             list_inner_product(q.qv, e.v) /
+             (sqrt(list_inner_product(q.qv, q.qv)) *
+              sqrt(list_inner_product(e.v, e.v))) AS cos
+      FROM (SELECT query_id, neighbor_id FROM approx WHERE ark <= 20) t
+      JOIN q ON q.query_id = t.query_id
+      JOIN e ON e.vec_id = t.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM ex
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
 def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (vec_id + 10000, even dims ×1.05, odd
     ×0.95 → cos(v, v') ≈ 0.999): gives the near-dup query REAL near-
@@ -5166,6 +5302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "gopher_filter": q_gopher_filter,
@@ -5619,6 +5756,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk
             FROM ranked WHERE rk <= 5
         """,
+        "ivfpq_topk": _IVFPQ_TOPK_ORACLE,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "gopher_filter": _GOPHER_FILTER_ORACLE,

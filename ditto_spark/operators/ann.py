@@ -735,3 +735,285 @@ def feature_hash_vectors(
         .otherwise(F.col(out_col))
         .alias(out_col),
     )
+
+
+def _sq_l2(a, b) -> F.Column:
+    """Squared L2 distance ‖a‖² − 2⟨a,b⟩ + ‖b‖² between two array<double>
+    columns. Deliberately built from three ordered inner-product folds
+    (not a zip_with of (x−y)²) so the DuckDB oracle can replicate the
+    exact float arithmetic with list_inner_product — the primitive whose
+    bit-parity with Spark's sequential fold the existing ANN oracles
+    already prove."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 0,
+    train_filter=None,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public): split
+    each dim-vector into `m` contiguous subvectors of dim/m components and
+    learn an independent `ksub`-entry codebook per subspace. Returns
+    (sub_id:int, code:long, cw:array<double>).
+
+    Seeding is deterministic and engine-portable (same discipline as
+    `ivf_centroids`): subspace s's seed codewords are the subvectors of the
+    ksub corpus rows with the smallest md5(f"{id}:{s}") — per-subspace
+    hashes, so each subspace draws an independent uniform sample — refined
+    by `n_iter` Lloyd rounds on squared-L2 (assign → per-(sub,code,pos)
+    mean; a code that loses all members keeps its previous codeword, as in
+    ivf_centroids). n_iter=0 keeps the whole operator pure md5 arithmetic,
+    replicated verbatim by the DuckDB `ivfpq_topk` oracle.
+
+    Scale: codebooks are trained on a SAMPLE, never the corpus — pass
+    `train_filter` (a Column over the input, e.g. a deterministic md5-range
+    predicate) to bound training cost; FAISS practice is 10⁴-10⁶ training
+    vectors regardless of corpus size. The per-subspace seed ranking is a
+    window over the m·|sample| exploded subvector rows (m tiny groups —
+    fine on a bounded sample, never run corpus-wide), and each Lloyd round
+    is one broadcast-argmin projection + one (m·ksub·dim/m)-key groupBy."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    vecs = _vec_view(vectors, id_col, vec_col)
+    if train_filter is not None:
+        vecs = vecs.where(train_filter)
+    subs = vecs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("v"), s * dsub + 1, dsub),
+            )
+        ).alias("sub_id", "sv"),
+    )
+    w = Window.partitionBy("sub_id").orderBy("h")
+    cb = (
+        subs.withColumn(
+            "h",
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.col("sub_id").cast("string"))),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ksub)
+        .select(
+            "sub_id",
+            (F.col("rn") - 1).cast("long").alias("code"),
+            F.col("sv").alias("cw"),
+        )
+    )
+    for _ in range(n_iter):
+        percell = cb.groupBy("sub_id").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("cl")
+        )
+        assigned = subs.join(F.broadcast(percell), "sub_id").select(
+            "sub_id",
+            F.col("sv"),
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("cl"),
+                        lambda c: F.struct(
+                            _sq_l2(F.col("sv"), c["cw"]).alias("d"),
+                            c["code"].alias("code"),
+                        ),
+                    )
+                ),
+                1,
+            )["code"].alias("code"),
+        )
+        means = (
+            assigned.select("sub_id", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub_id", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+            .select(
+                "sub_id", "code",
+                F.transform("pm", lambda s: s["mx"]).alias("cw_new"),
+            )
+        )
+        cb = cb.join(means, ["sub_id", "code"], "left").select(
+            "sub_id", "code", F.coalesce("cw_new", "cw").alias("cw")
+        )
+    return cb
+
+
+def _pq_cb_row(codebooks: DataFrame) -> DataFrame:
+    """Collapse (sub_id, code, cw) into ONE broadcastable row
+    `cbs: array<array<array<double>>>` — cbs[s+1][c+1] = codeword c of
+    subspace s. m·ksub·(dim/m) doubles = dim·ksub total: a few KB even at
+    ksub=256, always broadcast."""
+    return (
+        codebooks.groupBy("sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("cl"))
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "cl"))).alias("scl"))
+        .select(
+            F.transform(
+                "scl", lambda s: F.transform(s["cl"], lambda c: c["cw"])
+            ).alias("cbs")
+        )
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """PQ encoding: each vector → array<int> of m codes (nearest codeword
+    per subspace by squared-L2, ties to the smallest code). ZERO-shuffle:
+    the codebooks collapse to one broadcast row and the m argmins run as
+    nested higher-order expressions inside whole-stage codegen — no window,
+    no explode, no Python. At dim=64/m=8 the index payload shrinks from
+    512 B of float64 to 8 small ints per row — the compression that lets a
+    100 TB embedding corpus's ANN index live in a fraction of the memory
+    (and every downstream shuffle carry codes, not vectors)."""
+    dsub = dim // m
+    vecs = _vec_view(vectors, id_col, vec_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.element_at(F.col("cbs"), s + 1),
+                    lambda cw, c: F.struct(
+                        _sq_l2(F.slice(F.col("v"), s * dsub + 1, dsub), cw).alias("d"),
+                        c.alias("code"),
+                    ),
+                )
+            ),
+            1,
+        )["code"],
+    )
+    return vecs.crossJoin(F.broadcast(_pq_cb_row(codebooks))).select(
+        F.col(id_col), codes.alias(out_col)
+    )
+
+
+def cosine_topk_ivfpq(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 0,
+    queries: DataFrame | None = None,
+    rerank: int | None = None,
+    train_filter=None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k cosine search — the compressed-index tier
+    beside brute-force / LSH / IVF-flat (same output contract: query_id,
+    neighbor_id, cos, rk). The FAISS IVFADC shape (Jégou et al. 2011 §IV),
+    non-residual variant: an IVF coarse quantizer routes queries to
+    n_probe cells, and candidates are scored ASYMMETRICALLY — full-precision
+    query against the PQ reconstruction of the neighbor,
+    cos(q, recon) = Σ_s <q_s, cw_s[code_s]> / (‖q‖·‖recon‖) — so the
+    inverted lists store only (centroid_id, m codes) per vector, dim·8/m×
+    smaller than raw float64 vectors.
+
+    Why it matters at 100 TB: IVF-flat's candidate join ships full vectors
+    through the probe-cell shuffle; here the shuffle payload per neighbor
+    is m bytes-ish of codes, and full vectors are touched only if `rerank`
+    is set (exact re-scoring of the top `rerank` ADC candidates per query
+    — two orders of magnitude fewer rows than the candidate set). Accuracy
+    knobs: m·log2(ksub) bits per vector, n_probe recall, rerank exactness.
+
+    With n_iter=0 the operator is deterministic md5 arithmetic + fixed-order
+    float folds end to end, replicated verbatim by the DuckDB `ivfpq_topk`
+    oracle (cites /root/reference/blocking/blocker.py:43-80 — the dense
+    top-k retrieval this replaces at scale)."""
+    vecs = _vec_view(vectors, id_col, vec_col)
+    cent = ivf_centroids(
+        vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        n_iter=n_iter,
+    )
+    cb = pq_codebooks(
+        vectors, dim=dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+        n_iter=n_iter, train_filter=train_filter,
+    )
+    members = _ivf_assign(vecs, cent).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    codes = pq_encode(
+        vectors, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    index = members.join(codes, "neighbor_id")  # the compressed inverted file
+    if queries is None:
+        qvecs = vecs.select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        )
+    else:
+        qvecs = queries.select(
+            "query_id", F.transform("qv", lambda x: x.cast("double")).alias("qv")
+        )
+    probed = _ivf_assign(
+        qvecs.select("query_id", F.col("qv").alias("v")), cent, rank_upto=n_probe
+    ).select("query_id", "centroid_id")
+    cand = (
+        probed.join(index, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "codes")
+    )
+    dsub = dim // m
+    scored = cand.join(qvecs, "query_id").crossJoin(
+        F.broadcast(_pq_cb_row(cb))
+    )
+    # ADC: per-subspace codeword lookup; folds run in fixed s=0..m-1 order
+    sub_idx = F.sequence(F.lit(0), F.lit(m - 1))
+    cw_of = lambda s: F.element_at(  # noqa: E731
+        F.element_at(F.col("cbs"), s + 1),
+        F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+    )
+    adc_dot = F.aggregate(
+        sub_idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + _dot(F.slice(F.col("qv"), s * dsub + 1, dsub), cw_of(s)),
+    )
+    rnorm2 = F.aggregate(
+        sub_idx, F.lit(0.0), lambda acc, s: acc + _dot(cw_of(s), cw_of(s))
+    )
+    qnorm = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    cos = F.when(rnorm2 > 0, adc_dot / (qnorm * F.sqrt(rnorm2))).otherwise(
+        F.lit(-1.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    approx = (
+        scored.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    if rerank is None:
+        return approx.where(F.col("rk") <= k)
+    # exact re-rank: full vectors touched for only `rerank` rows per query
+    top = approx.where(F.col("rk") <= int(rerank)).select(
+        "query_id", "neighbor_id"
+    )
+    ex = top.join(qvecs, "query_id").join(
+        vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv")),
+        "neighbor_id",
+    )
+    ecos = _dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("nv"), F.col("nv")))
+    )
+    return (
+        ex.select("query_id", "neighbor_id", ecos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -479,3 +479,130 @@ def test_feature_hash_feeds_ann_stack(spark):
     pairmate = lambda i: i + 1 if i % 2 == 0 else i - 1  # noqa: E731
     matches = sum(1 for q, n in got.items() if n == pairmate(q))
     assert matches >= 18, f"only {matches}/20 nearest neighbors are the planted near-dups"
+
+
+def _dvecs(spark, n=60, n_clusters=6, seed=3, noise=0.05):
+    """Clustered unit vectors as array<double> (exact-arithmetic tests)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, DIM)
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + noise * rng.randn(DIM)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_matches_numpy(spark):
+    """pq_codebooks seeding + pq_encode argmin replicated in plain numpy
+    (md5 per-subspace seed ranking, 3-inner-product squared-L2, ties to
+    smallest code) — proves the deterministic contract the DuckDB oracle
+    relies on."""
+    import hashlib
+
+    from ditto_spark.operators.ann import pq_codebooks, pq_encode
+
+    m, ksub, dsub = 4, 8, DIM // 4
+    df = _dvecs(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    # numpy codebooks: per subspace, ksub smallest md5(f"{id}:{s}")
+    cb = {}
+    for s in range(m):
+        ranked = sorted(
+            vecs, key=lambda i: hashlib.md5(f"{i}:{s}".encode()).hexdigest()
+        )[:ksub]
+        cb[s] = [vecs[i][s * dsub:(s + 1) * dsub] for i in ranked]
+    spark_cb = pq_codebooks(df, dim=DIM, m=m, ksub=ksub)
+    for r in spark_cb.collect():
+        np.testing.assert_allclose(
+            r["cw"], cb[r["sub_id"]][r["code"]], rtol=0, atol=0
+        )
+    # numpy encode: argmin ||sv||^2 - 2<sv,cw> + ||cw||^2, ties -> low code
+    expect = {}
+    for i, v in vecs.items():
+        codes = []
+        for s in range(m):
+            sv = v[s * dsub:(s + 1) * dsub]
+            d = [sv @ sv - 2.0 * (sv @ c) + c @ c for c in cb[s]]
+            codes.append(int(np.argmin(d)))
+        expect[i] = codes
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, spark_cb, dim=DIM, m=m).collect()
+    }
+    assert got == expect
+
+
+def test_pq_encode_partition_invariant(spark):
+    from ditto_spark.operators.ann import pq_codebooks, pq_encode
+
+    df = _dvecs(spark)
+    cb = pq_codebooks(df, dim=DIM, m=4, ksub=8)
+    a = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(df, cb, dim=DIM, m=4).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(df.repartition(7), cb, dim=DIM, m=4).collect()
+    )
+    assert a == b
+
+
+def test_pq_lloyd_refinement_improves_quantization(spark):
+    """Lloyd rounds never increase total squared quantization error on the
+    training set (standard k-means monotonicity, per subspace)."""
+    from ditto_spark.operators.ann import pq_codebooks, pq_encode, _pq_cb_row
+
+    df = _dvecs(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+
+    def total_err(n_iter):
+        cb = pq_codebooks(df, dim=DIM, m=4, ksub=8, n_iter=n_iter)
+        cbs = _pq_cb_row(cb).collect()[0]["cbs"]
+        enc = pq_encode(df, cb, dim=DIM, m=4).collect()
+        err = 0.0
+        for r in enc:
+            v = vecs[r["vec_id"]]
+            for s, c in enumerate(r["codes"]):
+                sv = v[s * 4:(s + 1) * 4]
+                cw = np.array(cbs[s][c])
+                err += float((sv - cw) @ (sv - cw))
+        return err
+
+    e0, e2 = total_err(0), total_err(2)
+    assert e2 <= e0 + 1e-9, (e0, e2)
+
+
+def test_ivfpq_recall_and_rerank(spark):
+    """IVF-PQ top-k recall vs exact brute force on clustered vectors; the
+    exact re-rank tier must do at least as well as raw ADC ranking."""
+    from ditto_spark.operators.ann import cosine_topk_ivfpq
+
+    df = _dvecs(spark)
+    v = df.select("vec_id", F.col("embedding").alias("v"))
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(v, q, k=3, vec_col="v").collect()
+    }
+
+    def recall(rerank):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivfpq(
+                df, dim=DIM, k=3, n_centroids=8, n_probe=4, m=4, ksub=8,
+                rerank=rerank,
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    # raw ADC ranks among ~10 same-cluster near-ties whose cosine gaps are
+    # smaller than the quantization error — low raw recall is the expected
+    # PQ trade (measured 0.38 here); the exact re-rank tier is how PQ is
+    # deployed (measured 1.0 here)
+    r_adc = recall(None)
+    r_rr = recall(15)
+    assert r_adc >= 0.3, f"ADC recall {r_adc}"
+    assert r_rr >= r_adc - 1e-9, (r_adc, r_rr)
+    assert r_rr >= 0.9, f"re-rank recall {r_rr}"
