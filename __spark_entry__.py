@@ -209,6 +209,93 @@ _DOC_DEDUP_ORACLE = (
 )
 
 
+def _pivot_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB oracle for pivot_dedup_clusters: the lex-first-MIS rounds of
+    KwikCluster unrolled as generated CTEs (same unrolling discipline as
+    _fs_em_oracle_sql — a fixed round budget replaces the driver loop; the
+    Spark query asserts it converged within the same budget, so an unused
+    trailing round is an empty CTE, never a silent truncation). Rank =
+    md5('17:' || node), identical to pivot_clusters(seed=17)."""
+    rk = "md5('17:' || CAST({} AS VARCHAR))"
+    parts = [
+        _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1),
+        """
+    , edges AS MATERIALIZED (
+      SELECT left_id AS x, right_id AS y FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.5
+    ), active0 AS MATERIALIZED (SELECT DISTINCT x AS n FROM edges)
+""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    , piv{i} AS MATERIALIZED (
+      SELECT a.n FROM active{i - 1} a
+      LEFT JOIN (
+        SELECT e.x, min({rk.format('e.y')}) AS mr
+        FROM edges e
+        JOIN active{i - 1} ax ON ax.n = e.x
+        JOIN active{i - 1} ay ON ay.n = e.y
+        GROUP BY e.x
+      ) m ON m.x = a.n
+      WHERE m.mr IS NULL OR {rk.format('a.n')} < m.mr
+    ), active{i} AS MATERIALIZED (
+      SELECT a.n FROM active{i - 1} a
+      WHERE a.n NOT IN (SELECT n FROM piv{i})
+        AND a.n NOT IN (SELECT e.x FROM edges e JOIN piv{i} p ON p.n = e.y)
+    )
+""")
+    piv_union = "\n      UNION ALL\n      ".join(
+        f"SELECT n FROM piv{i}" for i in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    , piv AS (
+      {piv_union}
+    ), asgn AS (
+      SELECT e.x AS node, arg_min(e.y, {rk.format('e.y')}) AS cluster_id
+      FROM edges e JOIN piv p ON p.n = e.y
+      WHERE e.x NOT IN (SELECT n FROM piv)
+      GROUP BY e.x
+    ), clus AS (
+      SELECT n AS node, n AS cluster_id FROM piv
+      UNION ALL
+      SELECT node, cluster_id FROM asgn
+    )
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clus c ON c.node = d.doc_id
+""")
+    return "".join(parts)
+
+
+def q_pivot_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KwikCluster pivot correlation clustering over the same rare-shingle
+    Jaccard ≥ 0.5 edges as doc_dedup_clusters — the bounded-diameter
+    alternative to CC's transitive chaining (every member is one hop from
+    its md5-rank pivot; chained false merges cannot propagate). Iterative
+    MIS rounds, yet FULLY value-checked: the DuckDB oracle unrolls the
+    rounds as generated CTEs and this query asserts convergence within
+    the oracle's round budget."""
+    from ditto_spark.operators.cluster import pivot_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = (
+        _rare_shingle_pairs(docs)
+        .where(F.col("jaccard") >= 0.5)
+        .select("left_id", "right_id")
+    )
+    clusters = pivot_clusters(edges, seed=17)
+    assert (
+        pivot_clusters.last_rounds is not None
+        and pivot_clusters.last_rounds <= 8
+    ), f"pivot rounds {pivot_clusters.last_rounds} exceed oracle unroll budget"
+    return docs.select("doc_id").join(
+        clusters, docs["doc_id"] == clusters["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 # doc_curation: the composed funnel — each stage's oracle fragment is the
 # already-proven one (gopher_filter / exact_dedup / doc_dedup_clusters /
 # decontaminate), re-scoped to the previous stage's survivor set. The CASE
@@ -5280,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": q_doc_curation,
         "pack_chunks": q_pack_chunks,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "pivot_dedup_clusters": q_pivot_dedup_clusters,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
         "tfidf_summarize": q_tfidf_summarize,
         "tfidf_summarize_budget": q_tfidf_summarize_budget,
@@ -6265,6 +6353,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation": _DOC_CURATION_ORACLE,
         "simhash_near_dup": _SIMHASH_ORACLE,
         "doc_dedup_clusters": _DOC_DEDUP_ORACLE,
+        "pivot_dedup_clusters": _pivot_oracle_sql(),
         "media_features": """
             WITH dims AS (
               SELECT doc_id, text,

@@ -920,3 +920,128 @@ def cluster_bridge_edges(
         )
 
     return e.groupBy(cluster_col).applyInPandas(per_cluster, schema)
+
+
+def pivot_clusters(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    seed: int = 17,
+    max_rounds: int = 64,
+    rows_per_partition: int = 200_000,
+) -> DataFrame:
+    """KwikCluster pivot correlation clustering (Ailon, Charikar & Newman,
+    JACM 2008; parallelized via the lex-first-MIS rounds of Blelloch,
+    Fineman & Shun, SPAA 2012 / Chierichetti, Dasgupta & Kumar, KDD 2014 —
+    all public): the principled alternative to connected components when
+    transitive chaining over-merges. CC merges a...z through a chain of
+    pairwise matches even when a and z share nothing; KwikCluster picks
+    pivot records in a deterministic pseudo-random order and each cluster
+    is a pivot plus its DIRECT match neighbors — every member is one hop
+    from its pivot (bounded diameter, 3-approx expected cluster editing
+    cost over the rank distribution), so chained false merges cannot
+    propagate. Complements `split_clusters` (threshold-raise repair):
+    this prevents the chain, that repairs it.
+
+    Exact sequential semantics, computed in parallel: ranks are
+    r(v) = md5(f"{seed}:{v}") (engine-portable; collisions negligible).
+    The pivot set is the lexicographically-first maximal independent set
+    under r — computed in O(log n) expected rounds of "active nodes whose
+    rank beats every active neighbor become pivots; pivots and their
+    neighbors deactivate" — and each non-pivot joins its minimum-rank
+    pivot neighbor, which is provably the pivot that would have claimed
+    it in the sequential rank-order sweep (pytest asserts exact equality
+    with a sequential reference implementation).
+
+    Scale shape (same discipline as connected_components): per round, one
+    self-equi-join of the ACTIVE edge set + one groupBy-min keyed on node
+    ids only (ranks are 32-char strings, no payload), shuffles sized to
+    the edge table via explicit repartition — the session's
+    shuffle.partitions is never mutated; active edges shrink geometrically
+    (each round removes pivots AND their whole neighborhoods). The final
+    assignment is one edge-vs-pivot semi-join + groupBy-min. Returns
+    (node, cluster_id) for every node incident to an edge; singletons are
+    the caller's union (assign_clusters pattern). Raises on
+    non-convergence within max_rounds; `pivot_clusters.last_rounds` holds
+    the executed round count."""
+    pivot_clusters.last_rounds = None
+    spark = pairs.sparkSession
+    e = pairs.select(
+        F.col(left_col).alias("x"), F.col(right_col).alias("y")
+    ).where(F.col("x") != F.col("y"))
+    sym = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
+
+    def rk(c) -> F.Column:
+        return F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string")))
+
+    n_edges = sym.count()
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(4, min(session_parts, n_edges // rows_per_partition + 1))
+    sym = sym.repartition(loop_parts, "x").localCheckpoint(eager=True)
+    active = (
+        sym.select(F.col("x").alias("n")).distinct()
+        .repartition(loop_parts, "n")
+        .localCheckpoint(eager=True)
+    )
+    pivot_rounds: list[DataFrame] = []
+    rounds = 0
+    while True:
+        if active.isEmpty():
+            break
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"pivot_clusters did not converge in {max_rounds} rounds"
+            )
+        rounds += 1
+        # active-active adjacency for this round (ids only)
+        aa = (
+            sym.join(active.select(F.col("n").alias("x")), "x")
+            .join(active.select(F.col("n").alias("y")), "y")
+            .select("x", "y")
+        )
+        # minimum active-neighbor rank per node; nodes without active
+        # neighbors have no row here and are pivots by default
+        mn = aa.groupBy("x").agg(F.min(rk(F.col("y"))).alias("mr"))
+        new_piv = (
+            active.join(mn, active["n"] == mn["x"], "left")
+            .where(F.col("mr").isNull() | (rk(F.col("n")) < F.col("mr")))
+            .select("n")
+            .localCheckpoint(eager=True)
+        )
+        pivot_rounds.append(new_piv)
+        # deactivate pivots and their entire neighborhoods
+        claimed = (
+            aa.join(new_piv.select(F.col("n").alias("y")), "y")
+            .select(F.col("x").alias("n"))
+        )
+        gone = new_piv.union(claimed).distinct()
+        active = (
+            active.join(gone, "n", "left_anti")
+            .repartition(loop_parts, "n")
+            .localCheckpoint(eager=True)
+        )
+    pivot_clusters.last_rounds = rounds
+    if not pivot_rounds:
+        # no edges at all (caller unions singletons anyway); keep the
+        # caller's id type
+        t = pairs.schema[left_col].dataType.simpleString()
+        return spark.createDataFrame([], f"node {t}, cluster_id {t}")
+    piv = pivot_rounds[0]
+    for p in pivot_rounds[1:]:
+        piv = piv.union(p)
+    # each non-pivot joins its minimum-rank pivot neighbor — exactly the
+    # pivot that removes it in the sequential rank-order sweep
+    asgn = (
+        sym.join(piv.select(F.col("n").alias("y")), "y")
+        .join(piv.select(F.col("n").alias("x")), "x", "left_anti")
+        .groupBy("x")
+        .agg(
+            F.min(F.struct(rk(F.col("y")).alias("r"), F.col("y").alias("p")))[
+                "p"
+            ].alias("cluster_id")
+        )
+        .select(F.col("x").alias("node"), "cluster_id")
+    )
+    return piv.select(
+        F.col("n").alias("node"), F.col("n").alias("cluster_id")
+    ).union(asgn)

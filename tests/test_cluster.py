@@ -536,3 +536,99 @@ def test_cluster_articulation_points_vs_bruteforce(spark):
     # spot checks: chain interior + barbell junctions are articulations
     assert art[2] and art[3] and art[12] and art[14]
     assert not art[1] and not art[11] and not art[16]
+
+
+def _seq_kwikcluster(edges, seed=17):
+    """Sequential KwikCluster reference: sweep nodes in md5-rank order;
+    an unremoved node becomes a pivot and claims all unremoved
+    neighbors."""
+    import hashlib
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rank = lambda v: hashlib.md5(f"{seed}:{v}".encode()).hexdigest()  # noqa: E731
+    out, removed = {}, set()
+    for v in sorted(adj, key=rank):
+        if v in removed:
+            continue
+        out[v] = v
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                out[u] = v
+                removed.add(u)
+    return out
+
+
+def test_pivot_clusters_equals_sequential_kwikcluster(spark):
+    """The parallel MIS-rounds formulation must EXACTLY reproduce the
+    sequential rank-order sweep — including the trap where an eager
+    per-round assignment would hand a node to a later-rank pivot that
+    fires in an earlier round."""
+    import random
+
+    from ditto_spark.operators.cluster import pivot_clusters
+
+    for trial_seed in (0, 1, 2):
+        rng = random.Random(trial_seed)
+        n = 60
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.06
+            }
+        )
+        df = spark.createDataFrame(edges, "left_id long, right_id long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in pivot_clusters(df, seed=17).collect()
+        }
+        assert got == _seq_kwikcluster(edges, seed=17), f"trial {trial_seed}"
+
+
+def test_pivot_clusters_bounds_chain_diameter(spark):
+    """On a 7-node chain CC returns ONE cluster (transitive chaining);
+    KwikCluster clusters have every member one hop from its pivot."""
+    from ditto_spark.operators.cluster import connected_components, pivot_clusters
+
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "left_id long, right_id long")
+    cc = connected_components(df)
+    assert cc.select("cluster_id").distinct().count() == 1
+    rows = pivot_clusters(df, seed=17).collect()
+    assert len(rows) == 7
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["node"])
+    assert len(by_cluster) > 1
+    adj = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    for pivot, members in by_cluster.items():
+        for m in members:
+            assert m == pivot or (m, pivot) in adj
+
+
+def test_pivot_clusters_partition_invariant_and_empty(spark):
+    from ditto_spark.operators.cluster import pivot_clusters
+
+    edges = [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "left_id long, right_id long")
+    a = sorted(map(tuple, pivot_clusters(df).collect()))
+    b = sorted(map(tuple, pivot_clusters(df.repartition(7)).collect()))
+    assert a == b
+    empty = pivot_clusters(df.where("left_id > 100"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["node", "cluster_id"]
+
+
+def test_pivot_clusters_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from ditto_spark.operators.cluster import pivot_clusters
+
+    df = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        pivot_clusters(df, max_rounds=0)
