@@ -481,6 +481,71 @@ _ANN_LSH_TOPK_ORACLE = _ann_chunks_cte(with_aug=False) + """
 """
 
 
+_ANN_MULTIPROBE_ORACLE = _ann_chunks_cte(with_aug=False) + """
+    , proj AS (
+      SELECT v.vid, p.plane, sum(v.val * p.w) AS pr
+      FROM vecs v JOIN planes p ON p.d = v.d
+      GROUP BY v.vid, p.plane
+    ), flips AS (
+      SELECT vid, band_idx, bit FROM (
+        SELECT vid, plane // 8 AS band_idx, plane % 8 AS bit,
+               row_number() OVER (PARTITION BY vid, plane // 8
+                                  ORDER BY abs(pr) ASC, plane % 8 ASC) AS frk
+        FROM proj
+      ) WHERE frk <= 2
+    ), qprobes AS (
+      SELECT vid, band_idx, chunk FROM chunks WHERE vid % 25 = 0
+      UNION
+      SELECT c.vid, c.band_idx, xor(c.chunk, (1::BIGINT << f.bit)) AS chunk
+      FROM chunks c JOIN flips f ON f.vid = c.vid AND f.band_idx = c.band_idx
+      WHERE c.vid % 25 = 0
+    ), cand AS (
+      SELECT DISTINCT q.vid AS query_id, n.vid AS neighbor_id
+      FROM qprobes q JOIN chunks n
+        ON q.band_idx = n.band_idx AND q.chunk = n.chunk
+      WHERE n.vid != q.vid
+    ), dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(a.val * b.val) AS dot
+      FROM cand c
+      JOIN vecs a ON a.vid = c.query_id
+      JOIN vecs b ON b.vid = c.neighbor_id AND b.d = a.d
+      GROUP BY c.query_id, c.neighbor_id
+    ), ranked AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / (nq.nrm * nn.nrm) AS cos,
+             row_number() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nn.nrm) DESC, d.neighbor_id ASC
+             ) AS rk
+      FROM dots d
+      JOIN norms nq ON nq.vid = d.query_id
+      JOIN norms nn ON nn.vid = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al. VLDB 2007): each query probes
+    its band's base bucket plus the 2 buckets differing in the
+    smallest-|margin| sign bits — the recall of more hash tables without
+    growing the CORPUS index (only query rows replicate ×3; index rows and
+    their shuffle are unchanged — the dominant side at 100 TB). Probe
+    ordering is (|projection|, bit) over md5-derived planes, so the DuckDB
+    oracle replays the exact probe sequence → hash-checked parity."""
+    from ditto_spark.operators.ann import cosine_topk_lsh
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_topk_lsh(
+        emb, dim=_ANN_DIM, k=5, n_planes=64, bands=8, n_probes=2,
+        query_filter=F.col("query_id") % 25 == 0,
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+             F.col("rk").cast("long").alias("rk"))
+
+
 _EMBEDDING_NEAR_DUP_ORACLE = _ann_chunks_cte(with_aug=True) + """
     , cand AS (
       SELECT DISTINCT l.vid AS left_id, r.vid AS right_id
@@ -5389,6 +5454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_ebcc": q_crowd_ebcc,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ivf_topk": q_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5788,6 +5854,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk <= 5
         """,
         "ann_lsh_topk": _ANN_LSH_TOPK_ORACLE,
+        "ann_multiprobe_topk": _ANN_MULTIPROBE_ORACLE,
         "ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             seeds AS (

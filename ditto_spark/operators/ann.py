@@ -136,6 +136,73 @@ def hyperplane_band_chunks(
     return out.withColumnRenamed("id", id_col)
 
 
+def hyperplane_band_probes(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 23,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Multi-probe LSH probe sequence (Lv et al., VLDB 2007, single-bit
+    perturbations): for each (vector, band) emit the base chunk PLUS
+    `n_probes` perturbed chunks, flipping the band's 1st..n_probes-th
+    smallest-|margin| sign bits — the bits most likely to differ for a
+    true near neighbor are exactly the ones whose hyperplane projection is
+    closest to zero. Output (id, band_idx, chunk, probe): probe 0 = base.
+    Ordering key is (|projection|, bit index) — the bit-index tiebreak
+    makes the probe sequence deterministic and engine-portable (the DuckDB
+    oracle replays the same ranking in SQL). One numpy matmul + argsort
+    per Arrow batch; no per-row Python."""
+    assert n_planes % bands == 0
+    width = n_planes // bands
+    assert 1 <= n_probes < width
+    planes = plane_matrix(dim, n_planes, seed)
+    pow2 = 1 << np.arange(width, dtype=np.int64)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"id": [], "band_idx": [], "chunk": [], "probe": []}
+                )
+                continue
+            b = len(pdf)
+            m = np.stack(pdf[vec_col].to_numpy())  # (B, dim)
+            proj = m @ planes  # (B, n_planes)
+            bits = (proj > 0).astype(np.int64)
+            base = bits.reshape(b, bands, width) @ pow2  # (B, bands)
+            mg = np.abs(proj).reshape(b, bands, width)
+            # stable argsort == (|margin| asc, bit index asc) tiebreak
+            order = np.argsort(mg, axis=2, kind="stable")[:, :, :n_probes]
+            flips = base[:, :, None] ^ (1 << order.astype(np.int64))  # (B, bands, T)
+            chunks = np.concatenate([base[:, :, None], flips], axis=2)  # (B, bands, T+1)
+            ids = np.repeat(pdf[id_col].to_numpy(), bands * (n_probes + 1))
+            band_idx = np.tile(
+                np.repeat(np.arange(bands, dtype=np.int64), n_probes + 1), b
+            )
+            probe = np.tile(np.arange(n_probes + 1, dtype=np.int64), b * bands)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "band_idx": band_idx,
+                    "chunk": chunks.reshape(-1),
+                    "probe": probe,
+                }
+            )
+
+    out = vectors.select(id_col, vec_col).mapInPandas(
+        project,
+        schema=(
+            f"id {vectors.schema[id_col].dataType.simpleString()}, "
+            "band_idx long, chunk long, probe long"
+        ),
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
 def _banded_ids(
     vectors: DataFrame,
     dim: int,
@@ -202,6 +269,7 @@ def cosine_topk_lsh(
     max_bucket: int = 2000,
     salt_seed: int = 7,
     query_filter: F.Column | None = None,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH banding → candidate equi-join →
     exact cosine on candidates → ranking window.
@@ -217,7 +285,15 @@ def cosine_topk_lsh(
     the full vectors join back exactly once after the dedup (round-2
     verdict: attaching qv/nv before dropDuplicates shipped both vectors
     through the shuffle for every duplicate band hit — ~bands×
-    amplification on near-identical embeddings)."""
+    amplification on near-identical embeddings).
+
+    n_probes > 0 turns on multi-probe LSH (Lv et al., VLDB 2007): each
+    query additionally probes, per band, the `n_probes` buckets that
+    differ in its smallest-|margin| sign bits. The recall of a larger
+    band count at a fraction of its cost: the CORPUS index rows are
+    unchanged (bands rows per vector — the dominant side at web scale);
+    only the query side replicates ×(1+n_probes), and probe buckets
+    absent from the corpus vanish at the inner bucket join."""
     banded = _banded_ids(vectors, dim, id_col, vec_col, n_planes, bands, seed)
     w = Window.partitionBy("band_idx", "chunk")
     banded = banded.withColumn(
@@ -229,9 +305,22 @@ def cosine_topk_lsh(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")).alias("salt"),
         F.col(id_col).alias("neighbor_id"),
     )
-    q = banded.select(
-        "band_idx", "chunk", "n_salts", F.col(id_col).alias("query_id")
-    )
+    if n_probes > 0:
+        probes = hyperplane_band_probes(
+            vectors, dim, id_col, vec_col, n_planes, bands, seed, n_probes
+        )
+        # attach the TARGET bucket's salt count (inner join: a probed
+        # bucket with no corpus rows has no candidates and drops here)
+        bucket_salts = banded.select(
+            "band_idx", "chunk", "n_salts"
+        ).dropDuplicates(["band_idx", "chunk"])
+        q = probes.select(
+            "band_idx", "chunk", F.col(id_col).alias("query_id")
+        ).join(bucket_salts, ["band_idx", "chunk"])
+    else:
+        q = banded.select(
+            "band_idx", "chunk", "n_salts", F.col(id_col).alias("query_id")
+        )
     if query_filter is not None:
         q = q.where(query_filter)
     q = q.select(

