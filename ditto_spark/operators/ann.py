@@ -836,6 +836,45 @@ def _sq_l2(a, b) -> F.Column:
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
+def _residualized(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id…, centroid_id, v := v − c_nearest): nearest-cell id + residual,
+    as ONE zero-shuffle broadcast expression (the centroid table collapses
+    to a single struct-array row, argmin + subtraction run as higher-order
+    expressions — same discipline as _ivf_assign). Residuals are what the
+    PQ codebooks quantize in the true FAISS IVFADC: after the coarse cell
+    mean is removed the residual energy is a fraction of the vector's, so
+    the same code budget quantizes far more finely."""
+    id_cols = [c for c in vecs.columns if c != "v"]
+    carr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cv"))).alias("cents")
+    )
+
+    def neg_cos(c):
+        num = _dot(F.col("v"), c["cv"])
+        nv = F.sqrt(_dot(F.col("v"), F.col("v")))
+        nc = F.sqrt(_dot(c["cv"], c["cv"]))
+        return -(num / (nv * nc))
+
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    neg_cos(c).alias("neg"), c["centroid_id"].alias("centroid_id")
+                ),
+            )
+        ),
+        1,
+    )["centroid_id"]
+    out = vecs.crossJoin(F.broadcast(carr)).withColumn("centroid_id", best)
+    cv = F.element_at(F.col("cents"), F.col("centroid_id").cast("int") + 1)["cv"]
+    return out.select(
+        *id_cols,
+        "centroid_id",
+        F.zip_with(F.col("v"), cv, lambda x, y: x - y).alias("v"),
+    )
+
+
 def pq_codebooks(
     vectors: DataFrame,
     dim: int,
@@ -845,6 +884,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     n_iter: int = 0,
     train_filter=None,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou, Douze & Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011 — public): split
@@ -874,6 +914,8 @@ def pq_codebooks(
     vecs = _vec_view(vectors, id_col, vec_col)
     if train_filter is not None:
         vecs = vecs.where(train_filter)
+    if cent is not None:  # residual-PQ training (FAISS IVFADC)
+        vecs = _residualized(vecs, cent).drop("centroid_id")
     subs = vecs.select(
         F.col(id_col),
         F.posexplode(
@@ -960,6 +1002,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "codes",
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """PQ encoding: each vector → array<int> of m codes (nearest codeword
     per subspace by squared-L2, ties to the smallest code). ZERO-shuffle:
@@ -968,9 +1011,15 @@ def pq_encode(
     no explode, no Python. At dim=64/m=8 the index payload shrinks from
     512 B of float64 to 8 small ints per row — the compression that lets a
     100 TB embedding corpus's ANN index live in a fraction of the memory
-    (and every downstream shuffle carry codes, not vectors)."""
+    (and every downstream shuffle carry codes, not vectors).
+
+    With `cent`, codes quantize the RESIDUAL v − c_nearest (pass codebooks
+    trained with the same `cent`); still zero-shuffle — the residual is a
+    broadcast higher-order expression too."""
     dsub = dim // m
     vecs = _vec_view(vectors, id_col, vec_col)
+    if cent is not None:
+        vecs = _residualized(vecs, cent).drop("centroid_id")
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.element_at(
@@ -1005,16 +1054,24 @@ def cosine_topk_ivfpq(
     queries: DataFrame | None = None,
     rerank: int | None = None,
     train_filter=None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k cosine search — the compressed-index tier
     beside brute-force / LSH / IVF-flat (same output contract: query_id,
-    neighbor_id, cos, rk). The FAISS IVFADC shape (Jégou et al. 2011 §IV),
-    non-residual variant: an IVF coarse quantizer routes queries to
+    neighbor_id, cos, rk). The FAISS IVFADC shape (Jégou et al. 2011 §IV):
+    an IVF coarse quantizer routes queries to
     n_probe cells, and candidates are scored ASYMMETRICALLY — full-precision
     query against the PQ reconstruction of the neighbor,
     cos(q, recon) = Σ_s <q_s, cw_s[code_s]> / (‖q‖·‖recon‖) — so the
     inverted lists store only (centroid_id, m codes) per vector, dim·8/m×
     smaller than raw float64 vectors.
+
+    residual=True is the true IVFADC: codebooks quantize v − c_nearest
+    (the residual after the coarse cell mean is removed — a fraction of
+    the vector's energy, so the same code budget lands far closer) and
+    the ADC reconstruction becomes c + r̂, with the centroid dot/norm
+    terms picked up from the same broadcast centroid row — the index
+    payload is unchanged (centroid_id was already stored).
 
     Why it matters at 100 TB: IVF-flat's candidate join ships full vectors
     through the probe-cell shuffle; here the shuffle payload per neighbor
@@ -1035,12 +1092,14 @@ def cosine_topk_ivfpq(
     cb = pq_codebooks(
         vectors, dim=dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
         n_iter=n_iter, train_filter=train_filter,
+        cent=cent if residual else None,
     )
     members = _ivf_assign(vecs, cent).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id"
     )
     codes = pq_encode(
-        vectors, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col
+        vectors, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col,
+        cent=cent if residual else None,
     ).select(F.col(id_col).alias("neighbor_id"), "codes")
     index = members.join(codes, "neighbor_id")  # the compressed inverted file
     if queries is None:
@@ -1057,7 +1116,7 @@ def cosine_topk_ivfpq(
     cand = (
         probed.join(index, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "codes")
+        .select("query_id", "neighbor_id", "codes", "centroid_id")
     )
     dsub = dim // m
     scored = cand.join(qvecs, "query_id").crossJoin(
@@ -1078,6 +1137,26 @@ def cosine_topk_ivfpq(
     rnorm2 = F.aggregate(
         sub_idx, F.lit(0.0), lambda acc, s: acc + _dot(cw_of(s), cw_of(s))
     )
+    if residual:
+        # recon = c + r̂: dot and norm pick up the centroid terms
+        # (centroids collapse to one broadcast row, like the codebooks)
+        carr = cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "cv"))
+            ).alias("cents")
+        )
+        scored = scored.crossJoin(F.broadcast(carr))
+        cvec = F.element_at(
+            F.col("cents"), F.col("centroid_id").cast("int") + 1
+        )["cv"]
+        cross = F.aggregate(
+            sub_idx,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + _dot(F.slice(cvec, s * dsub + 1, dsub), cw_of(s)),
+        )
+        adc_dot = adc_dot + _dot(F.col("qv"), cvec)
+        rnorm2 = rnorm2 + F.lit(2.0) * cross + _dot(cvec, cvec)
     qnorm = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     cos = F.when(rnorm2 > 0, adc_dot / (qnorm * F.sqrt(rnorm2))).otherwise(
         F.lit(-1.0)

@@ -662,3 +662,34 @@ def test_multiprobe_improves_recall_without_more_bands(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0, (r0, r2)
     assert r0 >= 0.85 and r2 >= 0.95, (r0, r2)
+
+
+def test_ivfpq_residual_encoding_improves_adc_recall(spark):
+    """True-IVFADC residual quantization: with refined codebooks the
+    residual codes (v − c_nearest) rank candidates clearly better than
+    raw-vector codes at the same bit budget (measured 0.528 vs 0.344 on
+    this deterministic corpus) — the coarse quantizer absorbs the cluster
+    mean, leaving the codebooks the fine structure."""
+    from ditto_spark.operators.ann import cosine_topk_ivfpq
+
+    df = _dvecs(spark)
+    v = df.select("vec_id", F.col("embedding").alias("v"))
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(v, q, k=3, vec_col="v").collect()
+    }
+
+    def recall(residual):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivfpq(
+                df, dim=DIM, k=3, n_centroids=8, n_probe=4, m=4, ksub=8,
+                n_iter=2, residual=residual,
+            ).collect()
+        }
+        return len(exact & ap) / len(exact)
+
+    r_raw, r_res = recall(False), recall(True)
+    assert r_res > r_raw, (r_raw, r_res)
+    assert r_res >= 0.45, r_res
