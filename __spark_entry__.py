@@ -209,6 +209,67 @@ _DOC_DEDUP_ORACLE = (
 )
 
 
+_CLUSTER_EDITING_ORACLE = (
+    _ORACLE_SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , edges0 AS (
+      SELECT left_id AS a, right_id AS b FROM jp WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT right_id, left_id FROM jp WHERE jaccard >= 0.5
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges0 e ON e.a = w.node
+    ), assign AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), e AS (
+      SELECT DISTINCT least(left_id, right_id) AS u,
+                      greatest(left_id, right_id) AS v
+      FROM jp WHERE jaccard >= 0.5 AND left_id != right_id
+    ), tagged AS (
+      SELECT au.cluster_id AS cu, av.cluster_id AS cv
+      FROM e
+      JOIN assign au ON au.doc_id = e.u
+      JOIN assign av ON av.doc_id = e.v
+    ), ec AS (
+      SELECT count(*) AS n_edges,
+             coalesce(sum((cu = cv)::BIGINT), 0) AS intra_edges
+      FROM tagged
+    ), pc AS (
+      SELECT coalesce(sum(n * (n - 1) / 2), 0)::BIGINT AS intra_pairs
+      FROM (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id)
+    )
+    SELECT pc.intra_pairs, ec.intra_edges,
+           (pc.intra_pairs - ec.intra_edges) AS intra_missing,
+           (ec.n_edges - ec.intra_edges) AS inter_edges,
+           (pc.intra_pairs - ec.intra_edges + ec.n_edges - ec.intra_edges)
+             AS editing_cost
+    FROM pc CROSS JOIN ec
+"""
+)
+
+
+def q_cluster_editing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-editing (correlation-clustering) objective of the CC
+    clustering against its own jaccard ≥ 0.5 match edges — intra_missing
+    counts the pairs transitive chaining linked without evidence, the
+    quantity pivot_clusters bounds (pytest proves pivot < CC cost on
+    chains). intra_pairs comes from cluster SIZES, never pair
+    enumeration."""
+    from ditto_spark.operators.cluster import cluster_editing_cost
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = (
+        _rare_shingle_pairs(docs)
+        .where(F.col("jaccard") >= 0.5)
+        .select("left_id", "right_id")
+    )
+    assigns = q_doc_dedup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("conv_id"), "cluster_id"
+    )
+    return cluster_editing_cost(assigns, edges)
+
+
 def _pivot_oracle_sql(rounds: int = 8) -> str:
     """DuckDB oracle for pivot_dedup_clusters: the lex-first-MIS rounds of
     KwikCluster unrolled as generated CTEs (same unrolling discipline as
@@ -5433,6 +5494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "pivot_dedup_clusters": q_pivot_dedup_clusters,
+        "cluster_editing": q_cluster_editing,
         "transcript_dedup_clusters": q_transcript_dedup_clusters,
         "tfidf_summarize": q_tfidf_summarize,
         "tfidf_summarize_budget": q_tfidf_summarize_budget,
@@ -6421,6 +6483,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _SIMHASH_ORACLE,
         "doc_dedup_clusters": _DOC_DEDUP_ORACLE,
         "pivot_dedup_clusters": _pivot_oracle_sql(),
+        "cluster_editing": _CLUSTER_EDITING_ORACLE,
         "media_features": """
             WITH dims AS (
               SELECT doc_id, text,

@@ -1045,3 +1045,71 @@ def pivot_clusters(
     return piv.select(
         F.col("n").alias("node"), F.col("n").alias("cluster_id")
     ).union(asgn)
+
+
+def cluster_editing_cost(
+    assignments: DataFrame,
+    edges: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Correlation-clustering (cluster-editing) objective of a clustering
+    against a match-edge set (Bansal, Blum & Chawla 2004 — the quantity
+    KwikCluster 3-approximates): disagreements = within-cluster pairs with
+    NO match edge (what transitive chaining invents) + match edges that
+    CROSS clusters (what a conservative clusterer refuses). One row:
+    (intra_pairs, intra_edges, intra_missing, inter_edges, editing_cost).
+    The measurable arbiter of the CC-vs-pivot trade: CC always has
+    inter_edges = 0 but pays intra_missing on chained components;
+    KwikCluster bounds intra_missing (diameter ≤ 2) and pays inter_edges.
+
+    Scale shape: intra_pairs = Σ_c n_c(n_c−1)/2 comes from cluster SIZES
+    (one count agg — no pair enumeration, so a 10^8-member cluster is one
+    bigint, not 10^16 rows); edge classification is two node-keyed joins +
+    one count. Edges deduped on canonical orientation; self-loops dropped;
+    an edge touching a node absent from `assignments` raises — silently
+    dropping it would understate the cost."""
+    a = assignments.select(
+        F.col(id_col).alias("__n"), F.col(cluster_col).alias("__c")
+    )
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("u"),
+            F.greatest(left_col, right_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    tagged = (
+        e.join(a.withColumnsRenamed({"__n": "u", "__c": "cu"}), "u", "left")
+        .join(a.withColumnsRenamed({"__n": "v", "__c": "cv"}), "v", "left")
+    )
+    if tagged.where(F.col("cu").isNull() | F.col("cv").isNull()).limit(1).count():
+        raise ValueError(
+            "cluster_editing_cost: edge endpoint missing from assignments"
+        )
+    edge_counts = tagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("cu") == F.col("cv")).cast("long")).alias("intra_edges"),
+    )
+    pair_counts = (
+        a.groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+            ).cast("long").alias("intra_pairs")
+        )
+    )
+    return pair_counts.crossJoin(edge_counts).select(
+        "intra_pairs",
+        "intra_edges",
+        (F.col("intra_pairs") - F.col("intra_edges")).alias("intra_missing"),
+        (F.col("n_edges") - F.col("intra_edges")).alias("inter_edges"),
+        (
+            F.col("intra_pairs") - F.col("intra_edges")
+            + F.col("n_edges") - F.col("intra_edges")
+        ).alias("editing_cost"),
+    )

@@ -632,3 +632,56 @@ def test_pivot_clusters_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         pivot_clusters(df, max_rounds=0)
+
+
+def test_cluster_editing_cost_hand_values(spark):
+    from ditto_spark.operators.cluster import cluster_editing_cost
+
+    assigns = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "conv_id long, cluster_id long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (3, 4)], "left_id long, right_id long"
+    )
+    r = cluster_editing_cost(assigns, edges).collect()[0]
+    # intra pairs: C(3,2)+C(2,2)=4; intra edges 3 → missing (1,3); inter (3,4)
+    assert (
+        r["intra_pairs"], r["intra_edges"], r["intra_missing"],
+        r["inter_edges"], r["editing_cost"],
+    ) == (4, 3, 1, 1, 2)
+
+
+def test_cluster_editing_cost_missing_endpoint_raises(spark):
+    import pytest as _pytest
+
+    from ditto_spark.operators.cluster import cluster_editing_cost
+
+    assigns = spark.createDataFrame([(1, 1)], "conv_id long, cluster_id long")
+    edges = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    with _pytest.raises(ValueError, match="missing from assignments"):
+        cluster_editing_cost(assigns, edges).collect()
+
+
+def test_pivot_beats_cc_editing_cost_on_chain(spark):
+    """The objective arbiter of the clusterer trade: on a chain (the
+    chained-false-merge shape) CC pays quadratic intra_missing while
+    KwikCluster's bounded-diameter clusters cost strictly less."""
+    from ditto_spark.operators.cluster import (
+        cluster_editing_cost,
+        connected_components,
+        pivot_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "left_id long, right_id long"
+    )
+    cc = connected_components(edges)
+    cc = cc.select(F.col(cc.columns[0]).alias("conv_id"), F.col("cluster_id"))
+    pv = pivot_clusters(edges).select(
+        F.col("node").alias("conv_id"), "cluster_id"
+    )
+    cost_cc = cluster_editing_cost(cc, edges).collect()[0]["editing_cost"]
+    cost_pv = cluster_editing_cost(pv, edges).collect()[0]["editing_cost"]
+    assert cost_cc == 45 - 9  # C(10,2) pairs, 9 edges present
+    assert cost_pv < cost_cc, (cost_pv, cost_cc)
