@@ -596,6 +596,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iter: int = 0,
+    overlap: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540 — public): coarse-cluster the corpus with the deterministic
@@ -613,18 +614,30 @@ def semantic_dedup(
     with n (k ~ n / target_cell_size) so expected cell size stays
     constant. Vector payloads ride that one shuffle because the verify
     needs both sides' coordinates (same trade as embedding_near_dup_pairs).
-    Cross-cell near-duplicates are not examined — the documented SemDeDup
-    trade (recall bounded by quantizer locality; raise n_probe-style
-    overlap by unioning assignments at rank<=2 if a corpus needs it).
+    With overlap=1 (default), cross-cell near-duplicates are not examined
+    — the documented SemDeDup trade (recall bounded by quantizer
+    locality). overlap=t>1 closes that hole for boundary-straddling pairs:
+    candidate generation runs on each vector's t nearest cells (both
+    sides), so a pair whose rank-1 cells differ still meets wherever their
+    top-t cell sets intersect — at t² candidate-join volume, the n_probe
+    of the dedup path. Output cells stay rank-1; the same pair met in two
+    shared cells collapses in the min-witness aggregate.
     With n_iter=0 the operator is deterministic md5 arithmetic + exact
-    cosine, replicated verbatim by the `semantic_dedup` DuckDB oracle."""
+    cosine, replicated verbatim by the `semantic_dedup` DuckDB oracle
+    (default overlap=1)."""
     vecs = _vec_view(vectors, id_col, vec_col)
     cent = ivf_centroids(
         vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         n_iter=n_iter,
     )
     assign = _ivf_assign(vecs, cent).select(id_col, "centroid_id")
-    sided = assign.join(vecs, id_col)
+    cand_cells = (
+        assign if overlap <= 1
+        else _ivf_assign(vecs, cent, rank_upto=overlap).select(
+            id_col, "centroid_id"
+        )
+    )
+    sided = cand_cells.join(vecs, id_col)
     lhs = sided.select(
         F.col(id_col).alias("a_id"), "centroid_id", F.col("v").alias("av")
     )

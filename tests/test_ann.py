@@ -693,3 +693,106 @@ def test_ivfpq_residual_encoding_improves_adc_recall(spark):
     r_raw, r_res = recall(False), recall(True)
     assert r_res > r_raw, (r_raw, r_res)
     assert r_res >= 0.45, r_res
+
+
+def test_semantic_dedup_overlap_catches_boundary_straddling_pair(spark):
+    """The documented SemDeDup locality hole, closed by overlap>1: plant a
+    near-identical pair constructed to straddle the Voronoi boundary of
+    two quantizer cells (each vector's rank-1 cell differs, rank-2 sets
+    intersect). overlap=1 must MISS it (both kept); overlap=2 must catch
+    it (min id kept, witness recorded)."""
+    import hashlib
+
+    from ditto_spark.operators.ann import (
+        _ivf_assign,
+        _vec_view,
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    df = _dvecs(spark)
+    base = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    cents = {
+        r["centroid_id"]: np.array(r["cv"])
+        for r in ivf_centroids(df, n_centroids=8).collect()
+    }
+
+    def rank_cells(v, upto=2):
+        sims = sorted(
+            ((-(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)), cid)
+             for cid, c in cents.items())
+        )
+        return [cid for _, cid in sims[:upto]]
+
+    thr = 0.999
+    planted = None
+    for a_id, ca in cents.items():
+        for b_id, cb in cents.items():
+            if b_id <= a_id:
+                continue
+            ah, bh = ca / np.linalg.norm(ca), cb / np.linalg.norm(cb)
+            if ah @ bh >= 0.9:
+                continue
+            mid = ah + bh
+            mid = mid / np.linalg.norm(mid)
+            # the A-B midpoint often sits closest to a THIRD centroid, so
+            # sweep the nudge size until the pair truly straddles a
+            # boundary between its two rank cells
+            for eps in (0.02, 0.01, 0.005):
+                va = mid + eps * (ah - bh)
+                vb = mid - eps * (ah - bh)
+                va, vb = va / np.linalg.norm(va), vb / np.linalg.norm(vb)
+                cos_ab = float(va @ vb)
+                if cos_ab < thr:
+                    continue
+                ra, rb = rank_cells(va), rank_cells(vb)
+                if ra[0] == rb[0] or set(ra) != set(rb):
+                    continue
+                # no corpus vector may qualify as a witness for either
+                near = max(
+                    float(v @ w) / (np.linalg.norm(v) * np.linalg.norm(w))
+                    for w in base.values() for v in (va, vb)
+                )
+                if near >= thr:
+                    continue
+                planted = (va, vb)
+                break
+            if planted:
+                break
+        if planted:
+            break
+    assert planted is not None, "no boundary-straddling construction found"
+    va, vb = planted
+    # planted ids must not displace the md5-seeded centroids
+    seeds = sorted(
+        list(base) + [1001, 1002],
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )[:8]
+    assert 1001 not in seeds and 1002 not in seeds
+    df2 = df.union(
+        spark.createDataFrame(
+            [(1001, [float(x) for x in va]), (1002, [float(x) for x in vb])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    # straddle confirmed on the Spark side
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _ivf_assign(
+            _vec_view(df2.where(F.col("vec_id") > 1000), "vec_id", "embedding"),
+            ivf_centroids(df2, n_centroids=8),
+        ).collect()
+    }
+    assert cells[1001] != cells[1002]
+
+    def result(overlap):
+        return {
+            r["vec_id"]: (r["is_kept"], r["dup_of"])
+            for r in semantic_dedup(
+                df2, n_centroids=8, threshold=thr, overlap=overlap
+            ).collect()
+        }
+
+    r1, r2 = result(1), result(2)
+    assert r1[1001] == (1, -1) and r1[1002] == (1, -1)  # missed at overlap=1
+    assert r2[1001] == (1, -1) and r2[1002] == (0, 1001)  # caught at overlap=2
