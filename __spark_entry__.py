@@ -232,17 +232,17 @@ _CLUSTER_EDITING_ORACLE = (
       JOIN assign au ON au.doc_id = e.u
       JOIN assign av ON av.doc_id = e.v
     ), ec AS (
-      SELECT count(*) AS n_edges,
-             coalesce(sum((cu = cv)::BIGINT), 0) AS intra_edges
+      SELECT count(*)::BIGINT AS n_edges,
+             coalesce(sum((cu = cv)::BIGINT), 0)::BIGINT AS intra_edges
       FROM tagged
     ), pc AS (
       SELECT coalesce(sum(n * (n - 1) / 2), 0)::BIGINT AS intra_pairs
       FROM (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id)
     )
     SELECT pc.intra_pairs, ec.intra_edges,
-           (pc.intra_pairs - ec.intra_edges) AS intra_missing,
-           (ec.n_edges - ec.intra_edges) AS inter_edges,
-           (pc.intra_pairs - ec.intra_edges + ec.n_edges - ec.intra_edges)
+           (pc.intra_pairs - ec.intra_edges)::BIGINT AS intra_missing,
+           (ec.n_edges - ec.intra_edges)::BIGINT AS inter_edges,
+           (pc.intra_pairs - ec.intra_edges + ec.n_edges - ec.intra_edges)::BIGINT
              AS editing_cost
     FROM pc CROSS JOIN ec
 """
