@@ -4929,6 +4929,110 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(docs, "text", ["source"], p=9)
 
 
+_ALIGN_COLS_A = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+_ALIGN_COLS_B = ["s_suppkey", "s_name", "s_nationkey"]
+
+
+def _alignment_oracle() -> str:
+    """DuckDB replica of profile.attribute_alignment at p=9 over
+    customer × supplier: per-column HLL registers (same md5 arithmetic as
+    _hll_oracle), pairwise register union (max rho), estimates with the
+    identical Python-interpolated double literals, inclusion-exclusion on
+    the ROUNDED estimates — bit parity end to end."""
+    p, hash_bits = 9, 32
+    m, wbits = 1 << p, hash_bits - p
+    maxrho = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c_raw = alpha * m * m * float(1 << maxrho)
+
+    def stack(table: str, cols: list[str], out: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT '{c}' AS {out}, "
+            f"lower(trim(CAST({c} AS VARCHAR))) AS value FROM {table}"
+            for c in cols
+        )
+
+    def est(src: str, keys: str) -> str:
+        return f"""
+      SELECT {keys}, round(
+        CASE WHEN {c_raw!r} / (sum_scaled + ({m} - n_registers)::BIGINT
+                               * {1 << maxrho})::DOUBLE <= {2.5 * m!r}
+              AND n_registers < {m}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_registers)::DOUBLE)
+             ELSE {c_raw!r} / (sum_scaled + ({m} - n_registers)::BIGINT
+                              * {1 << maxrho})::DOUBLE
+        END, 4) AS est_distinct
+      FROM (
+        SELECT {keys}, count(*)::INT AS n_registers,
+               sum(1::BIGINT << ({maxrho} - rho))::BIGINT AS sum_scaled
+        FROM {src} GROUP BY {keys}
+      )
+    """
+
+    def regs(val_cte: str, keys: str) -> str:
+        return f"""
+      SELECT {keys}, idx, max(rho) AS rho FROM (
+        SELECT {keys}, (h // {1 << wbits})::INT AS idx,
+               (CASE WHEN h % {1 << wbits} = 0 THEN {maxrho}
+                     ELSE {maxrho} - length(bin(h % {1 << wbits})) END)::INT AS rho
+        FROM (SELECT {keys}, ('0x' || substr(md5(value), 1, 8))::BIGINT AS h
+              FROM {val_cte} WHERE value IS NOT NULL)
+      ) GROUP BY {keys}, idx
+    """
+
+    return f"""
+    WITH va AS (
+      {stack('customer', _ALIGN_COLS_A, 'col_a')}
+    ), vb AS (
+      {stack('supplier', _ALIGN_COLS_B, 'col_b')}
+    ), ra AS ({regs('va', 'col_a')}
+    ), rb AS ({regs('vb', 'col_b')}
+    ), ea AS ({est('ra', 'col_a')}
+    ), eb AS ({est('rb', 'col_b')}
+    ), pairs AS (
+      SELECT a.col_a, b.col_b
+      FROM (SELECT DISTINCT col_a FROM ra) a
+      CROSS JOIN (SELECT DISTINCT col_b FROM rb) b
+    ), pu AS (
+      SELECT col_a, col_b, idx, max(rho) AS rho FROM (
+        SELECT p.col_a, p.col_b, r.idx, r.rho FROM pairs p JOIN ra r USING (col_a)
+        UNION ALL
+        SELECT p.col_a, p.col_b, r.idx, r.rho FROM pairs p JOIN rb r USING (col_b)
+      ) GROUP BY 1, 2, 3
+    ), eu AS ({est('pu', 'col_a, col_b')}
+    ), joined AS (
+      SELECT eu.col_a, eu.col_b,
+             ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+             eu.est_distinct AS est_union,
+             round(greatest(0.0, ea.est_distinct + eb.est_distinct
+                                 - eu.est_distinct), 4) AS est_inter
+      FROM eu
+      JOIN ea ON ea.col_a = eu.col_a
+      JOIN eb ON eb.col_b = eu.col_b
+    )
+    SELECT col_a, col_b, est_a, est_b, est_union, est_inter,
+           round(CASE WHEN est_union > 0 THEN est_inter / est_union
+                      ELSE 0.0 END, 6) AS est_jaccard
+    FROM joined
+"""
+
+
+def q_attribute_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-level schema matching (Rahm-Bernstein 2001 §4.2) between
+    customer and supplier: rank column pairs by the HLL-estimated Jaccard
+    of their value sets — the pre-linkage step that discovers
+    c_nationkey ↔ s_nationkey (est 1.0) and rejects c_name ↔ s_name (0).
+    All downstream rows are sketch state (≤ 2^9 registers per column), so
+    the pairwise comparison cost is independent of table size."""
+    from ditto_spark.operators.profile import attribute_alignment
+
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    return attribute_alignment(
+        cust, supp, cols_a=_ALIGN_COLS_A, cols_b=_ALIGN_COLS_B, p=9
+    )
+
+
 _SCORED_FOR_CALIBRATION = """
         SELECT (vec_id % 100) / 100.0 AS prob,
                CASE WHEN (vec_id * 37) % 100 < vec_id % 100
@@ -5545,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
+        "attribute_alignment": q_attribute_alignment,
         "cms_hot_bigrams": q_cms_hot_bigrams,
         "temperature_mix": q_temperature_mix,
         "dsir_select": q_dsir_select,
@@ -6501,6 +6606,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dims d JOIN body b USING (doc_id)
         """,
         "hll_distinct": _HLL_ORACLE,
+        "attribute_alignment": _alignment_oracle(),
         "cms_hot_bigrams": _cms_oracle(),
         "temperature_mix": _TEMP_MIX_ORACLE,
         "dsir_select": _DSIR_ORACLE,

@@ -76,3 +76,50 @@ def test_exact_quantiles_partition_invariant(spark):
         map(tuple, exact_quantiles(df.repartition(19), "v", [0.25, 0.75], ["id"]).collect())
     )
     assert a == b
+
+
+def test_attribute_alignment_known_overlap(spark):
+    """Planted value-set overlap: A.x = 0..49, B.y = 25..74 → inter ≈ 25,
+    identical columns → jaccard exactly 1.0 (identical registers make
+    union = |A| so inclusion-exclusion is exact), disjoint columns → 0."""
+    from ditto_spark.operators.profile import attribute_alignment
+
+    a = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(50)], "x long, xx string"
+    )
+    b = spark.createDataFrame(
+        [(i + 25, f"v{i}") for i in range(50)], "y long, yy string"
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in attribute_alignment(a, b).collect()
+    }
+    r = out[("x", "y")]
+    assert abs(r["est_inter"] - 25) < 3, r
+    assert 0.2 < r["est_jaccard"] < 0.5, r
+    # disjoint sets: inclusion-exclusion on sketch estimates leaves a
+    # small positive residual (est noise), never a confident overlap
+    assert out[("xx", "yy")]["est_jaccard"] < 0.05
+    same = {
+        (r["col_a"], r["col_b"]): r
+        for r in attribute_alignment(
+            a, a.withColumnsRenamed({"x": "x2", "xx": "xx2"})
+        ).collect()
+    }
+    assert same[("x", "x2")]["est_jaccard"] == 1.0
+    assert same[("xx", "xx2")]["est_jaccard"] == 1.0
+
+
+def test_attribute_alignment_null_and_partition_invariance(spark):
+    from ditto_spark.operators.profile import attribute_alignment
+
+    a = spark.createDataFrame(
+        [(i,) for i in range(30)] + [(None,)], "x long"
+    )
+    b = spark.createDataFrame([(i,) for i in range(30)], "y long")
+    r1 = sorted(map(tuple, attribute_alignment(a, b).collect()))
+    r2 = sorted(map(tuple, attribute_alignment(a.repartition(7), b).collect()))
+    assert r1 == r2
+    # the null contributes nothing: est_a == est_b
+    row = attribute_alignment(a, b).collect()[0]
+    assert row["est_a"] == row["est_b"]
