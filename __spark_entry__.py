@@ -236,7 +236,7 @@ _CLUSTER_EDITING_ORACLE = (
              coalesce(sum((cu = cv)::BIGINT), 0)::BIGINT AS intra_edges
       FROM tagged
     ), pc AS (
-      SELECT coalesce(sum(n * (n - 1) / 2), 0)::BIGINT AS intra_pairs
+      SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS intra_pairs
       FROM (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id)
     )
     SELECT pc.intra_pairs, ec.intra_edges,

@@ -309,20 +309,27 @@ def cosine_topk_lsh(
         probes = hyperplane_band_probes(
             vectors, dim, id_col, vec_col, n_planes, bands, seed, n_probes
         )
+        q = probes.select(
+            "band_idx", "chunk", F.col(id_col).alias("query_id")
+        )
+        # prune non-query probe rows BEFORE the bucket join — the filter
+        # cannot push through the mapInPandas projection, so applying it
+        # here keeps the ×bands·(1+n_probes) expansion of non-queries out
+        # of the join exchange (review finding)
+        if query_filter is not None:
+            q = q.where(query_filter)
         # attach the TARGET bucket's salt count (inner join: a probed
         # bucket with no corpus rows has no candidates and drops here)
         bucket_salts = banded.select(
             "band_idx", "chunk", "n_salts"
         ).dropDuplicates(["band_idx", "chunk"])
-        q = probes.select(
-            "band_idx", "chunk", F.col(id_col).alias("query_id")
-        ).join(bucket_salts, ["band_idx", "chunk"])
+        q = q.join(bucket_salts, ["band_idx", "chunk"])
     else:
         q = banded.select(
             "band_idx", "chunk", "n_salts", F.col(id_col).alias("query_id")
         )
-    if query_filter is not None:
-        q = q.where(query_filter)
+        if query_filter is not None:
+            q = q.where(query_filter)
     q = q.select(
         "band_idx", "chunk", "query_id",
         F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_salts").cast("long") - 1)).alias("salt"),
@@ -630,13 +637,12 @@ def semantic_dedup(
         vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         n_iter=n_iter,
     )
-    assign = _ivf_assign(vecs, cent).select(id_col, "centroid_id")
-    cand_cells = (
-        assign if overlap <= 1
-        else _ivf_assign(vecs, cent, rank_upto=overlap).select(
-            id_col, "centroid_id"
-        )
-    )
+    # ONE ranking pass: rank-1 rows are the output assignment, rank<=overlap
+    # rows the candidate cells (a second _ivf_assign call would re-rank the
+    # whole corpus — review finding)
+    ranked = _ivf_assign(vecs, cent, rank_upto=max(1, overlap))
+    assign = ranked.where(F.col("cell_rank") == 1).select(id_col, "centroid_id")
+    cand_cells = ranked.select(id_col, "centroid_id")
     sided = cand_cells.join(vecs, id_col)
     lhs = sided.select(
         F.col(id_col).alias("a_id"), "centroid_id", F.col("v").alias("av")
@@ -1102,18 +1108,34 @@ def cosine_topk_ivfpq(
         vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         n_iter=n_iter,
     )
-    cb = pq_codebooks(
-        vectors, dim=dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
-        n_iter=n_iter, train_filter=train_filter,
-        cent=cent if residual else None,
-    )
-    members = _ivf_assign(vecs, cent).select(
-        F.col(id_col).alias("neighbor_id"), "centroid_id"
-    )
-    codes = pq_encode(
-        vectors, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col,
-        cent=cent if residual else None,
-    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    if residual:
+        # ONE _residualized definition feeds cell assignment, codebook
+        # training, and encoding — a per-stage cent= pass-through would
+        # rank the corpus against the centroids three separate times and
+        # leave three copies of the tie-break logic to drift apart
+        # (review finding); the members cell and the codes' residual cell
+        # are now the same expression by construction.
+        rv = _residualized(vecs, cent)
+        rvecs = rv.select(id_col, "v")
+        cb = pq_codebooks(
+            rvecs, dim=dim, m=m, ksub=ksub, id_col=id_col, vec_col="v",
+            n_iter=n_iter, train_filter=train_filter,
+        )
+        members = rv.select(F.col(id_col).alias("neighbor_id"), "centroid_id")
+        codes = pq_encode(
+            rvecs, cb, dim=dim, m=m, id_col=id_col, vec_col="v"
+        ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    else:
+        cb = pq_codebooks(
+            vectors, dim=dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+            n_iter=n_iter, train_filter=train_filter,
+        )
+        members = _ivf_assign(vecs, cent).select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id"
+        )
+        codes = pq_encode(
+            vectors, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("neighbor_id"), "codes")
     index = members.join(codes, "neighbor_id")  # the compressed inverted file
     if queries is None:
         qvecs = vecs.select(

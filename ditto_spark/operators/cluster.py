@@ -1086,20 +1086,42 @@ def cluster_editing_cost(
         e.join(a.withColumnsRenamed({"__n": "u", "__c": "cu"}), "u", "left")
         .join(a.withColumnsRenamed({"__n": "v", "__c": "cv"}), "v", "left")
     )
-    if tagged.where(F.col("cu").isNull() | F.col("cv").isNull()).limit(1).count():
-        raise ValueError(
-            "cluster_editing_cost: edge endpoint missing from assignments"
-        )
+    # single-pass guard: the missing-endpoint count folds into the one
+    # edge aggregate and raises AT EXECUTION via raise_error — a separate
+    # eager probe would evaluate the full upstream lineage twice
     edge_counts = tagged.agg(
         F.count(F.lit(1)).alias("n_edges"),
-        F.sum((F.col("cu") == F.col("cv")).cast("long")).alias("intra_edges"),
+        F.coalesce(
+            F.sum((F.col("cu") == F.col("cv")).cast("long")), F.lit(0)
+        ).alias("intra_edges"),
+        F.coalesce(
+            F.sum(
+                (F.col("cu").isNull() | F.col("cv").isNull()).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_orphan"),
+    ).select(
+        F.when(
+            F.col("n_orphan") > 0,
+            F.raise_error(
+                F.lit(
+                    "cluster_editing_cost: edge endpoint missing from"
+                    " assignments"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n_edges")).alias("n_edges"),
+        "intra_edges",
     )
+    # n(n-1) is even, so shiftright-by-1 keeps the whole computation in
+    # exact 64-bit integers (float division would drop units past 2^53 —
+    # reachable at a 1.4e8-member cluster)
     pair_counts = (
         a.groupBy("__c")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.coalesce(
-                F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+                F.sum(F.shiftright(F.col("n") * (F.col("n") - 1), 1)),
+                F.lit(0),
             ).cast("long").alias("intra_pairs")
         )
     )

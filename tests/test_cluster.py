@@ -650,6 +650,14 @@ def test_cluster_editing_cost_hand_values(spark):
         r["intra_pairs"], r["intra_edges"], r["intra_missing"],
         r["inter_edges"], r["editing_cost"],
     ) == (4, 3, 1, 1, 2)
+    # empty edge set: all-zero edge metrics, never NULL (review finding)
+    r0 = cluster_editing_cost(
+        assigns, edges.where("left_id > 100")
+    ).collect()[0]
+    assert (
+        r0["intra_pairs"], r0["intra_edges"], r0["intra_missing"],
+        r0["inter_edges"], r0["editing_cost"],
+    ) == (4, 0, 4, 0, 4)
 
 
 def test_cluster_editing_cost_missing_endpoint_raises(spark):
@@ -659,7 +667,7 @@ def test_cluster_editing_cost_missing_endpoint_raises(spark):
 
     assigns = spark.createDataFrame([(1, 1)], "conv_id long, cluster_id long")
     edges = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
-    with _pytest.raises(ValueError, match="missing from assignments"):
+    with _pytest.raises(Exception, match="missing from assignments"):
         cluster_editing_cost(assigns, edges).collect()
 
 
