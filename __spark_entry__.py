@@ -5011,8 +5011,13 @@ def _alignment_oracle() -> str:
       JOIN eb ON eb.col_b = eu.col_b
     )
     SELECT col_a, col_b, est_a, est_b, est_union, est_inter,
-           round(CASE WHEN est_union > 0 THEN est_inter / est_union
-                      ELSE 0.0 END, 6) AS est_jaccard
+           round(CASE WHEN est_union > 0
+                      THEN least(1.0, est_inter / est_union)
+                      ELSE 0.0 END, 6) AS est_jaccard,
+           round(CASE WHEN est_a > 0 THEN least(1.0, est_inter / est_a)
+                      ELSE 0.0 END, 6) AS est_containment_a,
+           round(CASE WHEN est_b > 0 THEN least(1.0, est_inter / est_b)
+                      ELSE 0.0 END, 6) AS est_containment_b
     FROM joined
 """
 

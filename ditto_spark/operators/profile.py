@@ -189,16 +189,25 @@ def attribute_alignment(
         F.greatest(F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")),
         4,
     )
+    def ratio(denom: F.Column) -> F.Column:
+        return F.round(
+            F.when(denom > 0, F.least(F.lit(1.0), inter / denom))
+            .otherwise(F.lit(0.0)),
+            6,
+        )
+
+    # containments separate FK-style INCLUSION from mutual identity: a
+    # supplier-key column contained in a customer-key column scores
+    # containment_b ≈ 1 while jaccard stays low — the signal that says
+    # "foreign key", which symmetric jaccard alone cannot express
     return (
         eu.join(F.broadcast(ea), "col_a")
         .join(F.broadcast(eb), "col_b")
         .select(
             "col_a", "col_b", "est_a", "est_b", "est_union",
             inter.alias("est_inter"),
-            F.round(
-                F.when(F.col("est_union") > 0, inter / F.col("est_union"))
-                .otherwise(F.lit(0.0)),
-                6,
-            ).alias("est_jaccard"),
+            ratio(F.col("est_union")).alias("est_jaccard"),
+            ratio(F.col("est_a")).alias("est_containment_a"),
+            ratio(F.col("est_b")).alias("est_containment_b"),
         )
     )

@@ -123,3 +123,16 @@ def test_attribute_alignment_null_and_partition_invariance(spark):
     # the null contributes nothing: est_a == est_b
     row = attribute_alignment(a, b).collect()[0]
     assert row["est_a"] == row["est_b"]
+
+
+def test_attribute_alignment_containment_detects_inclusion(spark):
+    """FK-shape: B.y ⊂ A.x (10 of 100 values) → containment_b ≈ 1 while
+    jaccard ≈ 0.1 — the directional signal symmetric jaccard hides."""
+    from ditto_spark.operators.profile import attribute_alignment
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(10)], "y long")
+    r = attribute_alignment(a, b).collect()[0]
+    assert r["est_containment_b"] > 0.9, r
+    assert r["est_containment_a"] < 0.2, r
+    assert r["est_jaccard"] < 0.2, r
