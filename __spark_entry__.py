@@ -2067,6 +2067,77 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k cosine (FAISS ScalarQuantizer QT_8bit
+    counterpart): per-dimension corpus min/max train an 8-bit uniform
+    quantizer, codes pack 8-per-long (8× smaller neighbor payload than
+    float64), queries score full-precision against the reconstruction.
+    All double arithmetic is fixed-order and engine-portable → the DuckDB
+    oracle replicates stats/encode/decode/score verbatim (hash-match).
+    Exact-verify sibling of ivfpq_topk; compose with IVF cells for the
+    sublinear path."""
+    from ditto_spark.operators.ann import cosine_topk_sq8
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk_sq8(
+        emb, dim=_ANN_DIM, k=5, queries=queries
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_SQ8_TOPK_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT e.vec_id, d.i AS d, e.v[d.i + 1] AS val
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) d
+    ),
+    stats AS (SELECT d, min(val) AS mn, max(val) AS mx FROM dims GROUP BY d),
+    codes AS (
+      SELECT dims.vec_id, dims.d,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE least(255, greatest(0,
+                       floor(((dims.val - s.mn) / (s.mx - s.mn)) * 256.0)))::BIGINT
+             END AS code
+      FROM dims JOIN stats s USING (d)
+    ),
+    dec AS (
+      SELECT c.vec_id, c.d,
+             s.mn + (c.code + 0.5) * (s.mx - s.mn) / 256.0 AS xh
+      FROM codes c JOIN stats s USING (d)
+    ),
+    rn AS (SELECT vec_id, sum(xh * xh) AS rn2 FROM dec GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+    qn AS (SELECT query_id, sqrt(list_inner_product(qv, qv)) AS qn FROM q),
+    dots AS (
+      SELECT q.query_id, dec.vec_id AS neighbor_id,
+             sum(q.qv[dec.d + 1] * dec.xh) AS dot
+      FROM q JOIN dec ON dec.vec_id != q.query_id
+      GROUP BY q.query_id, dec.vec_id
+    ),
+    ranked AS (
+      SELECT d.query_id, d.neighbor_id,
+             CASE WHEN rn.rn2 > 0
+                  THEN d.dot / (qn.qn * sqrt(rn.rn2)) ELSE -1.0 END AS cos,
+             row_number() OVER (PARTITION BY d.query_id ORDER BY
+               (CASE WHEN rn.rn2 > 0
+                     THEN d.dot / (qn.qn * sqrt(rn.rn2)) ELSE -1.0 END) DESC,
+               d.neighbor_id ASC) AS rk
+      FROM dots d
+      JOIN rn ON rn.vec_id = d.neighbor_id
+      JOIN qn ON qn.query_id = d.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
 _IVFPQ_TOPK_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
@@ -5628,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ivf_topk": q_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "sq8_topk": q_sq8_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "gopher_filter": q_gopher_filter,
@@ -6084,6 +6156,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk <= 5
         """,
         "ivfpq_topk": _IVFPQ_TOPK_ORACLE,
+        "sq8_topk": _SQ8_TOPK_ORACLE,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "gopher_filter": _GOPHER_FILTER_ORACLE,

@@ -1220,3 +1220,146 @@ def cosine_topk_ivfpq(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def sq8_stats(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 training state: ONE row (mins: array<double>, maxs:
+    array<double>) of per-dimension corpus min/max — the scalar-quantizer
+    counterpart of pq_codebooks (FAISS ScalarQuantizer QT_8bit). Computed
+    as 2·dim plain aggregate expressions over the unexploded array column:
+    a single partial-aggregated reduce, no explode shuffle, no window."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = []
+    for i in range(dim):
+        cols.append(F.min(F.element_at(v, i + 1)).alias(f"mn{i}"))
+        cols.append(F.max(F.element_at(v, i + 1)).alias(f"mx{i}"))
+    agg = vectors.agg(*cols)
+    return agg.select(
+        F.array(*[F.col(f"mn{i}") for i in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"mx{i}") for i in range(dim)]).alias("maxs"),
+    )
+
+
+def _sq8_code(x: F.Column, mn: F.Column, mx: F.Column) -> F.Column:
+    """code = clip(floor((x−mn)/(mx−mn)·256), 0, 255); degenerate dim
+    (mx == mn) → 0. Plain double arithmetic, identical in DuckDB."""
+    raw = F.floor(((x - mn) / (mx - mn)) * F.lit(256.0))
+    return (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), raw)))
+        .cast("long")
+    )
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    stats: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """SQ8 encoding: dim float64 components → dim/8 longs, 8 codes packed
+    per long (true 8× payload cut — an array<int> of codes would only
+    halve it). ZERO-shuffle: the one-row stats table broadcasts and both
+    the per-dim quantization and the bit-packing are higher-order
+    expressions in whole-stage codegen. Pack layout: packed[j] holds
+    codes 8j..8j+7, code i at bit 8·(i mod 8) — unpacked exactly by
+    `(packed[i//8] >> 8·(i%8)) & 255` (integer arithmetic, lossless,
+    pytest-roundtripped)."""
+    if dim % 8 != 0:
+        raise ValueError(f"dim={dim} not divisible by 8")
+    vecs = _vec_view(vectors, id_col, vec_col)
+    code_at = lambda i: _sq8_code(  # noqa: E731
+        F.element_at(F.col("v"), i + 1),
+        F.element_at(F.col("mins"), i + 1),
+        F.element_at(F.col("maxs"), i + 1),
+    )
+    def pack_word(j: int) -> F.Column:
+        # bitwise OR of shifted codes — a multiply-and-add formulation
+        # overflows the signed long at byte 7 (255·2^56 > 2^63−1) under
+        # ANSI mode; shiftleft wraps into the sign bit by design and the
+        # decoder's &255 mask strips the sign extension back off
+        word = code_at(8 * j)
+        for t in range(1, 8):
+            word = word.bitwiseOR(F.shiftleft(code_at(8 * j + t), 8 * t))
+        return word
+
+    packed = F.array(*[pack_word(j) for j in range(dim // 8)])
+    return vecs.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), packed.alias(out_col)
+    )
+
+
+def _sq8_decode_at(packed: F.Column, i: int) -> F.Column:
+    """Unpack code i, reconstruct x̂ = mn + (code+0.5)·(mx−mn)/256."""
+    code = (
+        F.shiftright(F.element_at(packed, i // 8 + 1), 8 * (i % 8))
+        .bitwiseAND(F.lit(255))
+    ).cast("double")
+    mn = F.element_at(F.col("mins"), i + 1)
+    mx = F.element_at(F.col("maxs"), i + 1)
+    return mn + (code + F.lit(0.5)) * (mx - mn) / F.lit(256.0)
+
+
+def cosine_topk_sq8(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 asymmetric top-k cosine: full-precision queries scored against
+    the 8-bit reconstruction of every corpus vector — the scalar-quantized
+    sibling of cosine_topk_ivfpq's ADC (same output contract: query_id,
+    neighbor_id, cos, rk). The candidate relation ships dim/8 longs per
+    neighbor instead of dim doubles (8×); reconstruction error is a
+    per-dimension half-step, far finer than PQ at the same total bits
+    when dimensions are independently scaled. Brute-force pairing here —
+    the exact-verify twin; compose with IVF cells (route both sides
+    through _ivf_assign and join on centroid_id, as cosine_topk_ivfpq
+    does) for the sublinear path. Deterministic double arithmetic
+    end-to-end, replicated by the `sq8_topk` DuckDB oracle."""
+    vecs = _vec_view(vectors, id_col, vec_col)
+    stats = sq8_stats(vectors, dim, vec_col=vec_col)
+    codes = sq8_encode(vectors, stats, dim, id_col=id_col, vec_col=vec_col)
+    if queries is None:
+        qvecs = vecs.select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        )
+    else:
+        qvecs = queries.select(
+            "query_id", F.transform("qv", lambda x: x.cast("double")).alias("qv")
+        )
+    cand = qvecs.crossJoin(
+        codes.select(F.col(id_col).alias("neighbor_id"), "sq8")
+    ).where(F.col("query_id") != F.col("neighbor_id")).crossJoin(
+        F.broadcast(stats)
+    )
+    dot = sum(
+        (
+            F.element_at(F.col("qv"), i + 1) * _sq8_decode_at(F.col("sq8"), i)
+            for i in range(1, dim)
+        ),
+        F.element_at(F.col("qv"), 1) * _sq8_decode_at(F.col("sq8"), 0),
+    )
+    rn2 = sum(
+        (
+            _sq8_decode_at(F.col("sq8"), i) * _sq8_decode_at(F.col("sq8"), i)
+            for i in range(1, dim)
+        ),
+        _sq8_decode_at(F.col("sq8"), 0) * _sq8_decode_at(F.col("sq8"), 0),
+    )
+    qnorm = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    cos = F.when(rn2 > 0, dot / (qnorm * F.sqrt(rn2))).otherwise(F.lit(-1.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

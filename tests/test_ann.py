@@ -796,3 +796,70 @@ def test_semantic_dedup_overlap_catches_boundary_straddling_pair(spark):
     r1, r2 = result(1), result(2)
     assert r1[1001] == (1, -1) and r1[1002] == (1, -1)  # missed at overlap=1
     assert r2[1001] == (1, -1) and r2[1002] == (0, 1001)  # caught at overlap=2
+
+
+def test_sq8_encode_roundtrip_matches_numpy(spark):
+    """Packed codes unpack to exactly the numpy-computed quantization
+    (clip(floor((x−mn)/(mx−mn)·256), 0, 255)); byte 7 exercises the sign
+    bit of the packed long (bitwise pack — a multiply-add formulation
+    overflows ANSI longs)."""
+    from ditto_spark.operators.ann import sq8_encode, sq8_stats
+
+    df = _dvecs(spark)
+    st = sq8_stats(df, DIM)
+    srow = st.collect()[0]
+    mn, mx = np.array(srow["mins"]), np.array(srow["maxs"])
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    for row in sq8_encode(df, st, DIM).collect():
+        v = vecs[row["vec_id"]]
+        expect = [
+            0 if mx[i] == mn[i]
+            else int(min(255, max(0, np.floor(
+                (v[i] - mn[i]) / (mx[i] - mn[i]) * 256))))
+            for i in range(DIM)
+        ]
+        got = [(row["sq8"][i // 8] >> (8 * (i % 8))) & 255 for i in range(DIM)]
+        assert expect == got, row["vec_id"]
+        assert len(row["sq8"]) == DIM // 8
+
+
+def test_sq8_topk_recall_and_degenerate_dim(spark):
+    """8-bit per-dim reconstruction keeps top-k recall high (measured
+    0.972 on the clustered corpus — far above PQ's raw ADC at the same
+    8 bits/dim budget, the expected SQ-vs-PQ trade at full dim count);
+    a constant dimension (mx == mn) must not produce NaNs."""
+    from ditto_spark.operators.ann import cosine_topk_sq8
+
+    df = _dvecs(spark)
+    const = df.select(
+        "vec_id",
+        F.concat(F.array(F.lit(0.5)), F.slice("embedding", 2, DIM - 1)).alias(
+            "embedding"
+        ),
+    )
+    v = df.select("vec_id", F.col("embedding").alias("v"))
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(v, q, k=3, vec_col="v").collect()
+    }
+    ap = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_sq8(df, dim=DIM, k=3).collect()
+    }
+    assert len(exact & ap) / len(exact) >= 0.9
+    rows = cosine_topk_sq8(const, dim=DIM, k=3).collect()
+    assert rows and all(not np.isnan(r["cos"]) for r in rows)
+
+
+def test_sq8_partition_invariant(spark):
+    from ditto_spark.operators.ann import sq8_encode, sq8_stats
+
+    df = _dvecs(spark)
+    st = sq8_stats(df, DIM)
+    a = sorted((r["vec_id"], tuple(r["sq8"])) for r in sq8_encode(df, st, DIM).collect())
+    b = sorted(
+        (r["vec_id"], tuple(r["sq8"]))
+        for r in sq8_encode(df.repartition(7), st, DIM).collect()
+    )
+    assert a == b
