@@ -2244,6 +2244,70 @@ _IVFPQ_TOPK_ORACLE = """
 """
 
 
+def q_ann_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier recall audit — "measure, don't guess": recall@5 of every
+    approximate tier (hyperplane LSH, multi-probe LSH, IVF-flat, IVF-PQ
+    with exact re-rank, SQ8) against the brute-force baseline on the SAME
+    query set (vec_id % 25 == 0), as one table (tier, hits, exact_pairs,
+    recall). Every input tier is itself hash-oracle-checked, and the
+    oracle composes those six oracles verbatim — so this row set is a
+    fully value-checked accuracy scoreboard, the number a 100 TB operator
+    consults before choosing an index tier."""
+    exact = q_embedding_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    tiers = {
+        "ivf": q_ivf_topk,
+        "ivfpq": q_ivfpq_topk,
+        "lsh": q_ann_lsh_topk,
+        "multiprobe": q_ann_multiprobe_topk,
+        "sq8": q_sq8_topk,
+    }
+    total = exact.count()
+    rows = []
+    for name in sorted(tiers):
+        t = tiers[name](spark, sf_dir).select("query_id", "neighbor_id")
+        hits = exact.join(t, ["query_id", "neighbor_id"]).count()
+        rows.append((name, hits, total, round(hits / total, 6)))
+    return spark.createDataFrame(
+        rows, "tier string, hits long, exact_pairs long, recall double"
+    )
+
+
+def _tier_recall_oracle(d: dict) -> str:
+    """Compose the six already-proven ANN oracles into the recall
+    scoreboard (each wrapped as a CTE subquery — DuckDB allows WITH inside
+    a parenthesized subselect)."""
+    sub = lambda k: "(\n" + d[k] + "\n)"  # noqa: E731
+    tiers = {
+        "ivf": "ivf_topk",
+        "ivfpq": "ivfpq_topk",
+        "lsh": "ann_lsh_topk",
+        "multiprobe": "ann_multiprobe_topk",
+        "sq8": "sq8_topk",
+    }
+    ctes = ",\n    ".join(
+        f"{name}_t AS (SELECT query_id, neighbor_id FROM {sub(key)})"
+        for name, key in sorted(tiers.items())
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT '{name}' AS tier, (SELECT count(*) FROM bf "
+        f"JOIN {name}_t USING (query_id, neighbor_id))::BIGINT AS hits"
+        for name in sorted(tiers)
+    )
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM {sub("embedding_cosine_topk")}),
+    {ctes},
+    tot AS (SELECT count(*)::BIGINT AS c FROM bf),
+    u AS (
+      {unions}
+    )
+    SELECT u.tier, u.hits, tot.c AS exact_pairs,
+           round(u.hits / tot.c, 6) AS recall
+    FROM u CROSS JOIN tot
+"""
+
+
 def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (vec_id + 10000, even dims ×1.05, odd
     ×0.95 → cos(v, v') ≈ 0.999): gives the near-dup query REAL near-
@@ -5700,6 +5764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "sq8_topk": q_sq8_topk,
+        "ann_tier_recall": q_ann_tier_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "gopher_filter": q_gopher_filter,
@@ -5770,7 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "serialize_events": """
             SELECT user_id,
                    string_agg('COL event_type VAL ' || event_type ||
@@ -6766,3 +6831,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "platt_scaling": _platt_oracle_sql(),
     }
+    d["ann_tier_recall"] = _tier_recall_oracle(d)
+    return d
