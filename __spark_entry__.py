@@ -551,7 +551,7 @@ _ANN_MULTIPROBE_ORACLE = _ann_chunks_cte(with_aug=False) + """
       SELECT vid, band_idx, bit FROM (
         SELECT vid, plane // 8 AS band_idx, plane % 8 AS bit,
                row_number() OVER (PARTITION BY vid, plane // 8
-                                  ORDER BY abs(pr) ASC, plane % 8 ASC) AS frk
+                                  ORDER BY floor(abs(pr) * 1e6) ASC, plane % 8 ASC) AS frk
         FROM proj
       ) WHERE frk <= 2
     ), qprobes AS (

@@ -174,8 +174,15 @@ def hyperplane_band_probes(
             proj = m @ planes  # (B, n_planes)
             bits = (proj > 0).astype(np.int64)
             base = bits.reshape(b, bands, width) @ pow2  # (B, bands)
-            mg = np.abs(proj).reshape(b, bands, width)
-            # stable argsort == (|margin| asc, bit index asc) tiebreak
+            # floor-quantize |margin| to 1e-6 before ranking: numpy's
+            # pairwise matmul sum and the oracle's sequential SQL sum can
+            # differ in the last ulp, and an unquantized argsort would let
+            # two near-tied margins order differently across engines and
+            # flip the probed bucket. At 1e-6 granularity a flip needs the
+            # true value within one ulp of a quantization boundary — the
+            # documented tolerance of this probe sequence.
+            mg = np.floor(np.abs(proj).reshape(b, bands, width) * 1e6)
+            # stable argsort == (quantized |margin| asc, bit index asc)
             order = np.argsort(mg, axis=2, kind="stable")[:, :, :n_probes]
             flips = base[:, :, None] ^ (1 << order.astype(np.int64))  # (B, bands, T)
             chunks = np.concatenate([base[:, :, None], flips], axis=2)  # (B, bands, T+1)
@@ -874,23 +881,31 @@ def _residualized(vecs: DataFrame, cent: DataFrame) -> DataFrame:
         nc = F.sqrt(_dot(c["cv"], c["cv"]))
         return -(num / (nv * nc))
 
+    # the winning struct carries its own cv, so the residual subtraction is
+    # id-exact by construction — no positional element_at(cents, id+1) that
+    # would silently mis-index a caller-supplied non-contiguous centroid
+    # table (cv never participates in the sort: centroid_id is unique, so
+    # the (neg, centroid_id) prefix always decides)
     best = F.element_at(
         F.array_sort(
             F.transform(
                 F.col("cents"),
                 lambda c: F.struct(
-                    neg_cos(c).alias("neg"), c["centroid_id"].alias("centroid_id")
+                    neg_cos(c).alias("neg"),
+                    c["centroid_id"].alias("centroid_id"),
+                    c["cv"].alias("cv"),
                 ),
             )
         ),
         1,
-    )["centroid_id"]
-    out = vecs.crossJoin(F.broadcast(carr)).withColumn("centroid_id", best)
-    cv = F.element_at(F.col("cents"), F.col("centroid_id").cast("int") + 1)["cv"]
+    )
+    out = vecs.crossJoin(F.broadcast(carr)).withColumn("__best", best)
     return out.select(
         *id_cols,
-        "centroid_id",
-        F.zip_with(F.col("v"), cv, lambda x, y: x - y).alias("v"),
+        F.col("__best")["centroid_id"].alias("centroid_id"),
+        F.zip_with(
+            F.col("v"), F.col("__best")["cv"], lambda x, y: x - y
+        ).alias("v"),
     )
 
 
@@ -1181,8 +1196,15 @@ def cosine_topk_ivfpq(
             ).alias("cents")
         )
         scored = scored.crossJoin(F.broadcast(carr))
+        # id-exact struct search (like _ivf_assign), not positional
+        # element_at(cents, id+1): correct for any caller-supplied
+        # centroid table, contiguous ids or not
         cvec = F.element_at(
-            F.col("cents"), F.col("centroid_id").cast("int") + 1
+            F.filter(
+                F.col("cents"),
+                lambda c: c["centroid_id"] == F.col("centroid_id"),
+            ),
+            1,
         )["cv"]
         cross = F.aggregate(
             sub_idx,

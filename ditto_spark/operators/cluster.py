@@ -1112,17 +1112,30 @@ def cluster_editing_cost(
         ).otherwise(F.col("n_edges")).alias("n_edges"),
         "intra_edges",
     )
-    # n(n-1) is even, so shiftright-by-1 keeps the whole computation in
-    # exact 64-bit integers (float division would drop units past 2^53 —
-    # reachable at a 1.4e8-member cluster)
+    # C(n,2) computed halved-factor-first — shiftright(n,1) * (n-1) for
+    # even n, shiftright(n,1) * n for odd — so the intermediate product IS
+    # the result: exact 64-bit whenever C(n,2) itself fits in int64
+    # (n ≤ ~6.07e9), where the naive n*(n-1) already wraps at n ≈ 3.04e9.
+    # Beyond that C(n,2) is unrepresentable, so fail loudly instead of
+    # wrapping (float division would silently drop units past 2^53 —
+    # reachable at a 1.4e8-member cluster, hence no double path either).
+    n = F.col("n")
+    c2 = F.when(
+        n > F.lit(6074000999),
+        F.raise_error(
+            F.lit(
+                "cluster_editing_cost: cluster size exceeds 6.07e9 —"
+                " C(n,2) not representable in int64"
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.shiftright(n, 1) * F.when(n % 2 == 1, n).otherwise(n - 1)
+    )
     pair_counts = (
         a.groupBy("__c")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.coalesce(
-                F.sum(F.shiftright(F.col("n") * (F.col("n") - 1), 1)),
-                F.lit(0),
-            ).cast("long").alias("intra_pairs")
+            F.coalesce(F.sum(c2), F.lit(0)).cast("long").alias("intra_pairs")
         )
     )
     return pair_counts.crossJoin(edge_counts).select(

@@ -173,7 +173,29 @@ def attribute_alignment(
     eb = hll_estimate(rb, ["col_b"], p=p).select(
         "col_b", F.col("est_distinct").alias("est_b")
     )
-    pairs = ea.select("col_a").crossJoin(eb.select("col_b"))
+    # the pair grid is seeded from the REQUESTED column lists as literals,
+    # not from the estimate tables: a column whose normalized values are
+    # all null produces no HLL registers and hence no estimate row, and a
+    # grid derived from estimates would silently drop every pair involving
+    # it. Literals guarantee one output row per (col_a, col_b) with
+    # zero-valued estimates for the empty side.
+    spark = dfa.sparkSession
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(c) for c in cols_a])
+            ).alias("col_a")
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(c) for c in cols_b])
+                ).alias("col_b")
+            )
+        )
+    )
+    pairs = grid
     pu = (
         pairs.join(ra, "col_a").select("col_a", "col_b", "idx", "rho")
         .unionByName(
@@ -185,10 +207,11 @@ def attribute_alignment(
     eu = hll_estimate(pu, ["col_a", "col_b"], p=p).select(
         "col_a", "col_b", F.col("est_distinct").alias("est_union")
     )
-    inter = F.round(
-        F.greatest(F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")),
-        4,
-    )
+    ea0 = F.coalesce(F.col("est_a"), F.lit(0.0))
+    eb0 = F.coalesce(F.col("est_b"), F.lit(0.0))
+    eu0 = F.coalesce(F.col("est_union"), F.lit(0.0))
+    inter = F.round(F.greatest(F.lit(0.0), ea0 + eb0 - eu0), 4)
+
     def ratio(denom: F.Column) -> F.Column:
         return F.round(
             F.when(denom > 0, F.least(F.lit(1.0), inter / denom))
@@ -199,15 +222,22 @@ def attribute_alignment(
     # containments separate FK-style INCLUSION from mutual identity: a
     # supplier-key column contained in a customer-key column scores
     # containment_b ≈ 1 while jaccard stays low — the signal that says
-    # "foreign key", which symmetric jaccard alone cannot express
+    # "foreign key", which symmetric jaccard alone cannot express.
+    # Left joins onto the literal grid + coalesce-to-0: a pair with an
+    # all-null side still gets its row (zero estimates), never a silent
+    # drop.
     return (
-        eu.join(F.broadcast(ea), "col_a")
-        .join(F.broadcast(eb), "col_b")
+        grid.join(eu, ["col_a", "col_b"], "left")
+        .join(F.broadcast(ea), "col_a", "left")
+        .join(F.broadcast(eb), "col_b", "left")
         .select(
-            "col_a", "col_b", "est_a", "est_b", "est_union",
+            "col_a", "col_b",
+            ea0.alias("est_a"),
+            eb0.alias("est_b"),
+            eu0.alias("est_union"),
             inter.alias("est_inter"),
-            ratio(F.col("est_union")).alias("est_jaccard"),
-            ratio(F.col("est_a")).alias("est_containment_a"),
-            ratio(F.col("est_b")).alias("est_containment_b"),
+            ratio(eu0).alias("est_jaccard"),
+            ratio(ea0).alias("est_containment_a"),
+            ratio(eb0).alias("est_containment_b"),
         )
     )
