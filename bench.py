@@ -19,6 +19,15 @@ connected components) ride along in `stages`, and the host's 1-minute load
 average is sampled before and after so a contended run is visible in the
 JSON itself.
 
+Round-4 hardening: every timed pass is probe-gated at
+SPARK_GRAFT_PROBE_FLOOR effective cores (default 12 of 16, ~0.75× the
+probe's process count) with a shared bounded retry budget
+(SPARK_GRAFT_BENCH_MAX_EXTRA, default 8, 20 s waits), and every pass also
+records a probe-normalized time (wall × min(probe/16, 1)) in
+`query_runs_normalized` / `flagship_runs_normalized` — so a window that
+exhausts the retry budget still produces a self-describing sample the
+reader can discount.
+
 Each timed query is forced end-to-end with a cache+count (materializes
 every column).
 
@@ -111,6 +120,47 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     query_runs: dict[str, list[float]] = {}
+    query_runs_normalized: dict[str, list[float]] = {}
+    query_probes: dict[str, list[float]] = {}
+    discarded_windows: list[dict] = []
+
+    # Round-4 hardening (round-3 verdict: driver flagship 54 s vs 11.5 s
+    # committed under loadavg 17-28 with probes 8.7-12.4 accepted by an
+    # 8.0 floor): the floor rises to 12 (~0.75× the probe's 16 procs),
+    # EVERY timed pass — not just the flagship — is probe-gated with a
+    # shared bounded retry budget, and every pass also records a
+    # probe-NORMALIZED time (wall × min(probe/16, 1)) so a contended
+    # window that survives the gate is self-describing in the JSON: the
+    # normalized figure is the linear-scaling estimate of what the same
+    # pass costs on an idle box, never below the wall time's share.
+    probe_floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "12"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "8"))
+    retry_budget = {"left": max_extra}
+    PROBE_REF = 16.0
+
+    def clean_window(name: str) -> float:
+        """Probe until the window clears the floor or the shared retry
+        budget runs dry; log every discarded window machine-readably.
+        Always returns a probe so the bench terminates with a number."""
+        while True:
+            p = _hw_probe()
+            if p >= probe_floor or retry_budget["left"] <= 0:
+                return p
+            retry_budget["left"] -= 1
+            discarded_windows.append(
+                {
+                    "query": name,
+                    "probe_effective_cores": p,
+                    "probe_floor": probe_floor,
+                    "loadavg": _loadavg(),
+                    "action": "window skipped before run, retrying",
+                    "retries_left": retry_budget["left"],
+                }
+            )
+            time.sleep(20)
+
+    def _norm(wall: float, probe: float) -> float:
+        return round(wall * min(probe / PROBE_REF, 1.0), 3)
 
     def timed(name: str, build) -> None:
         # min-of-`repeat` passes (round-3 hardening): a single pass taken
@@ -133,12 +183,20 @@ def main() -> None:
         # the pre-hardening record's ngram_jaccard 2.1 s was exactly that
         # cache read (honest cold cost ~14 s under the same window).
         runs: list[float] = []
+        norms: list[float] = []
+        probes: list[float] = []
         for _ in range(repeat):
+            probe = clean_window(name)
             spark.catalog.clearCache()
             t0 = time.monotonic()
             counts[name] = _force(build())
-            runs.append(round(time.monotonic() - t0, 3))
+            wall = round(time.monotonic() - t0, 3)
+            runs.append(wall)
+            probes.append(probe)
+            norms.append(_norm(wall, probe))
         query_runs[name] = runs
+        query_runs_normalized[name] = norms
+        query_probes[name] = probes
         timings[name] = min(runs)
 
     # --- flagship: full transcript linkage (serialize → LSH → Arrow-UDF
@@ -158,16 +216,10 @@ def main() -> None:
     # cleared between runs (the pipeline's internal persists would
     # otherwise make run 2 a cache read); transcripts are re-cached
     # OUTSIDE the timed region.
-    # Probe-gated sampling (round-2 verdict task: the noise policy lives in
-    # the harness, not the write-up): before each flagship run a ~2 s
-    # pure-CPU probe stamps the window's quality; a window below
-    # SPARK_GRAFT_PROBE_FLOOR effective cores (default 8 of 16 — the VM
-    # shows multi-minute degraded periods at 2-6) is SKIPPED and logged
-    # machine-readably in `discarded_windows`, up to
-    # SPARK_GRAFT_BENCH_MAX_EXTRA extra attempts; after that the run
-    # proceeds regardless so the bench always terminates with a number.
-    probe_floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "8"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+    # Probe-gated sampling: the gate itself (floor, shared retry budget,
+    # machine-readable discards) is defined above and applies to EVERY
+    # timed pass; the flagship additionally records a POST-run probe, so
+    # each sample carries the window quality on both sides of the run.
     # One untimed FULL-SIZE warm-up pass per JVM (round-3 fix): the host
     # zeroes fresh pages at only ~130-300 MB/s, so the first full-size job
     # in a JVM pays tens of GB of lazy heap commit (measured: 181-265 s
@@ -187,22 +239,12 @@ def main() -> None:
         warmup_sec = round(time.monotonic() - t0, 3)
         spark.catalog.clearCache()
     flagship_runs: list[float] = []
+    flagship_runs_normalized: list[float] = []
     flagship_probes: list[float] = []
+    flagship_probes_post: list[float] = []
     flagship_loadavg: list[float] = []
-    discarded_windows: list[dict] = []
     while len(flagship_runs) < repeat:
-        probe = _hw_probe()
-        if probe < probe_floor and len(discarded_windows) < max_extra:
-            discarded_windows.append(
-                {
-                    "probe_effective_cores": probe,
-                    "probe_floor": probe_floor,
-                    "loadavg": _loadavg(),
-                    "action": "window skipped before run, retrying",
-                }
-            )
-            time.sleep(10)
-            continue
+        probe = clean_window("transcript_full_dedup")
         spark.catalog.clearCache()
         transcripts.cache()
         transcripts.count()
@@ -211,7 +253,13 @@ def main() -> None:
         t0 = time.monotonic()
         res = dedup_transcripts(transcripts, PipelineConfig())
         counts["transcript_full_dedup"] = _force(res.clusters)
-        flagship_runs.append(round(time.monotonic() - t0, 3))
+        wall = round(time.monotonic() - t0, 3)
+        probe_post = _hw_probe()
+        flagship_probes_post.append(probe_post)
+        flagship_runs.append(wall)
+        flagship_runs_normalized.append(
+            _norm(wall, (probe + probe_post) / 2.0)
+        )
     timings["transcript_full_dedup"] = min(flagship_runs)
 
     # per-stage breakdown (one staged pass, cold data / warm JIT): stage
@@ -263,7 +311,10 @@ def main() -> None:
     # the same commit). The serialize input is re-persisted OUTSIDE each
     # timed region so the sample measures blocking alone.
     blocking_runs: list[float] = []
+    blocking_norms: list[float] = []
+    blocking_probes: list[float] = []
     for _ in range(repeat):
+        probe = clean_window("transcript_blocking")
         spark.catalog.clearCache()
         transcripts.cache()
         transcripts.count()
@@ -278,10 +329,15 @@ def main() -> None:
         )
         cand_b.persist()
         cand_b.count()
-        blocking_runs.append(round(time.monotonic() - t0, 3))
+        wall = round(time.monotonic() - t0, 3)
+        blocking_runs.append(wall)
+        blocking_probes.append(probe)
+        blocking_norms.append(_norm(wall, probe))
         cand_b.unpersist()
         ser_b.unpersist()
     query_runs["transcript_blocking"] = blocking_runs
+    query_runs_normalized["transcript_blocking"] = blocking_norms
+    query_probes["transcript_blocking"] = blocking_probes
     timings["transcript_blocking"] = min(blocking_runs)
 
     # --- document near-dup pipeline + LSH candidates on driver testdata
@@ -313,13 +369,22 @@ def main() -> None:
                 "cores": cores,
                 "rows": counts,
                 "query_runs": query_runs,
+                "query_runs_normalized": query_runs_normalized,
+                "query_probes": query_probes,
                 "stages": stages,
                 "flagship_runs": flagship_runs,
+                "flagship_runs_normalized": flagship_runs_normalized,
                 "warmup_run_sec": warmup_sec,
                 "flagship_probes": flagship_probes,
+                "flagship_probes_post": flagship_probes_post,
                 "flagship_loadavg": flagship_loadavg,
                 "discarded_windows": discarded_windows,
                 "probe_floor": probe_floor,
+                "probe_ref_cores": PROBE_REF,
+                "flagship_min_normalized": (
+                    min(flagship_runs_normalized)
+                    if flagship_runs_normalized else -1.0
+                ),
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "hw_probe_effective_cores_16": _hw_probe(),
