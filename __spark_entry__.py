@@ -1944,14 +1944,21 @@ FROM post
 
 
 def q_crowd_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 Dawid-Skene EM per dataset group (applyInPandas); iterative EM →
-    rows-only check (deterministic: fixed init + iteration count)."""
-    from ditto_spark.operators.crowd import dawid_skene
+    """A4 Dawid-Skene EM per dataset group, fully oracle-checked: the query
+    runs the RELATIONAL twin (crowd.dawid_skene_relational — the web-scale
+    formulation whose every step is keyed joins/aggregates) at the full
+    production n_iter=20, and the DuckDB oracle unrolls the same 20 EM
+    rounds as materialized CTEs (`_ds_oracle`, the crowd_ds_em_step SQL
+    iterated — same pattern as the GLAD/fs_em/platt unrolls). The
+    applyInPandas numpy solver (`crowd.dawid_skene`, the reference's
+    driver-side solve at analyze_gpt.py:155-166) stays pinned float-equal
+    to the relational twin by tests/test_crowd.py."""
+    from ditto_spark.operators.crowd import dawid_skene_relational
 
     votes = _event_votes(spark, sf_dir).withColumn(
         "dataset", (F.col("task") % 4).cast("string")
     )
-    return dawid_skene(votes).select(
+    return dawid_skene_relational(votes, n_iter=20).select(
         "dataset", "task", "crowd_label", F.round("p1", 6).alias("p1")
     )
 
@@ -2006,6 +2013,70 @@ def q_crowd_glad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GLAD_N_ITER = 4
 _GLAD_N_GRAD = 5
+
+
+def _ds_oracle(n_iter: int = 20, eps: float = 1e-9) -> str:
+    """Unrolled binary Dawid-Skene EM (crowd.dawid_skene_relational at the
+    same n_iter): vote-mean init, then per round an eps-smoothed confusion
+    M-step, clamped empirical prior, and max-subtracted softmax E-step —
+    the crowd_ds_em_step oracle SQL iterated as MATERIALIZED CTEs (DuckDB
+    would otherwise exponentially inline the state chain)."""
+    votes = """
+      SELECT CAST((event_id % 500) % 4 AS VARCHAR) AS dataset,
+             CAST(event_id % 500 AS VARCHAR) AS task,
+             CAST(user_id % 7 AS VARCHAR) AS worker,
+             CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+      FROM events
+    """
+    parts = [
+        f"WITH votes AS MATERIALIZED ({votes})",
+        "p0 AS MATERIALIZED (SELECT dataset, task, avg(label) AS p1"
+        " FROM votes GROUP BY dataset, task)",
+    ]
+    for i in range(n_iter):
+        p, np_ = f"p{i}", f"p{i + 1}"
+        parts.append(f"""w{i} AS MATERIALIZED (
+      SELECT v.dataset, v.worker,
+             sum(p.p1 * v.label)             AS n11,
+             sum(p.p1 * (1 - v.label))       AS n10,
+             sum((1 - p.p1) * v.label)       AS n01,
+             sum((1 - p.p1) * (1 - v.label)) AS n00
+      FROM votes v JOIN {p} p ON v.dataset = p.dataset AND v.task = p.task
+      GROUP BY v.dataset, v.worker
+    )""")
+        parts.append(f"""pr{i} AS MATERIALIZED (
+      SELECT dataset, least(greatest(avg(p1), {eps}), 1 - {eps}) AS prior1
+      FROM {p} GROUP BY dataset
+    )""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+      SELECT v.dataset, v.task,
+             sum(ln((CASE WHEN v.label = 1 THEN w.n11 ELSE w.n10 END + {eps})
+                    / (w.n11 + w.n10 + {2 * eps}))) AS s1,
+             sum(ln((CASE WHEN v.label = 1 THEN w.n01 ELSE w.n00 END + {eps})
+                    / (w.n01 + w.n00 + {2 * eps}))) AS s0
+      FROM votes v JOIN w{i} w ON v.dataset = w.dataset AND v.worker = w.worker
+      GROUP BY v.dataset, v.task
+    )""")
+        parts.append(f"""{np_} AS MATERIALIZED (
+      SELECT dataset, task,
+             exp(ll1 - greatest(ll1, ll0))
+               / (exp(ll1 - greatest(ll1, ll0)) + exp(ll0 - greatest(ll1, ll0)))
+               AS p1
+      FROM (
+        SELECT e.dataset, e.task,
+               ln(p.prior1) + e.s1     AS ll1,
+               ln(1 - p.prior1) + e.s0 AS ll0
+        FROM e{i} e JOIN pr{i} p ON e.dataset = p.dataset
+      )
+    )""")
+    parts.append(f"""final AS (
+      SELECT dataset, task,
+             CAST(CASE WHEN p1 > 0.5 THEN 1 ELSE 0 END AS INTEGER)
+               AS crowd_label,
+             round(p1, 6) AS p1
+      FROM p{n_iter}
+    )""")
+    return ",\n    ".join(parts) + "\n    SELECT * FROM final"
 
 
 def _glad_oracle(
@@ -5996,6 +6067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries rotate to the back. Rotate again next round.
         "transcript_dedup_builtin": q_transcript_dedup_builtin,
         "crowd_glad": q_crowd_glad,
+        "crowd_dawid_skene": q_crowd_dawid_skene,
         "ivfpq_topk": q_ivfpq_topk,
         "sq8_topk": q_sq8_topk,
         "ann_tier_recall": q_ann_tier_recall,
@@ -6048,7 +6120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "lsh_power_curve": q_lsh_power_curve,
         "match_evidence": q_match_evidence,
-        "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
         "crowd_ebcc": q_crowd_ebcc,
         "union_blocking": q_union_blocking,
@@ -6840,6 +6911,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transcript_dedup_builtin": _transcript_builtin_oracle(),
         "crowd_glad": _glad_oracle(),
+        "crowd_dawid_skene": _ds_oracle(),
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
         "oph_signature": _oph_oracle(),
         "weighted_minhash_signature": """

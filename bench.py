@@ -133,10 +133,19 @@ def main() -> None:
     # window that survives the gate is self-describing in the JSON: the
     # normalized figure is the linear-scaling estimate of what the same
     # pass costs on an idle box, never below the wall time's share.
-    probe_floor = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "12"))
+    probe_floor_conf = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "12"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "8"))
     retry_budget = {"left": max_extra}
     PROBE_REF = 16.0
+    # Self-calibrating floor (measured 2026-08-21: this VM's probe reads
+    # ~9-11 effective cores even at loadavg 1-3 — host steal — so a fixed
+    # floor of 12 exhausts the whole retry budget on windows that are as
+    # good as the box ever gets, then has nothing left for a real stall).
+    # Three probes at JVM-idle stamp the box's currently-achievable
+    # ceiling; the working floor is min(configured, 0.8 × best-of-3),
+    # both recorded in the JSON.
+    probe_baseline = max(_hw_probe() for _ in range(3))
+    probe_floor = min(probe_floor_conf, round(0.8 * probe_baseline, 1))
 
     def clean_window(name: str) -> float:
         """Probe until the window clears the floor or the shared retry
@@ -380,6 +389,8 @@ def main() -> None:
                 "flagship_loadavg": flagship_loadavg,
                 "discarded_windows": discarded_windows,
                 "probe_floor": probe_floor,
+                "probe_floor_configured": probe_floor_conf,
+                "probe_baseline": probe_baseline,
                 "probe_ref_cores": PROBE_REF,
                 "flagship_min_normalized": (
                     min(flagship_runs_normalized)
