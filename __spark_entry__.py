@@ -3,15 +3,18 @@
 entry(spark)    — flagship near-duplicate clustering on sf0.001 documents.
 queries()       — one entry per implemented operator (SURVEY.md §2 + the
                   training-data-pipeline extensions; see COVERAGE.md).
-oracle_sql()    — DuckDB-equivalent ANSI SQL for all but the genuinely
-                  non-SQL ops (the DS/EBCC/BWA VB crowd solvers and the
-                  Arrow-UDF-scored xxhash-LSH transcript pipeline →
-                  rows-only; that pipeline's SHAPE is fully value-checked
-                  by transcript_dedup_builtin, and GLAD by an unrolled-EM
-                  oracle). LSH banding (MinHash, SimHash, hyperplane),
-                  connected components (WITH RECURSIVE), and the multimodal
-                  decode path are fully oracle-checked via md5/sha256-
-                  portable constructions.
+oracle_sql()    — DuckDB-equivalent ANSI SQL for all but the two genuinely
+                  non-SQL ops: crowd_ebcc (VB with an np.random.dirichlet
+                  restart init — no SQL replay of the sampler) and the
+                  Arrow-UDF-scored xxhash-LSH transcript pipeline (whose
+                  SHAPE is fully value-checked by transcript_dedup_builtin).
+                  Every other iterative solver is oracle-checked by
+                  unrolling: GLAD (4 EM × 5 gradient steps), Dawid-Skene
+                  (20 EM rounds), BWA (5 fixed rounds per class),
+                  Fellegi-Sunter EM, Platt scaling. LSH banding (MinHash,
+                  SimHash, hyperplane), connected components
+                  (WITH RECURSIVE), and the multimodal decode path are
+                  oracle-checked via md5/sha256-portable constructions.
 
 Column names/types are aligned between each Spark query and its oracle
 (driver hashes values after sorting columns by name).
@@ -1965,16 +1968,124 @@ def q_crowd_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crowd_bwa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 Bayesian Weighted Average (bwa.py:4-36 semantics) per dataset
-    group; iterative solve → rows-only check (deterministic)."""
+    group, fully oracle-checked: the query pins the iteration count
+    (early_stop=False, 5 rounds per one-vs-rest class) so the trajectory
+    is exactly unrollable, and `_bwa_oracle` replays both class chains —
+    init z from cell vote shares, b_v from the init variance, then per
+    round the inverse-variance worker weights and the weighted z update —
+    as materialized DuckDB CTEs. The production default keeps the
+    reference's convergence break (max_iter=500, rtol 1e-3)."""
     from ditto_spark.operators.crowd import bwa
 
     votes = _event_votes(spark, sf_dir).withColumn(
         "dataset", (F.col("task") % 4).cast("string")
     )
-    return bwa(votes).select(
+    return bwa(votes, max_iter=_BWA_N_ITER, early_stop=False).select(
         "dataset", "task", "crowd_label",
         F.round("z0", 6).alias("z0"), F.round("z1", 6).alias("z1"),
     )
+
+
+_BWA_N_ITER = 5
+
+
+def _bwa_oracle(
+    n_iter: int = _BWA_N_ITER,
+    a_v: float = 15.0,
+    lambda_: float = 1.0,
+    adj_coef: float = 2.0,
+) -> str:
+    """Unrolled BWA (crowd.bwa with early_stop=False at the same n_iter):
+    per one-vs-rest class k the vote matrix collapses to CELLS — one row
+    per (dataset, task, worker) with y = 1 if the worker EVER gave label k
+    to the task (the numpy formulation's exists/y1 assignment semantics) —
+    then z_i init = Σy/|cells_i|, b_v = a_v·Σ_i(W_i·z_i(1−z_i))/n_labels·2,
+    and each round computes worker residuals, inverse-variance weights
+    v_j = (a_v+N_j)/(b_v+resid_j), and the weighted update
+    z_i = (λ·mean(z) + Σy·v)/(λ + Σv). crowd_label = z1 > z0."""
+    votes = """
+      SELECT CAST((event_id % 500) % 4 AS VARCHAR) AS dataset,
+             CAST(event_id % 500 AS VARCHAR) AS task,
+             CAST(user_id % 7 AS VARCHAR) AS worker,
+             CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+      FROM events
+    """
+    parts = [
+        f"WITH votes AS MATERIALIZED ({votes})",
+        # vote-row counts (W_i, n_labels) use ROWS; everything downstream
+        # uses deduped CELLS, mirroring the numpy matrix semantics
+        """wtask AS MATERIALIZED (
+      SELECT dataset, task, count(*) AS w_i
+      FROM votes GROUP BY dataset, task
+    )""",
+        """nlab AS MATERIALIZED (
+      SELECT dataset, count(*) AS n_labels FROM votes GROUP BY dataset
+    )""",
+    ]
+    for k in (0, 1):
+        c = f"c{k}"
+        parts.append(f"""cells_{c} AS MATERIALIZED (
+      SELECT dataset, task, worker,
+             max(CASE WHEN label = {k} THEN 1.0 ELSE 0.0 END) AS y
+      FROM votes GROUP BY dataset, task, worker
+    )""")
+        parts.append(f"""nj_{c} AS MATERIALIZED (
+      SELECT dataset, worker, count(*) AS n_j
+      FROM cells_{c} GROUP BY dataset, worker
+    )""")
+        parts.append(f"""z0_{c} AS MATERIALIZED (
+      SELECT dataset, task, sum(y) / count(*) AS z
+      FROM cells_{c} GROUP BY dataset, task
+    )""")
+        parts.append(f"""bv_{c} AS MATERIALIZED (
+      SELECT z.dataset,
+             {a_v} * sum(w.w_i * z.z * (1 - z.z)) / any_value(n.n_labels)
+               * {adj_coef} AS b_v
+      FROM z0_{c} z
+      JOIN wtask w ON w.dataset = z.dataset AND w.task = z.task
+      JOIN nlab n ON n.dataset = z.dataset
+      GROUP BY z.dataset
+    )""")
+        for t in range(n_iter):
+            z, nz = f"z{t}_{c}", f"z{t + 1}_{c}"
+            parts.append(f"""mu{t}_{c} AS MATERIALIZED (
+      SELECT dataset, avg(z) AS mu FROM {z} GROUP BY dataset
+    )""")
+            parts.append(f"""v{t}_{c} AS MATERIALIZED (
+      SELECT r.dataset, r.worker,
+             ({a_v} + n.n_j) / (b.b_v + r.resid) AS v
+      FROM (
+        SELECT cl.dataset, cl.worker,
+               sum((z.z - cl.y) * (z.z - cl.y)) AS resid
+        FROM cells_{c} cl
+        JOIN {z} z ON z.dataset = cl.dataset AND z.task = cl.task
+        GROUP BY cl.dataset, cl.worker
+      ) r
+      JOIN nj_{c} n ON n.dataset = r.dataset AND n.worker = r.worker
+      JOIN bv_{c} b ON b.dataset = r.dataset
+    )""")
+            parts.append(f"""{nz} AS MATERIALIZED (
+      SELECT s.dataset, s.task,
+             ({lambda_} * m.mu + s.yv) / ({lambda_} + s.sv) AS z
+      FROM (
+        SELECT cl.dataset, cl.task,
+               sum(cl.y * v.v) AS yv, sum(v.v) AS sv
+        FROM cells_{c} cl
+        JOIN v{t}_{c} v ON v.dataset = cl.dataset AND v.worker = cl.worker
+        GROUP BY cl.dataset, cl.task
+      ) s
+      JOIN mu{t}_{c} m ON m.dataset = s.dataset
+    )""")
+    zf = f"z{n_iter}"
+    parts.append(f"""final AS (
+      SELECT a.dataset, a.task,
+             CAST(CASE WHEN b.z > a.z THEN 1 ELSE 0 END AS INTEGER)
+               AS crowd_label,
+             round(a.z, 6) AS z0, round(b.z, 6) AS z1
+      FROM {zf}_c0 a
+      JOIN {zf}_c1 b ON b.dataset = a.dataset AND b.task = a.task
+    )""")
+    return ",\n    ".join(parts) + "\n    SELECT * FROM final"
 
 
 def q_crowd_ebcc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6068,6 +6179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_dedup_builtin": q_transcript_dedup_builtin,
         "crowd_glad": q_crowd_glad,
         "crowd_dawid_skene": q_crowd_dawid_skene,
+        "crowd_bwa": q_crowd_bwa,
         "ivfpq_topk": q_ivfpq_topk,
         "sq8_topk": q_sq8_topk,
         "ann_tier_recall": q_ann_tier_recall,
@@ -6120,7 +6232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "lsh_power_curve": q_lsh_power_curve,
         "match_evidence": q_match_evidence,
-        "crowd_bwa": q_crowd_bwa,
         "crowd_ebcc": q_crowd_ebcc,
         "union_blocking": q_union_blocking,
         "media_features": q_media_features,
@@ -6912,6 +7023,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_dedup_builtin": _transcript_builtin_oracle(),
         "crowd_glad": _glad_oracle(),
         "crowd_dawid_skene": _ds_oracle(),
+        "crowd_bwa": _bwa_oracle(),
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
         "oph_signature": _oph_oracle(),
         "weighted_minhash_signature": """

@@ -612,6 +612,7 @@ def bwa(
     lambda_: float = 1.0,
     prior_correction: bool = True,
     max_iter: int = 500,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Bayesian Weighted Average crowd aggregation (reference semantics at
     /root/reference/bwa.py:4-36, re-derived on dense numpy): per-class
@@ -646,7 +647,11 @@ def bwa(
                 resid = (exists * z[:, None] - y1) ** 2
                 v = (a_v + N_j) / (b_v + resid.sum(axis=0))
                 z = (lambda_ * mu + y1.dot(v)) / (lambda_ + exists.dot(v))
-                if np.allclose(last, z, rtol=1e-3):
+                # early_stop=False pins the iteration count (an exactly
+                # unrollable trajectory — what the DuckDB crowd_bwa oracle
+                # replays); default True keeps the reference's convergence
+                # break for production use.
+                if early_stop and np.allclose(last, z, rtol=1e-3):
                     break
             return z
 
