@@ -3532,6 +3532,36 @@ def _fs_linkage_oracle_sql() -> str:
 """
 
 
+_CHUNK_BOILER_A = "qa0 qa1 qa2 qa3 qa4 qa5 qa6 qa7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19"
+_CHUNK_BOILER_B = "qb0 qb1 qb2 qb3 qb4 qb5 qb6 qb7 qb8 qb9 qb10 qb11 qb12 qb13 qb14 qb15 qb16 qb17 qb18 qb19"
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk/paragraph-level exact-span dedup (textprep.chunk_exact_dedup;
+    RefinedWeb-style boilerplate-span removal, Lee et al. chunk-granular
+    form) over the documents corpus with two deterministic boilerplate
+    tiers prepended (every 3rd doc gets 20-token boilerplate A, every 7th
+    boilerplate B) so the corpus genuinely CONTAINS repeated spans: each
+    boilerplate window survives exactly once, in its smallest host doc,
+    and every affected document is reassembled from its surviving windows.
+    Document text never shuffles — the winner groupBy sees only
+    (md5, doc_id, chunk_idx) triples (plan-pruned) — and the DuckDB oracle
+    replays chunking, winner selection, and reassembly exactly."""
+    from ditto_spark.operators.textprep import chunk_exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_CHUNK_BOILER_A)),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_CHUNK_BOILER_B)),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return chunk_exact_dedup(aug, chunk_tokens=20)
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -6180,6 +6210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_glad": q_crowd_glad,
         "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
+        "chunk_dedup": q_chunk_dedup,
         "ivfpq_topk": q_ivfpq_topk,
         "sq8_topk": q_sq8_topk,
         "ann_tier_recall": q_ann_tier_recall,
@@ -7023,6 +7054,51 @@ def oracle_sql() -> dict[str, str]:
         "transcript_dedup_builtin": _transcript_builtin_oracle(),
         "crowd_glad": _glad_oracle(),
         "crowd_dawid_skene": _ds_oracle(),
+        "chunk_dedup": """
+    WITH aug AS (
+      SELECT doc_id,
+             concat_ws(' ',
+               CASE WHEN doc_id % 3 = 0 THEN 'qa0 qa1 qa2 qa3 qa4 qa5 qa6 qa7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19' END,
+               CASE WHEN doc_id % 7 = 0 THEN 'qb0 qb1 qb2 qb3 qb4 qb5 qb6 qb7 qb8 qb9 qb10 qb11 qb12 qb13 qb14 qb15 qb16 qb17 qb18 qb19' END,
+               text) AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l,
+             CAST(ceil(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) / 20.0) AS INT) AS nc
+      FROM aug
+    ), ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(array_to_string(
+               list_slice(l, i * 20 + 1, least((i + 1) * 20, len(l))),
+               ' ')) AS h
+      FROM base, unnest(generate_series(0, nc - 1)) u(i)
+      WHERE nc > 0
+    ), win AS (
+      SELECT doc_id, chunk_idx FROM (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, chunk_idx) AS rk
+        FROM ch
+      ) WHERE rk = 1
+    ), keep AS (
+      SELECT b.doc_id,
+             string_agg(array_to_string(
+               list_slice(b.l, w.chunk_idx * 20 + 1,
+                          least((w.chunk_idx + 1) * 20, len(b.l))),
+               ' '), ' ' ORDER BY w.chunk_idx) AS dedup_text,
+             count(*) AS n_kept
+      FROM win w JOIN base b ON b.doc_id = w.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(k.dedup_text, '') AS dedup_text,
+           b.nc AS n_chunks,
+           CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept
+    FROM base b LEFT JOIN keep k ON k.doc_id = b.doc_id
+""",
         "crowd_bwa": _bwa_oracle(),
         "minhash_lsh_candidates": _minhash_lsh_oracle(),
         "oph_signature": _oph_oracle(),

@@ -703,3 +703,86 @@ def fold_accents_sql(expr: str) -> str:
     for k, v in ACCENT_FOLD_MULTI.items():
         out = f"replace({out}, '{k}', '{v}')"
     return out
+
+
+def chunk_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup at fixed token-window granularity — the
+    chunk/paragraph-level pass of a pretraining curation pipeline
+    (RefinedWeb §3.3 / Lee et al. "Deduplicating Training Data Makes
+    Language Models Better", chunk-granular form): every document is split
+    into consecutive `chunk_tokens`-token windows, a window whose exact
+    text occurs anywhere earlier in the corpus (smallest (doc_id,
+    chunk_idx) wins) is DROPPED, and each document is reassembled from its
+    surviving windows. Boilerplate/quoted spans shared across documents
+    survive exactly once, in their first host.
+
+    Output: (id, dedup_text, n_chunks, n_kept). A document whose every
+    window occurs earlier elsewhere comes back with dedup_text = '' and
+    n_kept = 0 — the caller decides whether empty shells are then culled
+    (doc-level ops like exact_dedup/gopher handle that).
+
+    Scale shape (the reason this is groupBy-able at 100 TB): document TEXT
+    NEVER SHUFFLES. The chunk relation that reaches the winner groupBy is
+    (md5, doc_id, chunk_idx) — Catalyst prunes the chunk text away because
+    the aggregate only touches the hash and the position — and the winner
+    set (one row per distinct window) joins back to the docs table on the
+    id, where each document re-slices its own token array locally to
+    rebuild the surviving text. One map-side-combinable hash groupBy + one
+    id-keyed join; both AQE-managed.
+
+    Determinism/portability: chunks are lowercase [a-z0-9]+ token windows
+    joined by ' ', winner = lexicographic min (doc_id, chunk_idx) — the
+    DuckDB oracle (chunk_dedup query) replays winner selection and
+    reassembly exactly."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    w = int(chunk_tokens)
+    n_chunks = F.ceil(F.size("__toks") / F.lit(w)).cast("int")
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks")
+    ).withColumn("__nc", n_chunks)
+    ch = base.where(F.col("__nc") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nc") - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i * w + 1, w))),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    winners = ch.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("wn")
+    )
+    keep = (
+        winners.select(
+            F.col("wn")[id_col].alias(id_col),
+            F.col("wn")["chunk_idx"].alias("chunk_idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("chunk_idx")).alias("__keep"))
+    )
+    return (
+        base.join(keep, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.coalesce(
+                        F.col("__keep"), F.array().cast("array<int>")
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__toks"), i * w + 1, w)
+                    ),
+                ),
+            ).alias("dedup_text"),
+            F.col("__nc").alias("n_chunks"),
+            F.coalesce(F.size("__keep"), F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -460,3 +460,49 @@ def test_fold_accents_idempotent(spark):
         .collect()[0]["f"]
     )
     assert once == twice and once.isascii()
+
+
+def test_chunk_exact_dedup_drops_repeated_spans(spark):
+    """A boilerplate window shared by three docs survives once (in the
+    smallest doc_id); a doc that is entirely earlier-seen windows comes
+    back empty; unique windows are untouched."""
+    from ditto_spark.operators.textprep import chunk_exact_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))          # one 4-token chunk
+    uniq = lambda d: " ".join(f"u{d}x{i}" for i in range(4))  # noqa: E731
+    rows = [
+        (0, boiler + " " + uniq(0)),   # keeps boiler + own tail
+        (1, boiler + " " + uniq(1)),   # boiler dropped
+        (2, boiler),                   # fully dropped -> empty
+        (3, uniq(3)),                  # untouched
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in chunk_exact_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            chunk_tokens=4,
+        ).collect()
+    }
+    assert out[0]["dedup_text"] == boiler + " " + uniq(0)
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["dedup_text"] == uniq(1)
+    assert out[1]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["dedup_text"] == uniq(3) and out[3]["n_kept"] == 1
+
+
+def test_chunk_exact_dedup_partial_tail_window(spark):
+    """The final short window is its own chunk; identical tails dedup."""
+    from ditto_spark.operators.textprep import chunk_exact_dedup
+
+    rows = [(0, "a b c d e f"), (1, "z y x w e f")]  # shared tail "e f"
+    out = {
+        r["doc_id"]: r
+        for r in chunk_exact_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            chunk_tokens=4,
+        ).collect()
+    }
+    assert out[0]["dedup_text"] == "a b c d e f"
+    assert out[1]["dedup_text"] == "z y x w"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
