@@ -5623,9 +5623,15 @@ def _alignment_oracle() -> str:
     ), ea AS ({est('ra', 'col_a')}
     ), eb AS ({est('rb', 'col_b')}
     ), pairs AS (
+      -- literal-seeded grid (matches profile.attribute_alignment after
+      -- 9ce3a74): an all-null column has no registers, so a register-
+      -- derived grid would drop its rows while the Spark side emits them
+      -- with zero estimates
       SELECT a.col_a, b.col_b
-      FROM (SELECT DISTINCT col_a FROM ra) a
-      CROSS JOIN (SELECT DISTINCT col_b FROM rb) b
+      FROM (SELECT unnest([{", ".join(f"'{c}'" for c in _ALIGN_COLS_A)}])
+              AS col_a) a
+      CROSS JOIN (SELECT unnest([{", ".join(f"'{c}'" for c in _ALIGN_COLS_B)}])
+              AS col_b) b
     ), pu AS (
       SELECT col_a, col_b, idx, max(rho) AS rho FROM (
         SELECT p.col_a, p.col_b, r.idx, r.rho FROM pairs p JOIN ra r USING (col_a)
@@ -5634,14 +5640,18 @@ def _alignment_oracle() -> str:
       ) GROUP BY 1, 2, 3
     ), eu AS ({est('pu', 'col_a, col_b')}
     ), joined AS (
-      SELECT eu.col_a, eu.col_b,
-             ea.est_distinct AS est_a, eb.est_distinct AS est_b,
-             eu.est_distinct AS est_union,
-             round(greatest(0.0, ea.est_distinct + eb.est_distinct
-                                 - eu.est_distinct), 4) AS est_inter
-      FROM eu
-      JOIN ea ON ea.col_a = eu.col_a
-      JOIN eb ON eb.col_b = eu.col_b
+      SELECT p.col_a, p.col_b,
+             coalesce(ea.est_distinct, 0.0) AS est_a,
+             coalesce(eb.est_distinct, 0.0) AS est_b,
+             coalesce(eu.est_distinct, 0.0) AS est_union,
+             round(greatest(0.0, coalesce(ea.est_distinct, 0.0)
+                                 + coalesce(eb.est_distinct, 0.0)
+                                 - coalesce(eu.est_distinct, 0.0)), 4)
+               AS est_inter
+      FROM pairs p
+      LEFT JOIN eu ON eu.col_a = p.col_a AND eu.col_b = p.col_b
+      LEFT JOIN ea ON ea.col_a = p.col_a
+      LEFT JOIN eb ON eb.col_b = p.col_b
     )
     SELECT col_a, col_b, est_a, est_b, est_union, est_inter,
            round(CASE WHEN est_union > 0

@@ -150,9 +150,18 @@ def main() -> None:
     def clean_window(name: str) -> float:
         """Probe until the window clears the floor or the shared retry
         budget runs dry; log every discarded window machine-readably.
-        Always returns a probe so the bench terminates with a number."""
+        Always returns a probe so the bench terminates with a number.
+        The baseline RATCHETS UP: a bench launched inside a contended
+        window calibrates a low floor, and without the ratchet that low
+        floor would silently disable the gate for the whole run — any
+        later probe above the startup baseline raises baseline and floor
+        back toward the configured value."""
+        nonlocal probe_baseline, probe_floor
         while True:
             p = _hw_probe()
+            if p > probe_baseline:
+                probe_baseline = p
+                probe_floor = min(probe_floor_conf, round(0.8 * p, 1))
             if p >= probe_floor or retry_budget["left"] <= 0:
                 return p
             retry_budget["left"] -= 1

@@ -135,6 +135,28 @@ def lsh_bands(
     )
 
 
+def salt_cell_assignment(
+    sized_bands: DataFrame,
+    id_col: str = "conv_id",
+    max_bucket: int = 200,
+    salt_seed: int = 7,
+    bucket_n_col: str = "bucket_n",
+) -> DataFrame:
+    """THE production salt-cell assignment, shared by candidates_from_bands
+    and scripts/skew_drill.py's bucket histogram so the drill can never
+    silently measure a split the pipeline no longer performs: given rows
+    that carry their bucket size, add n_salts = ceil(size/max_bucket) and
+    salt = pmod(xxhash64(id, salt_seed), n_salts). One place owns the
+    formula, the seed, and the hash."""
+    return sized_bands.withColumn(
+        "n_salts",
+        F.ceil(F.col(bucket_n_col) / F.lit(max_bucket)).cast("int"),
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")),
+    )
+
+
 def candidates_from_bands(
     bands_df: DataFrame,
     id_col: str = "conv_id",
@@ -144,9 +166,9 @@ def candidates_from_bands(
     """Self-equi-join on (band_idx, band_key) → distinct (left_id, right_id).
 
     Buckets larger than max_bucket are salted: each is split into
-    ceil(size/max_bucket) cells by xxhash64(id); the join key becomes
-    (band_idx, band_key, salt). Bounds the worst bucket's pair count at
-    ~max_bucket²/2 per cell instead of size²/2.
+    ceil(size/max_bucket) cells by xxhash64(id) (salt_cell_assignment);
+    the join key becomes (band_idx, band_key, salt). Bounds the worst
+    bucket's pair count at ~max_bucket²/2 per cell instead of size²/2.
 
     Bucket sizes come from a count window over (band_idx, band_key) — ONE
     shuffle, computed where the data lives. (A groupBy+broadcast-join of the
@@ -156,17 +178,13 @@ def candidates_from_bands(
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_idx", "band_key")
-    salted = (
-        bands_df.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("bucket_n") > 1)
-        .withColumn(
-            "n_salts",
-            F.ceil(F.col("bucket_n") / F.lit(max_bucket)).cast("int"),
-        )
-        .withColumn(
-            "salt",
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(salt_seed)), F.col("n_salts")),
-        )
+    salted = salt_cell_assignment(
+        bands_df.withColumn("bucket_n", F.count(F.lit(1)).over(w)).where(
+            F.col("bucket_n") > 1
+        ),
+        id_col=id_col,
+        max_bucket=max_bucket,
+        salt_seed=salt_seed,
     )
     left = salted.select(
         "band_idx", "band_key", "salt", F.col(id_col).alias("left_id")

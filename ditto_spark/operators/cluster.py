@@ -1114,18 +1114,19 @@ def cluster_editing_cost(
     )
     # C(n,2) computed halved-factor-first — shiftright(n,1) * (n-1) for
     # even n, shiftright(n,1) * n for odd — so the intermediate product IS
-    # the result: exact 64-bit whenever C(n,2) itself fits in int64
-    # (n ≤ ~6.07e9), where the naive n*(n-1) already wraps at n ≈ 3.04e9.
-    # Beyond that C(n,2) is unrepresentable, so fail loudly instead of
+    # the result: exact SIGNED 64-bit whenever C(n,2) ≤ 2^63−1, i.e.
+    # n ≤ 2^32 (C(2^32,2) = 2^31·(2^32−1) just fits; n = 2^32+1 wraps),
+    # where the naive n*(n-1) already wraps at n ≈ 3.04e9. Beyond that
+    # C(n,2) is unrepresentable in LongType, so fail loudly instead of
     # wrapping (float division would silently drop units past 2^53 —
     # reachable at a 1.4e8-member cluster, hence no double path either).
     n = F.col("n")
     c2 = F.when(
-        n > F.lit(6074000999),
+        n > F.lit(4294967296),
         F.raise_error(
             F.lit(
-                "cluster_editing_cost: cluster size exceeds 6.07e9 —"
-                " C(n,2) not representable in int64"
+                "cluster_editing_cost: cluster size exceeds 2^32 —"
+                " C(n,2) not representable in signed int64"
             )
         ).cast("long"),
     ).otherwise(

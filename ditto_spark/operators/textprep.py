@@ -710,6 +710,7 @@ def chunk_exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 20,
+    persist_toks: bool = True,
 ) -> DataFrame:
     """Corpus-wide exact SPAN dedup at fixed token-window granularity — the
     chunk/paragraph-level pass of a pretraining curation pipeline
@@ -747,6 +748,12 @@ def chunk_exact_dedup(
     base = docs.select(
         F.col(id_col), toks.alias("__toks")
     ).withColumn("__nc", n_chunks)
+    # base feeds the chunk-hash explode AND the reassembly join — without
+    # materialization the full-corpus tokenize pass runs twice per action
+    # (same discipline as block_minhash_lsh's persist_sig; the checkpoint
+    # store's tokens stage table at cluster scale)
+    if persist_toks:
+        base = base.persist()
     ch = base.where(F.col("__nc") > 0).select(
         F.col(id_col),
         F.posexplode(

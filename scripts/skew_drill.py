@@ -47,6 +47,7 @@ from ditto_spark.operators.blocking import (  # noqa: E402
     block_minhash_lsh,
     lsh_bands,
     minhash_signatures,
+    salt_cell_assignment,
     shingle,
     tokenize,
 )
@@ -83,15 +84,16 @@ def bucket_histogram(spark, transcripts, cfg: PipelineConfig) -> dict:
             F.sum(F.shiftright(F.col("n") * (F.col("n") - 1), 1))
         ).first()[0],
     }
-    # post-salt: each bucket splits into ceil(n/max_bucket) cells by
-    # xxhash64(id) — replicate the cell assignment of candidates_from_bands
+    # post-salt: THE production cell assignment (blocking.salt_cell_
+    # assignment — shared code, not a re-implementation, so the drill can
+    # never measure a split the pipeline no longer performs), including
+    # the production bucket_n > 1 pre-filter (singleton buckets never
+    # enter the pair join)
     salted = (
-        bands.join(sizes, ["band_idx", "band_key"])
-        .withColumn(
-            "n_salts", F.ceil(F.col("n") / F.lit(cfg.max_bucket)).cast("int")
-        )
-        .withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("conv_id"), F.lit(7)), F.col("n_salts"))
+        salt_cell_assignment(
+            bands.join(sizes, ["band_idx", "band_key"]).where(F.col("n") > 1),
+            max_bucket=cfg.max_bucket,
+            bucket_n_col="n",
         )
         .groupBy("band_idx", "band_key", "salt")
         .agg(F.count(F.lit(1)).alias("cn"))

@@ -610,8 +610,10 @@ def test_ivfpq_recall_and_rerank(spark):
 
 def test_multiprobe_probe_sequence_matches_numpy(spark):
     """hyperplane_band_probes replicated in plain numpy: base chunk per
-    band + flips of the 1st/2nd smallest-|margin| bits, (|margin|, bit)
-    tiebreak — the deterministic contract the DuckDB oracle replays."""
+    band + flips of the 1st/2nd smallest-QUANTIZED-|margin| bits
+    (floor(|margin|·1e6), bit-index tiebreak) — the deterministic
+    contract the DuckDB oracle replays; the replica must quantize the
+    same way or ties inside one 1e-6 bin order differently."""
     from ditto_spark.operators.ann import hyperplane_band_probes
 
     df, _ = _vecs(spark)
@@ -627,7 +629,7 @@ def test_multiprobe_probe_sequence_matches_numpy(spark):
     for vid, v in vecs.items():
         proj = v @ planes
         base = ((proj > 0).astype(np.int64)).reshape(4, 8) @ pow2
-        mg = np.abs(proj).reshape(4, 8)
+        mg = np.floor(np.abs(proj).reshape(4, 8) * 1e6)
         exp = []
         for b in range(4):
             exp.append((b, 0, int(base[b])))
