@@ -119,7 +119,8 @@ WITH sh AS (
 """
 
 
-def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id") -> str:
+def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id",
+                        docs_from: str = "documents") -> str:
     """16-perm md5 MinHash + 4-band LSH join + agreement estimate,
     replicating q_minhash_lsh_candidates in portable SQL. `cand_where`
     selects the pair space: the default self-join orientation, or the
@@ -138,7 +139,7 @@ def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id") -> str:
     return f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM {docs_from}),
            unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
       WHERE len(l) >= 3
     ), sig AS (
@@ -159,6 +160,32 @@ def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id") -> str:
     JOIN sig b ON b.doc_id = c.right_id
     WHERE ({agree}) / {float(_MH_PERMS)} >= 0.25
     """
+
+
+
+def _chunk_near_dup_oracle() -> str:
+    """q_chunk_near_dup's oracle: the parametrized 16-perm md5 MinHash-LSH
+    SQL (`_minhash_lsh_oracle`) run over a `chunks` CTE — 20-token windows
+    of the boilerplate-augmented documents keyed by doc_id·100 + idx."""
+    chunk_cte = """chunks AS (
+      SELECT doc_id * 100 + i AS doc_id,
+             array_to_string(
+               list_slice(l, i * 20 + 1, least((i + 1) * 20, len(l))),
+               ' ') AS text
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(concat_ws(' ',
+                 CASE WHEN doc_id % 3 = 0 THEN 'qa0 qa1 qa2 qa3 qa4 qa5 qa6 qa7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19' END,
+                 CASE WHEN doc_id % 5 = 0 THEN 'qa0 qa1 qa2 qa3 qa4 qa5 qa6 qz7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19' END,
+                 text)), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents
+      ), unnest(generate_series(0,
+           CAST(ceil(len(l) / 20.0) AS INT) - 1)) u(i)
+      WHERE len(l) > 0
+    )"""
+    return _minhash_lsh_oracle(docs_from="chunks").replace(
+        "WITH sh AS", "WITH " + chunk_cte + ", sh AS", 1
+    )
 
 
 def _transcript_builtin_oracle() -> str:
@@ -3562,6 +3589,55 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_exact_dedup(aug, chunk_tokens=20)
 
 
+_CHUNK_BOILER_A2 = "qa0 qa1 qa2 qa3 qa4 qa5 qa6 qz7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19"
+
+
+def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level NEAR-dup candidate pairs — the fuzzy sibling of
+    chunk_dedup for boilerplate that mutates slightly between hosts
+    (footer years, version strings): documents are split into 20-token
+    windows keyed by the composite id doc_id·100 + chunk_idx and the
+    windows run through the SAME md5-portable 16-perm MinHash-LSH
+    generator as the doc-level queries (`_mh_lsh_pairs`), so shared and
+    near-shared windows surface as (left_id, right_id, est_jaccard)
+    pairs across the corpus. Augmentation plants both regimes: every 3rd
+    doc gets exact boilerplate A, every 5th a one-token mutation of A —
+    the exact copies band-match at est 1.0 and the mutated pairs at the
+    ~0.7 shingle overlap the estimate reports. Scale shape inherits from
+    the doc-level path: zero-shuffle signatures, bare-id band dedup,
+    salting upstream in the production twin."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.lower(
+                F.concat_ws(
+                    " ",
+                    F.when(F.col("doc_id") % 3 == 0, F.lit(_CHUNK_BOILER_A)),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(_CHUNK_BOILER_A2)),
+                    F.col("text"),
+                )
+            ),
+            "[^a-z0-9]+",
+        ),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col("doc_id"), toks.alias("t")).withColumn(
+        "nc", F.ceil(F.size("t") / F.lit(20)).cast("int")
+    )
+    chunks = base.where(F.col("nc") > 0).select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nc") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * 20 + 1, 20)),
+            )
+        ).alias("idx", "text"),
+    ).select(
+        (F.col("doc_id") * 100 + F.col("idx")).alias("doc_id"), "text"
+    )
+    return _mh_lsh_pairs(chunks)
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -6221,6 +6297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_dawid_skene": q_crowd_dawid_skene,
         "crowd_bwa": q_crowd_bwa,
         "chunk_dedup": q_chunk_dedup,
+        "chunk_near_dup": q_chunk_near_dup,
         "ivfpq_topk": q_ivfpq_topk,
         "sq8_topk": q_sq8_topk,
         "ann_tier_recall": q_ann_tier_recall,
@@ -7064,6 +7141,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_dedup_builtin": _transcript_builtin_oracle(),
         "crowd_glad": _glad_oracle(),
         "crowd_dawid_skene": _ds_oracle(),
+        "chunk_near_dup": _chunk_near_dup_oracle(),
         "chunk_dedup": """
     WITH aug AS (
       SELECT doc_id,
