@@ -3,14 +3,14 @@
 entry(spark)    — flagship near-duplicate clustering on sf0.001 documents.
 queries()       — one entry per implemented operator (SURVEY.md §2 + the
                   training-data-pipeline extensions; see COVERAGE.md).
-oracle_sql()    — DuckDB-equivalent ANSI SQL for all but the two genuinely
-                  non-SQL ops: crowd_ebcc (VB with an np.random.dirichlet
-                  restart init — no SQL replay of the sampler) and the
-                  Arrow-UDF-scored xxhash-LSH transcript pipeline (whose
-                  SHAPE is fully value-checked by transcript_dedup_builtin).
-                  Every other iterative solver is oracle-checked by
-                  unrolling: GLAD (4 EM × 5 gradient steps), Dawid-Skene
-                  (20 EM rounds), BWA (5 fixed rounds per class),
+oracle_sql()    — DuckDB-equivalent ANSI SQL for all but the one genuinely
+                  non-SQL op: the Arrow-UDF-scored xxhash-LSH transcript
+                  pipeline (whose SHAPE is fully value-checked by
+                  transcript_dedup_builtin). Every iterative solver is
+                  oracle-checked by unrolling: GLAD (4 EM × 5 gradient
+                  steps), Dawid-Skene (20 EM rounds), BWA (5 fixed rounds
+                  per class), EBCC (2 VB rounds, md5-deterministic
+                  Dirichlet init, digamma replicated term-for-term),
                   Fellegi-Sunter EM, Platt scaling. LSH banding (MinHash,
                   SimHash, hyperplane), connected components
                   (WITH RECURSIVE), and the multimodal decode path are
@@ -166,9 +166,10 @@ def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id",
 def _chunk_near_dup_oracle() -> str:
     """q_chunk_near_dup's oracle: the parametrized 16-perm md5 MinHash-LSH
     SQL (`_minhash_lsh_oracle`) run over a `chunks` CTE — 20-token windows
-    of the boilerplate-augmented documents keyed by doc_id·100 + idx."""
-    chunk_cte = """chunks AS (
-      SELECT doc_id * 100 + i AS doc_id,
+    of the boilerplate-augmented documents keyed by the stride-guarded
+    composite doc_id·100000 + idx (`_chunk_windows`)."""
+    chunk_cte = f"""chunks AS (
+      SELECT doc_id * {_CHUNK_ID_STRIDE} + i AS doc_id,
              array_to_string(
                list_slice(l, i * 20 + 1, least((i + 1) * 20, len(l))),
                ' ') AS text
@@ -2115,18 +2116,37 @@ def _bwa_oracle(
     return ",\n    ".join(parts) + "\n    SELECT * FROM final"
 
 
+_EBCC_N_ITER = 2
+_EBCC_GROUPS = 10
+_EBCC_SEED = 1234
+
+
 def q_crowd_ebcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 EBCC variational Bayes (ebcc.py:6-66 semantics, numpy-only
-    digamma/gammaln) with max-ELBO restart selection; rows-only
-    (deterministic: seeded restarts)."""
+    digamma/gammaln). Formerly the last convertible rows-only entry — now
+    FULLY oracle-checked by the round-4 verdict's recipe: the seeded
+    RandomState Dirichlet init is swapped for the md5-dyadic Exp(1) draw
+    (`crowd._md5_exp_draws` — same Dirichlet(1,..,1) distribution, engine-
+    portable), the convergence break is disabled (tol=None), and a fixed
+    2-iteration VB budget unrolls as DuckDB CTEs (`_ebcc_oracle`) with the
+    8-stage digamma shift + asymptotic series replicated term-for-term.
+    Single restart (n_restarts=1) so no cross-engine ELBO comparison is
+    needed; the production default (random init, 5 restarts, max-ELBO,
+    run-to-convergence) is unchanged and stays pytest-parity-tested."""
     from ditto_spark.operators.crowd import ebcc
 
     votes = _event_votes(spark, sf_dir).withColumn(
         "dataset", (F.col("task") % 4).cast("string")
     )
-    return ebcc(votes, n_restarts=3).select(
-        "dataset", "task", "crowd_label", F.round("p1", 6).alias("p1")
-    )
+    return ebcc(
+        votes,
+        num_groups=_EBCC_GROUPS,
+        n_restarts=1,
+        seed=_EBCC_SEED,
+        max_iter=_EBCC_N_ITER,
+        init="md5",
+        tol=None,
+    ).select("dataset", "task", "crowd_label", F.round("p1", 6).alias("p1"))
 
 
 def q_crowd_glad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2299,6 +2319,212 @@ def _glad_oracle(
       FROM {last_e}
     )""")
     return ",\n    ".join(parts) + "\n    SELECT * FROM final"
+
+
+def _dg_chain(i: int) -> list[str]:
+    """Emit crowd._digamma over the tall dgin{i} table as MATERIALIZED CTE
+    layers: 8 conditional recurrence shifts (ψ(x) = ψ(x+1) − 1/x while
+    x < 6) then the same asymptotic series, term order preserved so both
+    engines evaluate the identical float64 expression. One tall table per
+    iteration (every value needing ψ rides in with a (kind, ka, kb) key)
+    — materialized layers keep the plan linear; inlined lateral-alias
+    chains expand exponentially in the binder and OOM DuckDB."""
+    parts = [
+        f"""d0_{i} AS MATERIALIZED (
+      SELECT kind, dataset, ka, kb, x AS x0, 0.0 AS s0 FROM dgin{i}
+    )"""
+    ]
+    for n in range(8):
+        parts.append(f"""d{n + 1}_{i} AS MATERIALIZED (
+      SELECT kind, dataset, ka, kb,
+             CASE WHEN x{n} < 6.0 THEN x{n} + 1.0 ELSE x{n} END AS x{n + 1},
+             CASE WHEN x{n} < 6.0 THEN s{n} + 1.0/x{n} ELSE s{n} END
+               AS s{n + 1}
+      FROM d{n}_{i}
+    )""")
+    inv2 = "((1.0/x8)*(1.0/x8))"
+    parts.append(f"""dg{i} AS MATERIALIZED (
+      SELECT kind, dataset, ka, kb,
+             (ln(x8) - 0.5*(1.0/x8) - {inv2}/12.0
+              + {inv2}*{inv2}/120.0
+              - {inv2}*{inv2}*{inv2}/252.0) - s8 AS dg
+      FROM d8_{i}
+    )""")
+    return parts
+
+
+def _ebcc_oracle(
+    ng: int = _EBCC_GROUPS,
+    n_iter: int = _EBCC_N_ITER,
+    seed: int = _EBCC_SEED,
+    a_pi: float = 0.1,
+    alpha: float = 1.0,
+    a_v: float = 4.0,
+    b_v: float = 1.0,
+) -> str:
+    """Unrolled EBCC VB (crowd._ebcc_vb_once at init='md5', tol=None,
+    n_restarts=1) as one DuckDB statement. State tables per iteration i:
+    zg{i} (dataset, task, k, g), eta/nu/mu Dirichlet posteriors, their
+    digamma expectations (`_dg_block`), then the max-subtracted softmax
+    update. Votes are DISTINCT (dataset, task, worker, label) — exactly
+    the dedup the numpy y1 0/1 tensor assignment performs. The init draw
+    replays crowd._md5_exp_draws: u = (md5-hex6 + 0.5)/2^24, e = -ln(u),
+    normalized per (task, k) then scaled by the count-normalized z_ik."""
+    u = (
+        f"((('0x' || substr(md5('{seed}:' || z.dataset || '|' || z.task"
+        f" || '|' || z.k || '|' || gs.g || '|0'), 1, 6))::BIGINT + 0.5)"
+        f" / 16777216.0)"
+    )
+    parts = [
+        """WITH votes AS MATERIALIZED (
+      SELECT DISTINCT CAST((event_id % 500) % 4 AS VARCHAR) AS dataset,
+             CAST(event_id % 500 AS VARCHAR) AS task,
+             CAST(user_id % 7 AS VARCHAR) AS worker,
+             CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+      FROM events
+    )""",
+        "ks AS (SELECT unnest([0, 1]) AS k)",
+        f"gs AS (SELECT unnest(generate_series(0, {ng - 1})) AS g)",
+        """zik0 AS MATERIALIZED (
+      SELECT v.dataset, v.task, ks.k,
+             sum(CASE WHEN v.label = ks.k THEN 1.0 ELSE 0.0 END)
+               / count(*) AS z
+      FROM votes v CROSS JOIN ks
+      GROUP BY v.dataset, v.task, ks.k
+    )""",
+        f"""dr AS MATERIALIZED (
+      SELECT z.dataset, z.task, z.k, gs.g, z.z, -ln({u}) AS e
+      FROM zik0 z CROSS JOIN gs
+    )""",
+        """zg0 AS MATERIALIZED (
+      SELECT dataset, task, k, g,
+             e / sum(e) OVER (PARTITION BY dataset, task, k) * z AS zg
+      FROM dr
+    )""",
+    ]
+    for i in range(n_iter):
+        if i > 0:
+            parts.append(f"""zik{i} AS MATERIALIZED (
+      SELECT dataset, task, k, sum(zg) AS z
+      FROM zg{i} GROUP BY dataset, task, k
+    )""")
+        parts.append(f"""eta{i} AS MATERIALIZED (
+      SELECT dataset, k, g, {a_pi / ng!r} + sum(zg) AS eta
+      FROM zg{i} GROUP BY dataset, k, g
+    )""")
+        parts.append(f"""nu{i} AS MATERIALIZED (
+      SELECT dataset, k, {alpha!r} + sum(z) AS nu
+      FROM zik{i} GROUP BY dataset, k
+    )""")
+        parts.append(f"""muj{i} AS MATERIALIZED (
+      SELECT v.dataset, v.worker, z.k, z.g, v.label AS l, sum(z.zg) AS s
+      FROM votes v
+      JOIN zg{i} z ON z.dataset = v.dataset AND z.task = v.task
+      GROUP BY 1, 2, 3, 4, 5
+    )""")
+        parts.append(f"""mu{i} AS MATERIALIZED (
+      SELECT w.dataset, w.worker, ks.k, gs.g, ls.k AS l,
+             (CASE WHEN ks.k = ls.k THEN {a_v!r} ELSE {b_v!r} END)
+               + coalesce(mj.s, 0.0) AS mu
+      FROM (SELECT DISTINCT dataset, worker FROM votes) w
+      CROSS JOIN ks CROSS JOIN gs CROSS JOIN ks ls
+      LEFT JOIN muj{i} mj ON mj.dataset = w.dataset
+           AND mj.worker = w.worker AND mj.k = ks.k AND mj.g = gs.g
+           AND mj.l = ls.k
+    )""")
+        parts.append(f"""dgin{i} AS MATERIALIZED (
+      SELECT 'eta' AS kind, dataset, CAST(k AS VARCHAR) AS ka,
+             CAST(g AS VARCHAR) AS kb, eta AS x FROM eta{i}
+      UNION ALL
+      SELECT 'etas', dataset, CAST(k AS VARCHAR), '', sum(eta)
+      FROM eta{i} GROUP BY dataset, k
+      UNION ALL
+      SELECT 'nu', dataset, CAST(k AS VARCHAR), '', nu FROM nu{i}
+      UNION ALL
+      SELECT 'nus', dataset, '', '', sum(nu) FROM nu{i} GROUP BY dataset
+      UNION ALL
+      SELECT 'mu', dataset, worker,
+             CAST(k AS VARCHAR) || '|' || CAST(g AS VARCHAR)
+               || '|' || CAST(l AS VARCHAR), mu
+      FROM mu{i}
+      UNION ALL
+      SELECT 'mus', dataset, worker,
+             CAST(k AS VARCHAR) || '|' || CAST(g AS VARCHAR), sum(mu)
+      FROM mu{i} GROUP BY dataset, worker, k, g
+    )""")
+        parts.extend(_dg_chain(i))
+        parts.append(f"""eqpi{i} AS MATERIALIZED (
+      SELECT t.dataset, t.k, t.g, dv.dg - ds.dg AS eqpi
+      FROM eta{i} t
+      JOIN dg{i} dv ON dv.kind = 'eta' AND dv.dataset = t.dataset
+           AND dv.ka = CAST(t.k AS VARCHAR)
+           AND dv.kb = CAST(t.g AS VARCHAR)
+      JOIN dg{i} ds ON ds.kind = 'etas' AND ds.dataset = t.dataset
+           AND ds.ka = CAST(t.k AS VARCHAR)
+    )""")
+        parts.append(f"""eqtau{i} AS MATERIALIZED (
+      SELECT t.dataset, t.k, dv.dg - ds.dg AS eqtau
+      FROM nu{i} t
+      JOIN dg{i} dv ON dv.kind = 'nu' AND dv.dataset = t.dataset
+           AND dv.ka = CAST(t.k AS VARCHAR)
+      JOIN dg{i} ds ON ds.kind = 'nus' AND ds.dataset = t.dataset
+    )""")
+        parts.append(f"""eqv{i} AS MATERIALIZED (
+      SELECT t.dataset, t.worker, t.k, t.g, t.l, dv.dg - ds.dg AS eqv
+      FROM mu{i} t
+      JOIN dg{i} dv ON dv.kind = 'mu' AND dv.dataset = t.dataset
+           AND dv.ka = t.worker
+           AND dv.kb = CAST(t.k AS VARCHAR) || '|' || CAST(t.g AS VARCHAR)
+               || '|' || CAST(t.l AS VARCHAR)
+      JOIN dg{i} ds ON ds.kind = 'mus' AND ds.dataset = t.dataset
+           AND ds.ka = t.worker
+           AND ds.kb = CAST(t.k AS VARCHAR) || '|' || CAST(t.g AS VARCHAR)
+    )""")
+        parts.append(f"""zraw{i} AS MATERIALIZED (
+      SELECT z.dataset, z.task, z.k, z.g,
+             p.eqpi + t.eqtau + coalesce(vv.s, 0.0) AS raw
+      FROM zg{i} z
+      JOIN eqpi{i} p ON p.dataset = z.dataset AND p.k = z.k AND p.g = z.g
+      JOIN eqtau{i} t ON t.dataset = z.dataset AND t.k = z.k
+      LEFT JOIN (
+        SELECT v.dataset, v.task, e.k, e.g, sum(e.eqv) AS s
+        FROM votes v
+        JOIN eqv{i} e ON e.dataset = v.dataset AND e.worker = v.worker
+             AND e.l = v.label
+        GROUP BY 1, 2, 3, 4
+      ) vv ON vv.dataset = z.dataset AND vv.task = z.task
+           AND vv.k = z.k AND vv.g = z.g
+    )""")
+        parts.append(f"""zm{i} AS (
+      SELECT dataset, task, k, g,
+             exp(raw - max(raw) OVER (PARTITION BY dataset, task)) AS ez
+      FROM zraw{i}
+    )""")
+        parts.append(f"""zg{i + 1} AS MATERIALIZED (
+      SELECT dataset, task, k, g,
+             ez / sum(ez) OVER (PARTITION BY dataset, task) AS zg
+      FROM zm{i}
+    )""")
+    parts.append(f"""zfin AS (
+      SELECT dataset, task, k, sum(zg) AS z
+      FROM zg{n_iter} GROUP BY dataset, task, k
+    )""")
+    parts.append("""fin AS (
+      SELECT dataset, task,
+             max(CASE WHEN k = 1 THEN z END)
+               / greatest(max(CASE WHEN k = 0 THEN z END)
+                          + max(CASE WHEN k = 1 THEN z END), 1e-12) AS p1
+      FROM zfin GROUP BY dataset, task
+    )""")
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT dataset, task,
+           CAST(CASE WHEN p1 > 0.5 THEN 1 ELSE 0 END AS INTEGER)
+             AS crowd_label,
+           round(p1, 6) AS p1
+    FROM fin"""
+    )
 
 
 def q_crowd_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3592,11 +3818,61 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_BOILER_A2 = "qa0 qa1 qa2 qa3 qa4 qa5 qa6 qz7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19"
 
 
+_CHUNK_ID_STRIDE = 100_000  # composite id = doc_id * stride + chunk_idx
+
+
+def _chunk_windows(
+    docs: DataFrame, w: int = 20, stride: int = _CHUNK_ID_STRIDE
+) -> DataFrame:
+    """(doc_id, text) → (doc_id = doc_id·stride + chunk_idx, text) fixed
+    `w`-token lowercase windows. The composite id is collision-free by
+    GUARD, not by hope: a document whose window count reaches `stride`
+    (≥ stride·w tokens) raises instead of silently aliasing into the next
+    document's id space — the round-4 verdict's latent-collision finding.
+    Production chunk-pair code (`textprep.chunk_near_dup_pairs`) avoids
+    the composite entirely via string keys; this int form exists for the
+    SQL-portable oracle twin."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.select(F.col("doc_id"), toks.alias("t")).withColumn(
+        "nc", F.ceil(F.size("t") / F.lit(w)).cast("int")
+    )
+    guarded_nc = F.when(F.col("nc") < F.lit(stride), F.col("nc")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"chunk index overflow: doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(f" has >= {stride} windows (stride {stride})"),
+            )
+        ).cast("int")
+    )
+    return (
+        base.withColumn("nc", guarded_nc)
+        .where(F.col("nc") > 0)
+        .select(
+            F.col("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nc") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i * w + 1, w)
+                    ),
+                )
+            ).alias("idx", "text"),
+        )
+        .select(
+            (F.col("doc_id") * stride + F.col("idx")).alias("doc_id"), "text"
+        )
+    )
+
+
 def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level NEAR-dup candidate pairs — the fuzzy sibling of
     chunk_dedup for boilerplate that mutates slightly between hosts
     (footer years, version strings): documents are split into 20-token
-    windows keyed by the composite id doc_id·100 + chunk_idx and the
+    windows keyed by the composite id doc_id·100000 + chunk_idx
+    (stride-guarded against aliasing — `_chunk_windows`) and the
     windows run through the SAME md5-portable 16-perm MinHash-LSH
     generator as the doc-level queries (`_mh_lsh_pairs`), so shared and
     near-shared windows surface as (left_id, right_id, est_jaccard)
@@ -3605,37 +3881,19 @@ def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact copies band-match at est 1.0 and the mutated pairs at the
     ~0.7 shingle overlap the estimate reports. Scale shape inherits from
     the doc-level path: zero-shuffle signatures, bare-id band dedup,
-    salting upstream in the production twin."""
+    salting upstream in the production twin
+    (`textprep.chunk_near_dup_pairs`)."""
     docs = _load(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(
-            F.lower(
-                F.concat_ws(
-                    " ",
-                    F.when(F.col("doc_id") % 3 == 0, F.lit(_CHUNK_BOILER_A)),
-                    F.when(F.col("doc_id") % 5 == 0, F.lit(_CHUNK_BOILER_A2)),
-                    F.col("text"),
-                )
-            ),
-            "[^a-z0-9]+",
-        ),
-        lambda t: t != "",
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_CHUNK_BOILER_A)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_CHUNK_BOILER_A2)),
+            F.col("text"),
+        ).alias("text"),
     )
-    base = docs.select(F.col("doc_id"), toks.alias("t")).withColumn(
-        "nc", F.ceil(F.size("t") / F.lit(20)).cast("int")
-    )
-    chunks = base.where(F.col("nc") > 0).select(
-        F.col("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("nc") - 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * 20 + 1, 20)),
-            )
-        ).alias("idx", "text"),
-    ).select(
-        (F.col("doc_id") * 100 + F.col("idx")).alias("doc_id"), "text"
-    )
-    return _mh_lsh_pairs(chunks)
+    return _mh_lsh_pairs(_chunk_windows(aug, w=20))
 
 
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7140,6 +7398,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transcript_dedup_builtin": _transcript_builtin_oracle(),
         "crowd_glad": _glad_oracle(),
+        "crowd_ebcc": _ebcc_oracle(),
         "crowd_dawid_skene": _ds_oracle(),
         "chunk_near_dup": _chunk_near_dup_oracle(),
         "chunk_dedup": """

@@ -1132,11 +1132,33 @@ def cluster_editing_cost(
     ).otherwise(
         F.shiftright(n, 1) * F.when(n % 2 == 1, n).otherwise(n - 1)
     )
+    # the cross-cluster TOTAL sums in decimal(38,0): each per-cluster C(n,2)
+    # fits int64 (guarded above), but many large clusters can push the sum
+    # past 2^63−1, where a non-ANSI long sum wraps silently (round-4 advice)
     pair_counts = (
         a.groupBy("__c")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.coalesce(F.sum(c2), F.lit(0)).cast("long").alias("intra_pairs")
+            F.coalesce(
+                F.sum(c2.cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__ipd")
+        )
+        .select(
+            F.when(
+                F.col("__ipd")
+                > F.lit(9223372036854775807).cast("decimal(38,0)"),
+                F.raise_error(
+                    F.lit(
+                        "cluster_editing_cost: total intra-cluster pair"
+                        " count exceeds 2^63-1 — not representable in"
+                        " signed int64"
+                    )
+                ).cast("decimal(38,0)"),
+            )
+            .otherwise(F.col("__ipd"))
+            .cast("long")
+            .alias("intra_pairs")
         )
     )
     return pair_counts.crossJoin(edge_counts).select(

@@ -732,11 +732,34 @@ def _dirichlet_entropy(alpha: np.ndarray) -> float:
     )
 
 
+def _md5_exp_draws(keys: list[str], nc: int, ng: int, seed: int,
+                   restart: int) -> np.ndarray:
+    """Deterministic Exp(1) draws keyed by md5 — the engine-portable
+    replacement for the seeded Dirichlet init (normalized exponentials ARE
+    a Dirichlet(1,...,1) draw): u = (md5-hex6 + 0.5)/2^24, e = -ln(u).
+    Replays in DuckDB as ('0x'||substr(md5(key),1,6))::BIGINT — the same
+    dyadic-uniform device the sampling/FS oracles use."""
+    import hashlib
+
+    e = np.empty((len(keys), nc, ng), dtype=np.float64)
+    for ti, key in enumerate(keys):
+        for k in range(nc):
+            for g in range(ng):
+                h = hashlib.md5(
+                    f"{seed}:{key}|{k}|{g}|{restart}".encode()
+                ).hexdigest()[:6]
+                e[ti, k, g] = -np.log((int(h, 16) + 0.5) / 16777216.0)
+    return e
+
+
 def _ebcc_vb_once(t_idx, w_idx, labels, ni, nw, nc, num_groups, a_pi, alpha,
-                  a_v, b_v, seed, max_iter):
+                  a_v, b_v, seed, max_iter, init_e=None, tol=1e-3):
     """One VB run (reference math at /root/reference/ebcc.py:6-66,
     re-derived dense): subtype-group mixture over worker confusion
-    Dirichlets; returns (z_ik, ELBO)."""
+    Dirichlets; returns (z_ik, ELBO). init_e: optional (ni, nc, ng)
+    positive draws replacing the seeded Dirichlet init (normalized per
+    (i,k) — deterministic md5 mode); tol=None disables the convergence
+    break so a fixed iteration budget unrolls exactly (oracle mode)."""
     y1 = np.zeros((nc, ni, nw))
     for k in range(nc):
         sel = labels == k
@@ -745,8 +768,11 @@ def _ebcc_vb_once(t_idx, w_idx, labels, ni, nw, nc, num_groups, a_pi, alpha,
 
     z_ik = y1.sum(axis=2).T  # (ni, nc)
     z_ik = z_ik / z_ik.sum(axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    zg = rng.dirichlet(np.ones(num_groups), z_ik.shape) * z_ik[:, :, None]
+    if init_e is not None:
+        zg = init_e / init_e.sum(axis=2, keepdims=True) * z_ik[:, :, None]
+    else:
+        rng = np.random.RandomState(seed)
+        zg = rng.dirichlet(np.ones(num_groups), z_ik.shape) * z_ik[:, :, None]
 
     eta_km = nu_k = mu = Eq_pi = Eq_tau = Eq_v = None
     for _ in range(max_iter):
@@ -771,7 +797,7 @@ def _ebcc_vb_once(t_idx, w_idx, labels, ni, nw, nc, num_groups, a_pi, alpha,
 
         last = z_ik
         z_ik = zg.sum(axis=-1)
-        if np.allclose(last, z_ik, atol=1e-3):
+        if tol is not None and np.allclose(last, z_ik, atol=tol):
             break
 
     elbo = ((eta_km - 1) * Eq_pi).sum() + ((nu_k - 1) * Eq_tau).sum()
@@ -801,10 +827,22 @@ def ebcc(
     n_restarts: int = 5,
     seed: int = 1234,
     max_iter: int = 500,
+    init: str = "random",
+    tol: float | None = 1e-3,
 ) -> DataFrame:
     """EBCC crowd aggregation (analyze_gpt.py:158-163 protocol: multiple
     seeded VB restarts, keep the max-ELBO run), one solve per dataset group
-    via applyInPandas. Deterministic: restart seeds are seed+i."""
+    via applyInPandas. Deterministic: restart seeds are seed+i.
+
+    init="md5" swaps the seeded-RandomState Dirichlet draw for a
+    md5-keyed one (md5(seed:dataset|task|k|g|restart) dyadic uniform →
+    Exp(1) → normalized = Dirichlet(1,..,1)) — the same distribution,
+    but replayable in portable SQL, which with tol=None (fixed iteration
+    budget, no convergence break) makes a small-budget run exactly
+    unrollable as DuckDB CTEs (crowd_ebcc's oracle; the reference's own
+    seeded init at /root/reference/ebcc.py:28-30 shows determinism is
+    the intended contract)."""
+    assert init in ("random", "md5")
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         ds = pdf[dataset_col].iloc[0]
@@ -814,10 +852,17 @@ def ebcc(
         ni, nw = len(tasks), len(workers)
         best = None
         for i in range(n_restarts):
+            init_e = (
+                _md5_exp_draws(
+                    [f"{ds}|{t}" for t in tasks], 2, num_groups, seed, i
+                )
+                if init == "md5"
+                else None
+            )
             z, elbo = _ebcc_vb_once(
                 t_idx, w_idx, labels, ni, nw, 2, num_groups,
                 a_pi=0.1, alpha=1.0, a_v=4.0, b_v=1.0,
-                seed=seed + i, max_iter=max_iter,
+                seed=seed + i, max_iter=max_iter, init_e=init_e, tol=tol,
             )
             if best is None or elbo > best[1]:
                 best = (z, elbo)

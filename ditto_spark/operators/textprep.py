@@ -751,7 +751,11 @@ def chunk_exact_dedup(
     # base feeds the chunk-hash explode AND the reassembly join — without
     # materialization the full-corpus tokenize pass runs twice per action
     # (same discipline as block_minhash_lsh's persist_sig; the checkpoint
-    # store's tokens stage table at cluster scale)
+    # store's tokens stage table at cluster scale). The persisted handle
+    # rides on the returned DataFrame as `chunk_toks_cache`; long-lived
+    # sessions release it with `release_chunk_cache(out)` after the
+    # consuming action (round-4 advice: the cache otherwise accumulates
+    # across repeated calls).
     if persist_toks:
         base = base.persist()
     ch = base.where(F.col("__nc") > 0).select(
@@ -774,7 +778,7 @@ def chunk_exact_dedup(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("chunk_idx")).alias("__keep"))
     )
-    return (
+    out = (
         base.join(keep, id_col, "left")
         .select(
             F.col(id_col),
@@ -793,3 +797,16 @@ def chunk_exact_dedup(
             F.coalesce(F.size("__keep"), F.lit(0)).alias("n_kept"),
         )
     )
+    if persist_toks:
+        out.chunk_toks_cache = base
+    return out
+
+
+def release_chunk_cache(df: DataFrame) -> None:
+    """Unpersist the token cache a chunk_exact_dedup output carries
+    (no-op for frames without one). Call after the consuming action in a
+    long-lived session — unpersisting earlier is safe (Spark recomputes)
+    but forfeits the single-tokenize-pass benefit."""
+    cache = getattr(df, "chunk_toks_cache", None)
+    if cache is not None:
+        cache.unpersist()

@@ -77,3 +77,34 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_chunk_windows_no_aliasing_past_100(spark):
+    """Round-4 verdict finding #1: the old doc_id*100+idx composite key
+    aliased documents with >100 windows. The widened stride must keep
+    every window id distinct for a 150-window document."""
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(150 * 20))),
+         (8, " ".join(f"u{i}" for i in range(5 * 20)))],
+        "doc_id long, text string",
+    )
+    out = entrymod._chunk_windows(docs, w=20).toPandas()
+    assert len(out) == 155
+    assert out["doc_id"].is_unique
+    # doc 7's windows all live in doc 7's id space, none leak into doc 8's
+    s = entrymod._CHUNK_ID_STRIDE
+    d7 = out[(out.doc_id >= 7 * s) & (out.doc_id < 8 * s)]
+    assert len(d7) == 150
+
+
+def test_chunk_windows_stride_guard_raises(spark):
+    """A document whose window count reaches the stride must raise instead
+    of silently aliasing (tested at a tiny stride)."""
+    from pyspark.errors import PySparkException
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10 * 4)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(PySparkException, match="chunk index overflow"):
+        entrymod._chunk_windows(docs, w=4, stride=8).count()

@@ -506,3 +506,26 @@ def test_chunk_exact_dedup_partial_tail_window(spark):
     assert out[0]["dedup_text"] == "a b c d e f"
     assert out[1]["dedup_text"] == "z y x w"
     assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+
+
+def test_chunk_exact_dedup_release_cache(spark):
+    """Round-4 advice: the persisted token table must be releasable — after
+    the consuming action + release_chunk_cache, no persistent RDDs remain
+    (long-lived sessions otherwise accumulate cached token arrays)."""
+    from ditto_spark.operators.textprep import chunk_exact_dedup, release_chunk_cache
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = chunk_exact_dedup(docs, chunk_tokens=8)
+    assert out.count() == 20
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    release_chunk_cache(out)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # a persist_toks=False run never caches and release is a no-op
+    out2 = chunk_exact_dedup(docs, chunk_tokens=8, persist_toks=False)
+    assert out2.count() == 20
+    release_chunk_cache(out2)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
