@@ -163,6 +163,47 @@ def _minhash_lsh_oracle(cand_where: str = "l.doc_id < r.doc_id",
 
 
 
+def _mh_pairs_cte(prefix: str, docs_from: str, min_est: float = 0.25) -> str:
+    """CTE block (no WITH): the 16-perm md5 MinHash + 4-band LSH join with
+    prefixed names over `docs_from`(doc_id, text); terminal CTE
+    `{prefix}p` = (left_id, right_id) pairs at est ≥ min_est. The same
+    construction `_minhash_lsh_oracle` emits as a standalone statement,
+    reusable inside a larger composition (chunk_curation)."""
+    r = _MH_PERMS // _MH_BANDS
+    mins = ",\n             ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(_MH_PERMS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + f") AS band_key FROM {prefix}sig"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(_MH_PERMS))
+    return f"""{prefix}sh AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM {docs_from}),
+           unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+      WHERE len(l) >= 3
+    ), {prefix}sig AS (
+      SELECT doc_id, {mins}
+      FROM {prefix}sh GROUP BY doc_id
+    ), {prefix}bands AS (
+      {band_rows}
+    ), {prefix}cand AS (
+      SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM {prefix}bands l JOIN {prefix}bands r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id
+    ), {prefix}p AS (
+      SELECT c.left_id, c.right_id
+      FROM {prefix}cand c
+      JOIN {prefix}sig a ON a.doc_id = c.left_id
+      JOIN {prefix}sig b ON b.doc_id = c.right_id
+      WHERE ({agree}) / {float(_MH_PERMS)} >= {min_est}
+    )"""
+
+
 def _chunk_near_dup_oracle() -> str:
     """q_chunk_near_dup's oracle: the parametrized 16-perm md5 MinHash-LSH
     SQL (`_minhash_lsh_oracle`) run over a `chunks` CTE — 20-token windows
@@ -3896,6 +3937,185 @@ def q_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mh_lsh_pairs(_chunk_windows(aug, w=20))
 
 
+_CHUNK_CURATION_FRAC = 0.25
+
+
+def q_chunk_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel WITH the chunk-level boilerplate stage
+    (round-4 verdict #3's composed pass): boilerplate-augmented documents
+    → Gopher quality gate → exact dedup → chunk_boiler (docs whose
+    flagged-window fraction exceeds the cutoff, window pairs from the
+    md5-portable 16-perm LSH twin of `textprep.chunk_near_dup_pairs`) →
+    whole-doc near-dup CC → per-doc disposition. The DuckDB oracle
+    composes the SAME five fragments (gopher / exact / chunked LSH via
+    `_mh_pairs_cte` / recursive-CTE CC) in one statement. The production
+    pipeline runs the identical funnel with the salted xxhash chunk pair
+    generator (`curate.curate_documents(chunk_pair_fn=None)`), tested in
+    test_curate."""
+    from ditto_spark.operators.curate import CurationConfig, curate_documents
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_CHUNK_BOILER_A)),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_CHUNK_BOILER_B)),
+            F.col("text"),
+        ).alias("text"),
+    )
+    cfg = CurationConfig(
+        min_words=20,
+        min_stop_hits=1,
+        chunk_tokens=20,
+        chunk_dup_max_frac=_CHUNK_CURATION_FRAC,
+    )
+    s = _CHUNK_ID_STRIDE
+
+    def md5_pairs(d: DataFrame) -> DataFrame:
+        pairs = _mh_lsh_pairs(_chunk_windows(d, w=20))
+        return pairs.select(
+            F.expr(f"CAST(left_id DIV {s} AS STRING)").alias("left_doc"),
+            F.expr(f"CAST(left_id % {s} AS INT)").alias("left_chunk"),
+            F.expr(f"CAST(right_id DIV {s} AS STRING)").alias("right_doc"),
+            F.expr(f"CAST(right_id % {s} AS INT)").alias("right_chunk"),
+            "est_jaccard",
+        )
+
+    return curate_documents(docs, bench=None, cfg=cfg, chunk_pair_fn=md5_pairs)
+
+
+def _chunk_curation_oracle() -> str:
+    """q_chunk_curation's single-statement replica: the proven gopher /
+    exact / near-dup-CC fragments of _DOC_CURATION_ORACLE re-scoped to the
+    boilerplate-augmented full corpus, with the chunk_boiler stage spliced
+    between exact and near_dup — chunks CTE (stride composite ids, same
+    as `_chunk_windows`), `_mh_pairs_cte` LSH pairs, cross-doc flagged
+    windows, frac cutoff."""
+    s = _CHUNK_ID_STRIDE
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, concat_ws(' ',
+     CASE WHEN doc_id % 3 = 0 THEN '{_CHUNK_BOILER_A}' END,
+     CASE WHEN doc_id % 7 = 0 THEN '{_CHUNK_BOILER_B}' END,
+     text) AS text
+  FROM documents
+), gd AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+  FROM corpus
+), gm AS (
+  SELECT doc_id,
+         len(toks) AS n, len(lns) AS nl,
+         list_sum(list_transform(toks, x -> length(x))) AS chars,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS n_ell,
+         len(list_filter(lns, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ') OR starts_with(l, '•'))) AS bullets,
+         len(list_filter(lns, l -> l LIKE '%...')) AS ell_lines,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM gd
+), qkeep AS (
+  SELECT doc_id FROM gm
+  WHERE n >= 20 AND n <= 100000
+    AND (CASE WHEN n > 0 THEN round(chars / n, 9) ELSE 0.0 END)
+        BETWEEN 2.0 AND 12.0
+    AND (CASE WHEN n > 0 THEN round((n_hash + n_ell) / n, 9) ELSE 0.0 END)
+        <= 0.1
+    AND (CASE WHEN nl > 0 THEN round(bullets / nl, 9) ELSE 0.0 END) <= 0.9
+    AND (CASE WHEN nl > 0 THEN round(ell_lines / nl, 9) ELSE 0.0 END) <= 0.3
+    AND (CASE WHEN n > 0 THEN round(alpha / n, 9) ELSE 0.0 END) >= 0.8
+    AND stop_hits >= 1
+), qs AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN qkeep USING (doc_id)
+), ekeep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon FROM qs
+  ) WHERE doc_id = canon
+), es AS (
+  SELECT qs.doc_id, qs.text FROM qs JOIN ekeep USING (doc_id)
+), cbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM es
+), cnc AS (
+  SELECT doc_id, CAST(ceil(len(l) / 20.0) AS INT) AS nc FROM cbase
+), chunks AS (
+  SELECT doc_id * {s} + i AS doc_id,
+         array_to_string(
+           list_slice(l, i * 20 + 1, least((i + 1) * 20, len(l))),
+           ' ') AS text
+  FROM cbase,
+       unnest(generate_series(0,
+         CAST(ceil(len(l) / 20.0) AS INT) - 1)) u(i)
+  WHERE len(l) > 0
+), {_mh_pairs_cte('mh', 'chunks')}, flg AS (
+  SELECT DISTINCT doc, idx FROM (
+    SELECT left_id // {s} AS doc, left_id % {s} AS idx,
+           right_id // {s} AS od
+    FROM mhp
+    UNION ALL
+    SELECT right_id // {s}, right_id % {s}, left_id // {s} FROM mhp
+  ) WHERE doc <> od
+), cbdrop AS (
+  SELECT n.doc_id FROM cnc n
+  JOIN (SELECT doc, count(*) AS c FROM flg GROUP BY doc) f
+    ON f.doc = n.doc_id
+  WHERE f.c > {_CHUNK_CURATION_FRAC!r} * n.nc
+), cs AS (
+  SELECT es.doc_id, es.text FROM es
+  LEFT JOIN cbdrop cd ON cd.doc_id = es.doc_id
+  WHERE cd.doc_id IS NULL
+), nsh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM cs),
+       unnest(generate_series(1, greatest(len(l) - 2, 1))) u(i)
+  WHERE len(l) >= 3
+), rare AS (
+  SELECT s FROM nsh GROUP BY s HAVING count(*) <= 50
+), f AS (
+  SELECT nsh.doc_id, nsh.s FROM nsh JOIN rare USING (s)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS cs
+  FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), jp AS (
+  SELECT p.left_id, p.right_id
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.left_id
+  JOIN sizes sb ON sb.doc_id = p.right_id
+  WHERE p.cs / (sa.n_sh + sb.n_sh - p.cs) >= 0.5
+), edges AS (
+  SELECT left_id AS a, right_id AS b FROM jp
+  UNION ALL
+  SELECT right_id, left_id FROM jp
+), walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM cs
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+), ndkeep AS (
+  SELECT node AS doc_id FROM walk GROUP BY node HAVING node = min(comp)
+)
+SELECT c.doc_id,
+       CASE WHEN q.doc_id IS NULL THEN 'quality'
+            WHEN e.doc_id IS NULL THEN 'exact'
+            WHEN cd.doc_id IS NOT NULL THEN 'chunk_boiler'
+            WHEN n.doc_id IS NULL THEN 'near_dup'
+            ELSE 'kept' END AS dropped_at
+FROM corpus c
+LEFT JOIN qkeep q ON q.doc_id = c.doc_id
+LEFT JOIN ekeep e ON e.doc_id = c.doc_id
+LEFT JOIN cbdrop cd ON cd.doc_id = c.doc_id
+LEFT JOIN ndkeep n ON n.doc_id = c.doc_id
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2022 suffix-array span
     dedup, L-gram-anchor approximation): per doc, the fraction of token
@@ -6556,6 +6776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_bwa": q_crowd_bwa,
         "chunk_dedup": q_chunk_dedup,
         "chunk_near_dup": q_chunk_near_dup,
+        "chunk_curation": q_chunk_curation,
         "ivfpq_topk": q_ivfpq_topk,
         "sq8_topk": q_sq8_topk,
         "ann_tier_recall": q_ann_tier_recall,
@@ -7399,6 +7620,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_dedup_builtin": _transcript_builtin_oracle(),
         "crowd_glad": _glad_oracle(),
         "crowd_ebcc": _ebcc_oracle(),
+        "chunk_curation": _chunk_curation_oracle(),
         "crowd_dawid_skene": _ds_oracle(),
         "chunk_near_dup": _chunk_near_dup_oracle(),
         "chunk_dedup": """

@@ -53,6 +53,12 @@ from ditto_spark.operators.cluster import assign_clusters
 from ditto_spark.operators.textprep import gopher_quality_filter
 
 STAGES = ("quality", "exact", "near_dup", "contaminated")
+# stage order when the chunk-level boilerplate stage is enabled
+# (CurationConfig.chunk_tokens set): fuzzy boilerplate detection runs on
+# exact-dedup survivors, BEFORE whole-document near-dup — a doc that is
+# mostly shared window spans should be dropped for that reason, not
+# accidentally absorbed into a near-dup cluster
+CHUNK_STAGES = ("quality", "exact", "chunk_boiler", "near_dup", "contaminated")
 
 
 @dataclass
@@ -73,6 +79,14 @@ class CurationConfig:
     decon_shingle_n: int = 3
     decon_min_common: int = 2
     decon_max_train_df: int | None = 50
+    # chunk-level boilerplate stage (round-4 verdict #3): when chunk_tokens
+    # is set, exact-dedup survivors whose fraction of chunk windows with a
+    # cross-document near-dup partner exceeds chunk_dup_max_frac are
+    # dropped at 'chunk_boiler' (pairs from textprep.chunk_near_dup_pairs
+    # — the salted xxhash production path — unless a pair_fn is injected;
+    # the md5 oracle twin injects one)
+    chunk_tokens: int | None = None
+    chunk_dup_max_frac: float = 0.5
 
 
 def _min_tokens(df: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -137,18 +151,28 @@ def curate_documents(
     cfg: CurationConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_pair_fn=None,
 ) -> DataFrame:
-    """Run the four-stage funnel; return exactly one row per input doc:
+    """Run the funnel; return exactly one row per input doc:
     (id_col, dropped_at) with dropped_at naming the FIRST stage that
     removed the document, or 'kept'. Stage semantics:
 
       quality       Gopher composite rule fails (gopher_quality_filter)
       exact         identical text to a lower-id survivor (md5 group)
+      chunk_boiler  (only when cfg.chunk_tokens is set) more than
+                    chunk_dup_max_frac of the doc's chunk windows have a
+                    near-dup window in ANOTHER surviving document —
+                    fuzzy-boilerplate-dominated documents
       near_dup      in a Jaccard-≥-τ connected component with a lower-id
                     survivor (the min-id cluster member is kept)
       contaminated  shares ≥ decon_min_common distinct n-grams with any
                     `bench` document (skipped when bench is None)
-    """
+
+    chunk_pair_fn overrides the chunk-pair generator (signature:
+    docs(id, text) → (left_doc, left_chunk, right_doc, right_chunk, ...)
+    with STRING doc columns); it must chunk with the canonical
+    lowercase-[a-z0-9]+ `chunk_tokens`-token windows, because the stage's
+    per-doc window count uses that tokenization."""
     cfg = cfg or CurationConfig()
 
     qual = gopher_quality_filter(
@@ -172,17 +196,70 @@ def curate_documents(
     )
     e_surv = q_surv.join(e_keep, id_col)
 
+    # chunk-level boilerplate stage (optional): window near-dup pairs among
+    # exact survivors → per-doc flagged-window fraction → drop rule
+    cb_drop = None
+    if cfg.chunk_tokens:
+        if chunk_pair_fn is None:
+            from ditto_spark.operators.textprep import chunk_near_dup_pairs
+
+            def chunk_pair_fn(d):
+                return chunk_near_dup_pairs(
+                    d, id_col=id_col, text_col=text_col,
+                    chunk_tokens=cfg.chunk_tokens,
+                )
+
+        pairs = chunk_pair_fn(e_surv.select(id_col, text_col))
+        flagged = (
+            pairs.where(F.col("left_doc") != F.col("right_doc"))
+            .select(
+                F.col("left_doc").alias("__doc"),
+                F.col("left_chunk").alias("__idx"),
+            )
+            .unionByName(
+                pairs.where(F.col("left_doc") != F.col("right_doc")).select(
+                    F.col("right_doc").alias("__doc"),
+                    F.col("right_chunk").alias("__idx"),
+                )
+            )
+            .distinct()
+            .groupBy("__doc")
+            .agg(F.count(F.lit(1)).alias("__flagged"))
+        )
+        ch_toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+        ncs = e_surv.select(
+            F.col(id_col),
+            F.col(id_col).cast("string").alias("__doc"),
+            F.ceil(F.size(ch_toks) / F.lit(int(cfg.chunk_tokens)))
+            .cast("int")
+            .alias("__nc"),
+        )
+        cb_drop = (
+            ncs.join(flagged, "__doc")
+            .where(
+                F.col("__flagged")
+                > F.lit(float(cfg.chunk_dup_max_frac)) * F.col("__nc")
+            )
+            .select(id_col)
+        )
+        cb_surv = e_surv.join(cb_drop, id_col, "left_anti")
+    else:
+        cb_surv = e_surv
+
     # near-dup: exact-Jaccard edges → CC; cluster_id is the component's
     # min id (connected_components' deterministic resolution), so the
     # representative test is simply doc_id == cluster_id
-    edges = _near_dup_edges(e_surv, id_col, text_col, cfg)
+    edges = _near_dup_edges(cb_surv, id_col, text_col, cfg)
     clusters = assign_clusters(
-        e_surv.select(F.col(id_col).alias("conv_id")), edges, assume_unique=True
+        cb_surv.select(F.col(id_col).alias("conv_id")), edges, assume_unique=True
     )
     nd_keep = clusters.where(F.col("cluster_id") == F.col("conv_id")).select(
         F.col("conv_id").alias(id_col)
     )
-    nd_surv = e_surv.join(nd_keep, id_col)
+    nd_surv = cb_surv.join(nd_keep, id_col)
 
     drops = [
         docs.select(id_col)
@@ -191,10 +268,16 @@ def curate_documents(
         q_surv.select(id_col)
         .join(e_keep, id_col, "left_anti")
         .withColumn("dropped_at", F.lit("exact")),
-        e_surv.select(id_col)
-        .join(nd_keep, id_col, "left_anti")
-        .withColumn("dropped_at", F.lit("near_dup")),
     ]
+    if cb_drop is not None:
+        drops.append(
+            cb_drop.withColumn("dropped_at", F.lit("chunk_boiler"))
+        )
+    drops.append(
+        cb_surv.select(id_col)
+        .join(nd_keep, id_col, "left_anti")
+        .withColumn("dropped_at", F.lit("near_dup"))
+    )
     kept = nd_surv.select(id_col)
     if bench is not None:
         cont = (
@@ -219,15 +302,20 @@ def curate_documents(
     return out.unionByName(kept.withColumn("dropped_at", F.lit("kept")))
 
 
-def curation_funnel(annotated: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def curation_funnel(
+    annotated: DataFrame,
+    id_col: str = "doc_id",
+    stages: tuple = STAGES,
+) -> DataFrame:
     """Stage-ordered funnel counts from a curate_documents output:
     (stage, dropped, remaining) — remaining = survivors after the stage
-    ran, so the last row's remaining equals the kept count. One 5-row
-    aggregate + a 4-row window; the stage spine is joined in so stages
-    that dropped nothing still appear with dropped = 0."""
+    ran, so the last row's remaining equals the kept count. One small
+    aggregate + a stage-count window; the stage spine is joined in so
+    stages that dropped nothing still appear with dropped = 0. Pass
+    stages=CHUNK_STAGES for a run with the chunk_boiler stage enabled."""
     spark = annotated.sparkSession
     spine = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(STAGES)], "ord int, stage string"
+        [(i + 1, s) for i, s in enumerate(stages)], "ord int, stage string"
     )
     counts = annotated.groupBy(F.col("dropped_at").alias("stage")).agg(
         F.count(F.lit(1)).alias("n")

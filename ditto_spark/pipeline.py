@@ -43,6 +43,17 @@ class PipelineConfig:
     tau: float = 0.5
     use_arrow_udf_scorer: bool = True
     repartition_pairs: int | None = None
+    # Progressive-scoring break-even knobs (round-4 verdict #5: the skew
+    # drill measured progressive 1.8x SLOWER at surrogate cost while
+    # pruning 58% of pairs — the saved scorer work must exceed the
+    # n_batches meta-CC/join overhead to pay). scorer_cost_per_pair:
+    # sec/pair; None → measure on a calibration batch at run time.
+    # progressive_batch_overhead_sec is the measured sandbox per-batch
+    # fixed cost (meta-CC + two id joins, BENCH/skew_drill.json ≈ 29 s);
+    # at cluster scale re-measure and override.
+    scorer_cost_per_pair: float | None = None
+    progressive_prune_frac: float = 0.5
+    progressive_batch_overhead_sec: float = 30.0
     extra: dict = field(default_factory=dict)
 
 
@@ -110,11 +121,54 @@ def dedup_transcripts_tuned(
     return res, tau
 
 
+def calibrate_scorer_cost(
+    with_text: DataFrame,
+    scorer_factory=None,
+    n_sample: int = 2048,
+) -> float:
+    """Measured seconds/pair of the pairwise scorer on a driver-side
+    calibration batch — the number the progressive break-even needs. The
+    batch is collected once and the scorer callable timed directly (model
+    cost, not Spark overhead); with the surrogate this is ~microseconds,
+    with a real LM orders of magnitude more — which is exactly the regime
+    split that decides progressive vs one-shot."""
+    import time
+
+    from ditto_spark.operators.scoring import surrogate_scorer_factory
+
+    pdf = with_text.select("left_txt", "right_txt").limit(n_sample).toPandas()
+    if pdf.empty:
+        return 0.0
+    scorer = (scorer_factory or surrogate_scorer_factory)()
+    t0 = time.monotonic()
+    scorer(pdf["left_txt"], pdf["right_txt"])
+    return (time.monotonic() - t0) / len(pdf)
+
+
+def progressive_break_even_cost(
+    n_pairs: int,
+    n_batches: int,
+    prune_frac: float,
+    per_batch_overhead_sec: float,
+) -> float:
+    """Minimum scorer cost/pair (sec) at which progressive scoring wins:
+    the pruned work (prune_frac × n_pairs pairs never scored) must exceed
+    the fixed per-batch overhead (meta-CC + two id-keyed joins) times
+    n_batches. Below this, one-shot is faster — BENCH/skew_drill.json
+    measured exactly that (progressive 262 s vs one-shot 146 s at
+    surrogate cost despite 58% pruning)."""
+    return (n_batches * per_batch_overhead_sec) / max(
+        prune_frac * n_pairs, 1.0
+    )
+
+
 def dedup_transcripts_progressive(
     transcripts: DataFrame,
     cfg: PipelineConfig | None = None,
     n_batches: int = 4,
     serialized: DataFrame | None = None,
+    auto: bool = False,
+    scorer_factory=None,
 ) -> tuple[DataFrame, dict]:
     """Flagship variant with progressive (pay-as-you-go) scoring: candidate
     pairs run through the Arrow scorer in descending est_jaccard batches and
@@ -129,6 +183,14 @@ def dedup_transcripts_progressive(
     edge-sized meta-CC rounds + two id joins per batch for the saved LM
     invocations; keep the one-shot path when pair probabilities for EVERY
     candidate are themselves a deliverable (auditing, calibration).
+
+    auto=True applies the measured break-even (round-4 verdict #5)
+    instead of trusting the operator: the candidate count and a
+    calibration-batch scorer cost (or cfg.scorer_cost_per_pair when
+    pre-measured) decide between progressive and the one-shot scorer —
+    both produce identical clusters, so the choice is purely a cost
+    decision, and `stats["mode"]` records which ran plus the numbers
+    behind the decision.
 
     Returns (clusters, stats) — clusters schema identical to
     PipelineResult.clusters; stats has per-batch scored/pruned counts.
@@ -153,9 +215,55 @@ def dedup_transcripts_progressive(
         transcripts.sparkSession.sparkContext.defaultParallelism
     )
     with_text = with_text.repartition(n_parts)
-    assignments, stats = score_pairs_progressive(
-        with_text, threshold=cfg.tau, n_batches=n_batches
-    )
+
+    if auto:
+        with_text = with_text.persist()
+        n_pairs = with_text.count()
+        cost = cfg.scorer_cost_per_pair
+        if cost is None:
+            cost = calibrate_scorer_cost(with_text, scorer_factory)
+        break_even = progressive_break_even_cost(
+            n_pairs,
+            n_batches,
+            cfg.progressive_prune_frac,
+            cfg.progressive_batch_overhead_sec,
+        )
+        decision = {
+            "n_pairs": n_pairs,
+            "scorer_cost_per_pair": cost,
+            "break_even_cost_per_pair": break_even,
+            "prune_frac_assumed": cfg.progressive_prune_frac,
+            "batch_overhead_sec": cfg.progressive_batch_overhead_sec,
+        }
+        if cost <= break_even:
+            # one-shot wins: score everything, threshold, one CC pass
+            scored = score_pairs(with_text, scorer_factory)
+            matches = apply_threshold(scored, cfg.tau).where(
+                F.col("match") == 1
+            )
+            clusters = assign_clusters(
+                serialized,
+                matches.select("left_id", "right_id"),
+                assume_unique=True,
+            )
+            with_text.unpersist()
+            return clusters, {"mode": "one_shot", "decision": decision}
+        assignments, stats = score_pairs_progressive(
+            with_text,
+            threshold=cfg.tau,
+            scorer_factory=scorer_factory,
+            n_batches=n_batches,
+        )
+        with_text.unpersist()
+        stats = {"mode": "progressive", "decision": decision, **stats}
+    else:
+        assignments, stats = score_pairs_progressive(
+            with_text,
+            threshold=cfg.tau,
+            scorer_factory=scorer_factory,
+            n_batches=n_batches,
+        )
+        stats = {"mode": "progressive", **stats}
     clusters = (
         serialized.select("conv_id")
         .distinct()

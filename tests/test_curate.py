@@ -120,3 +120,76 @@ def test_jaccard_threshold_knob(fixture_docs):
     )
     assert got[4] == "kept"
     assert got[2] == "exact"  # exact dedup unaffected by τ
+
+
+_BOILER20 = (
+    "the deploy cluster error retry timeout schema parquet shuffle "
+    "partition broadcast join filter window stream batch token model "
+    "index cache"
+)
+
+
+def _uniq20(tag):
+    return " ".join(f"{tag}word{i}" for i in range(20))
+
+
+def test_chunk_near_dup_pairs_production(spark):
+    """xxhash production path: shared + one-token-mutated 20-token windows
+    across hosts surface as chunk pairs; string keys parse back and never
+    alias (>100-window doc included)."""
+    from ditto_spark.operators.textprep import chunk_near_dup_pairs
+
+    mutated = _BOILER20.replace("timeout", "deadline")
+    rows = [
+        (0, _BOILER20 + " " + _uniq20("a")),
+        (1, _BOILER20 + " " + _uniq20("b")),
+        (2, mutated + " " + _uniq20("c")),
+        # 120-window doc: composite-int ids would have aliased here
+        (3, " ".join(f"dtok{i} filler{i % 7}" for i in range(120 * 10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_near_dup_pairs(docs, chunk_tokens=20, threshold=0.2).toPandas()
+    pair_docs = set(map(tuple, out[["left_doc", "right_doc"]].values))
+    # exact boilerplate copies must pair; est 1.0 on the (0,1) window pair
+    exact = out[(out.left_doc == "0") & (out.right_doc == "1")]
+    assert len(exact) == 1 and exact.iloc[0].est_jaccard == 1.0
+    assert exact.iloc[0].left_chunk == 0 and exact.iloc[0].right_chunk == 0
+    # the mutated window pairs with at least one exact host below est 1.0
+    fuzzy = out[(out.right_doc == "2") | (out.left_doc == "2")]
+    assert len(fuzzy) >= 1 and (fuzzy.est_jaccard < 1.0).all()
+    # no pair involves doc 3, and ids parse back cleanly
+    assert not any("3" in p for p in pair_docs)
+    assert (out.left_chunk >= 0).all() and (out.right_chunk >= 0).all()
+
+
+def test_curate_chunk_boiler_stage(spark):
+    """Funnel with chunk_tokens set: boilerplate-dominated docs (half their
+    windows shared cross-doc) drop at 'chunk_boiler'; clean docs keep."""
+    from ditto_spark.operators.curate import (
+        CHUNK_STAGES,
+        CurationConfig,
+        curate_documents,
+        curation_funnel,
+    )
+
+    rows = [
+        (0, _BOILER20 + " " + _uniq20("a")),
+        (1, _BOILER20 + " " + _uniq20("b")),
+        (2, _BOILER20 + " " + _uniq20("c")),
+        (3, "the " + _uniq20("d") + " " + _uniq20("dd")),
+        (4, "the " + _uniq20("e") + " " + _uniq20("ee")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        min_words=20, min_stop_hits=1, chunk_tokens=20, chunk_dup_max_frac=0.4
+    )
+    out = curate_documents(docs, bench=None, cfg=cfg)
+    got = {r["doc_id"]: r["dropped_at"] for r in out.collect()}
+    assert got == {
+        0: "chunk_boiler", 1: "chunk_boiler", 2: "chunk_boiler",
+        3: "kept", 4: "kept",
+    }
+    fun = curation_funnel(out, stages=CHUNK_STAGES).collect()
+    by_stage = {r["stage"]: (r["dropped"], r["remaining"]) for r in fun}
+    assert by_stage["chunk_boiler"] == (3, 2)
+    assert by_stage["near_dup"] == (0, 2)

@@ -201,3 +201,65 @@ def test_progressive_pipeline_matches_one_shot(spark):
     got = {(r["conv_id"], r["cluster_id"]) for r in clusters.collect()}
     assert got == want
     assert stats["pairs_pruned"] > 0
+
+
+def test_progressive_auto_break_even(spark):
+    """Round-4 verdict #5: auto mode must pick the measured-faster path in
+    both cost regimes. Surrogate cost (~µs/pair) is far below break-even →
+    one-shot; an artificially slowed scorer is far above → progressive.
+    Either way the clusters are the one-shot pipeline's exactly."""
+    import time
+
+    import numpy as np
+
+    from ditto_spark.pipeline import (
+        PipelineConfig,
+        dedup_transcripts,
+        dedup_transcripts_progressive,
+        progressive_break_even_cost,
+    )
+    from ditto_spark.operators.scoring import surrogate_scorer_factory
+    from ditto_spark.synth import generate_transcripts
+
+    t = generate_transcripts(spark, n_base=40, seed=42, max_dups=3, dup_prob=0.9)
+    cfg = PipelineConfig()
+    want = {
+        (r["conv_id"], r["cluster_id"])
+        for r in dedup_transcripts(t, cfg).clusters.collect()
+    }
+
+    # regime 1: cheap scorer → calibration lands below break-even → one-shot
+    clusters, stats = dedup_transcripts_progressive(t, cfg, n_batches=3, auto=True)
+    assert stats["mode"] == "one_shot"
+    d = stats["decision"]
+    assert d["scorer_cost_per_pair"] <= d["break_even_cost_per_pair"]
+    assert {(r["conv_id"], r["cluster_id"]) for r in clusters.collect()} == want
+
+    # regime 2: slowed scorer (5 ms/pair) with the batch overhead set to a
+    # measured-small value, as a cluster operator would after re-measuring
+    # (the default 30 s is the sandbox bench-scale constant and would need
+    # a six-figure pair count to amortize)
+    def slow_factory():
+        inner = surrogate_scorer_factory()
+
+        def score(lt, rt):
+            time.sleep(0.005 * len(lt))
+            return np.asarray(inner(lt, rt))
+
+        return score
+
+    from dataclasses import replace
+
+    cfg2 = replace(cfg, progressive_batch_overhead_sec=0.05)
+    clusters2, stats2 = dedup_transcripts_progressive(
+        t, cfg2, n_batches=3, auto=True, scorer_factory=slow_factory
+    )
+    assert stats2["mode"] == "progressive"
+    d2 = stats2["decision"]
+    assert d2["scorer_cost_per_pair"] > d2["break_even_cost_per_pair"]
+    assert {(r["conv_id"], r["cluster_id"]) for r in clusters2.collect()} == want
+
+    # the rule itself: break-even falls as pair count grows (more prunable
+    # work amortizes the same batch overhead)
+    assert progressive_break_even_cost(10_000, 4, 0.5, 30.0) > \
+        progressive_break_even_cost(1_000_000, 4, 0.5, 30.0)
