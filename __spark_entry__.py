@@ -6766,61 +6766,14 @@ _BLOOM_PRUNE_ORACLE = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ORDER MATTERS: the driver's independent DuckDB correctness gate
-    # samples the FIRST 50 entries. Round-4 policy: queries the driver
-    # has never checked (absent from CORRECTNESS_r0{1,2,3}.json) come
-    # first, newest operator families at the top; the 50 already-green
-    # entries rotate to the back. Rotate again next round.
-        "transcript_dedup_builtin": q_transcript_dedup_builtin,
-        "crowd_glad": q_crowd_glad,
-        "crowd_dawid_skene": q_crowd_dawid_skene,
-        "crowd_bwa": q_crowd_bwa,
-        "chunk_dedup": q_chunk_dedup,
-        "chunk_near_dup": q_chunk_near_dup,
-        "chunk_curation": q_chunk_curation,
-        "ivfpq_topk": q_ivfpq_topk,
-        "sq8_topk": q_sq8_topk,
-        "ann_tier_recall": q_ann_tier_recall,
-        "ivf_topk": q_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_multiprobe_topk": q_ann_multiprobe_topk,
-        "fs_comparison_vectors": q_fs_comparison_vectors,
-        "fs_em_params": q_fs_em_params,
-        "fs_match_scores": q_fs_match_scores,
-        "fs_explain": q_fs_explain,
-        "fs_u_random": q_fs_u_random,
-        "fs_m_labeled": q_fs_m_labeled,
-        "fs_linkage": q_fs_linkage,
-        "allpairs_jaccard": q_allpairs_jaccard,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "golden_record": q_golden_record,
-        "attribute_alignment": q_attribute_alignment,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_near_dup": q_winnow_near_dup,
-        "mutual_best_match": q_mutual_best_match,
-        "meta_blocking": q_meta_blocking,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "suffix_blocking": q_suffix_blocking,
-        "blocking_metrics": q_blocking_metrics,
-        "snb_edit_verify": q_snb_edit_verify,
-        "simhash_near_dup": q_simhash_near_dup,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
-        "hll_distinct": q_hll_distinct,
-        "cms_hot_bigrams": q_cms_hot_bigrams,
-        "bloom_filter_words": q_bloom_filter_words,
-        "join_size_estimate": q_join_size_estimate,
-        "temperature_mix": q_temperature_mix,
-        "dsir_select": q_dsir_select,
-        "gopher_filter": q_gopher_filter,
-        "dup_span_stats": q_dup_span_stats,
-        "lm_perplexity": q_lm_perplexity,
-        "roc_auc": q_roc_auc,
-        "calibration_bins": q_calibration_bins,
-        "platt_scaling": q_platt_scaling,
-        "worker_partial_corr": q_worker_partial_corr,
-        "worker_removal_curve": q_worker_removal_curve,
-        "monge_elkan_pairs": q_monge_elkan_pairs,
-        "soft_tfidf_pairs": q_soft_tfidf_pairs,
+    # samples the FIRST 50 entries. Round-5 policy (the final rotation,
+    # round-4 verdict #1): the 30 entries no driver round has ever
+    # checked come first, then this round's new/changed queries
+    # (crowd_ebcc newly oracle-backed, chunk_curation new, chunk_near_dup
+    # stride-fixed, chunk_dedup, the rows-only transcript_dedup_clusters),
+    # then 15 high-value re-verification picks. With CORRECTNESS_r05
+    # green, every registered query has been independently driver-checked
+    # at least once across rounds 1-5.
         "idf_cosine_pairs": q_idf_cosine_pairs,
         "stable_cluster_ids": q_stable_cluster_ids,
         "bbit_minhash_jaccard": q_bbit_minhash_jaccard,
@@ -6829,9 +6782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "lsh_power_curve": q_lsh_power_curve,
         "match_evidence": q_match_evidence,
-        "crowd_ebcc": q_crowd_ebcc,
         "union_blocking": q_union_blocking,
-        "media_features": q_media_features,
         "accent_fold": q_accent_fold,
         "time_band_pairs": q_time_band_pairs,
         "bloom_prune_semijoin": q_bloom_prune_semijoin,
@@ -6853,13 +6804,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_rule_profile": q_blocking_rule_profile,
         "containment_pairs": q_containment_pairs,
         "bpe_token_stats": q_bpe_token_stats,
-        "serialize_events": q_serialize_events,
+        "crowd_ebcc": q_crowd_ebcc,
+        "chunk_curation": q_chunk_curation,
+        "chunk_near_dup": q_chunk_near_dup,
+        "chunk_dedup": q_chunk_dedup,
+        "transcript_dedup_clusters": q_transcript_dedup_clusters,
+        "transcript_dedup_builtin": q_transcript_dedup_builtin,
+        "doc_curation": q_doc_curation,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "exact_dedup": q_exact_dedup,
+        "serialize_events": q_serialize_events,
+        "fs_em_params": q_fs_em_params,
+        "crowd_glad": q_crowd_glad,
+        "crowd_dawid_skene": q_crowd_dawid_skene,
+        "crowd_bwa": q_crowd_bwa,
+        "ann_tier_recall": q_ann_tier_recall,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
+        "pack_chunks": q_pack_chunks,
+        "threshold_sweep": q_threshold_sweep,
+        "ivfpq_topk": q_ivfpq_topk,
+        "sq8_topk": q_sq8_topk,
+        "ivf_topk": q_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "fs_comparison_vectors": q_fs_comparison_vectors,
+        "fs_match_scores": q_fs_match_scores,
+        "fs_explain": q_fs_explain,
+        "fs_u_random": q_fs_u_random,
+        "fs_m_labeled": q_fs_m_labeled,
+        "fs_linkage": q_fs_linkage,
+        "allpairs_jaccard": q_allpairs_jaccard,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "golden_record": q_golden_record,
+        "attribute_alignment": q_attribute_alignment,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dup": q_winnow_near_dup,
+        "mutual_best_match": q_mutual_best_match,
+        "meta_blocking": q_meta_blocking,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "suffix_blocking": q_suffix_blocking,
+        "blocking_metrics": q_blocking_metrics,
+        "snb_edit_verify": q_snb_edit_verify,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "hll_distinct": q_hll_distinct,
+        "cms_hot_bigrams": q_cms_hot_bigrams,
+        "bloom_filter_words": q_bloom_filter_words,
+        "join_size_estimate": q_join_size_estimate,
+        "temperature_mix": q_temperature_mix,
+        "gopher_filter": q_gopher_filter,
+        "dup_span_stats": q_dup_span_stats,
+        "lm_perplexity": q_lm_perplexity,
+        "roc_auc": q_roc_auc,
+        "calibration_bins": q_calibration_bins,
+        "platt_scaling": q_platt_scaling,
+        "worker_partial_corr": q_worker_partial_corr,
+        "worker_removal_curve": q_worker_removal_curve,
+        "monge_elkan_pairs": q_monge_elkan_pairs,
+        "soft_tfidf_pairs": q_soft_tfidf_pairs,
+        "media_features": q_media_features,
         "shingle_blocking_pairs": q_shingle_blocking_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "topk_similar": q_topk_similar,
         "f1_confusion": q_f1_confusion,
-        "threshold_sweep": q_threshold_sweep,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
@@ -6875,7 +6884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crowd_majority_vote": q_crowd_majority_vote,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "knn_label": q_knn_label,
-        "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "er_cross_candidates": q_er_cross_candidates,
         "hash_split": q_hash_split,
         "leakage_safe_split": q_leakage_safe_split,
@@ -6884,12 +6892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "bcubed_doc_dedup": q_bcubed,
         "decontaminate": q_decontaminate,
-        "doc_curation": q_doc_curation,
-        "pack_chunks": q_pack_chunks,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
         "pivot_dedup_clusters": q_pivot_dedup_clusters,
         "cluster_editing": q_cluster_editing,
-        "transcript_dedup_clusters": q_transcript_dedup_clusters,
         "tfidf_summarize": q_tfidf_summarize,
         "tfidf_summarize_budget": q_tfidf_summarize_budget,
         "normalize_numbers": q_normalize_numbers,

@@ -368,6 +368,22 @@ def main() -> None:
         timed("ngram_jaccard_pairs", lambda: E.q_ngram_jaccard_pairs(spark, sf_dir))
         timed("allpairs_jaccard", lambda: E.q_allpairs_jaccard(spark, sf_dir))
         timed("fs_match_scores", lambda: E.q_fs_match_scores(spark, sf_dir))
+        # round-5: the promoted chunk-level operators, PRODUCTION paths
+        # (xxhash + salted cells), timed over the raw documents table
+        from ditto_spark.operators.textprep import (
+            chunk_exact_dedup,
+            chunk_near_dup_pairs,
+        )
+
+        docs_b = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed(
+            "chunk_exact_dedup",
+            lambda: chunk_exact_dedup(docs_b, chunk_tokens=20),
+        )
+        timed(
+            "chunk_near_dup_pairs",
+            lambda: chunk_near_dup_pairs(docs_b, chunk_tokens=20),
+        )
 
     transcripts.unpersist()
     total = round(sum(timings.values()), 3)
