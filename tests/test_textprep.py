@@ -514,18 +514,23 @@ def test_chunk_exact_dedup_release_cache(spark):
     (long-lived sessions otherwise accumulate cached token arrays)."""
     from ditto_spark.operators.textprep import chunk_exact_dedup, release_chunk_cache
 
-    spark.catalog.clearCache()
+    def rdd_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    # delta-based: earlier tests in a shared session may hold
+    # localCheckpoint RDDs that clearCache does not (and should not) touch
+    before = rdd_ids()
     docs = spark.createDataFrame(
         [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(20)],
         "doc_id long, text string",
     )
     out = chunk_exact_dedup(docs, chunk_tokens=8)
     assert out.count() == 20
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert rdd_ids() - before, "persist_toks=True must cache the token table"
     release_chunk_cache(out)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert rdd_ids() - before == set(), "release must drop the operator's cache"
     # a persist_toks=False run never caches and release is a no-op
     out2 = chunk_exact_dedup(docs, chunk_tokens=8, persist_toks=False)
     assert out2.count() == 20
     release_chunk_cache(out2)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert rdd_ids() - before == set()
