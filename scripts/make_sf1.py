@@ -6,11 +6,15 @@ read-only and has no sf1.0).
 
 Scaling construction (the point is LINEAR scale, not pathology): each of
 the 10 replicas is a token-disjoint copy of sf0.1 —
-  documents   every token gets a replica suffix (`tok` → `tok·rK`), so
-              within-replica near-dup/shingle structure is IDENTICAL to
+  documents   every token gets an ALNUM replica suffix (`tok` → `tokrK`),
+              so within-replica near-dup/shingle structure is IDENTICAL to
               sf0.1 while across replicas nothing matches: pair counts and
               group sizes scale exactly 10x, no artificial 10-clique of
-              replicas inflates the quadratic stages.
+              replicas inflates the quadratic stages. The suffix must stay
+              inside [a-z0-9] — a non-alnum separator splits under the
+              [a-z0-9]+ tokenizers and silently degrades 3-gram shingles
+              to effective 2-grams (measured: rare-shingle pairs 1.12M →
+              10).
   events      ids offset per replica (user_id + K·U, event_id + K·E);
               values/timestamps unchanged → 10x users, same per-user
               transcript shape.
@@ -55,7 +59,7 @@ def main() -> None:
                 " ",
                 F.transform(
                     F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, F.lit("·r"), F.col("rep").cast("string")),
+                    lambda t: F.concat(t, F.lit("r"), F.col("rep").cast("string")),
                 ),
             ).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
